@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query at sf0.001 (smoke check);
+`queries()` / `oracle_sql()` re-export the engine's declared operator
+inventory (core_telecoms_etl_spark/queries/*, per SURVEY.md §2) for the
+driver's DuckDB-differential correctness harness at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +11,49 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference's star-schema shape (fact ⋈ broadcast
+    dim → segment analytics) on sf0.001. Cleaning chain → broadcast join →
+    hash aggregate, all one Catalyst plan."""
+    from core_telecoms_etl_spark.operators.cleaning import clean
+
+    orders = clean(
+        spark.read.parquet(f"{SF_SMOKE_DIR}/orders.parquet"), dedup=False
+    )
+    customer = clean(
+        spark.read.parquet(f"{SF_SMOKE_DIR}/customer.parquet"), dedup=False
+    )
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            (F.round(F.sum("o_totalprice"), 2) / F.count("*")).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from core_telecoms_etl_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from core_telecoms_etl_spark import queries as q
+
+    return q.oracle_sql()

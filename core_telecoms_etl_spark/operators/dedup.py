@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.13
+X1/X2 + north-star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these at 100 TB):
+- Exact dedup: hash-groupBy on a 32-byte digest, never on the full text —
+  the shuffle moves digests + ids only.
+- Jaccard: inverted-index self-join on shingles (explode → join on shingle
+  → pair-count). Quadratic only within a shingle's posting list; common
+  shingles are the skew risk → `max_shingle_freq` drops stop-shingles
+  (standard in web-dedup pipelines).
+- MinHash+LSH: signatures are k xxhash64 mins (one pass), banded into b
+  buckets; candidate pairs only form inside a (band, bucket) — the
+  classic sub-quadratic near-dup join. All hashing is JVM-side.
+- SimHash: 64-bit signature; near-dups collide on rotated prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.text import (
+    content_sha256,
+    simhash64,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup: keep the lowest id per sha256 digest.
+    Returns (id, digest, n_copies) — one row per distinct content."""
+    return (
+        df.select(
+            F.col(id_col), content_sha256(text_col).alias("content_sha256")
+        )
+        .groupBy("content_sha256")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "content_sha256", "n_copies")
+    )
+
+
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle, n_shingles) exploded inverted index over distinct word
+    n-grams. Docs with < n tokens carry no shingles and drop out."""
+    sh = df.filter(F.size(tokens(text_col)) >= n).select(
+        F.col(id_col).alias("doc"),
+        word_shingles(text_col, n).alias("shingles"),
+    )
+    return sh.select(
+        "doc",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) from integer counts → deterministic.
+    `max_shingle_freq` prunes stop-shingles (posting lists longer than the
+    cap), bounding the worst-case pair blowup at scale; exactness then
+    holds for pairs whose shared shingles are all below the cap.
+    """
+    post = shingle_postings(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = post.groupBy("shingle").agg(F.count("*").alias("df"))
+        post = (
+            post.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+            .drop("df")
+        )
+    a = post.select(
+        F.col("doc").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+        "shingle",
+    )
+    b = post.select(
+        F.col("doc").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64
+) -> DataFrame:
+    """(id, sig: array<bigint>[k]) MinHash signature: sig[i] = min over
+    shingles of xxhash64(shingle, seed=i). One pass, no shuffle."""
+    sh = df.filter(F.size(tokens(text_col)) >= n).select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return sh.select("doc", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k-signature into `bands`
+    buckets (r = k/bands rows per band), join docs sharing any
+    (band, bucket), then estimate jaccard as matching-minhash fraction
+    and filter. Sub-quadratic: pairs form only inside LSH buckets."""
+    r = k // bands
+    sig = minhash_signature(df, id_col, text_col, n=n, k=k).cache()
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        "_", F.slice("sig", b * r + 1, r).cast("array<string>")
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda m: m
+        )
+    ) / F.lit(float(k))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint). Near-dups are signatures within small
+    Hamming distance; candidate blocking at scale = group by 4×16-bit
+    chunks (any chunk equal ⇒ hamming ≤ 48 candidate)."""
+    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit-chunk blocking + exact Hamming
+    filter (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal; wider
+    max_hamming still prunes most of the space)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", s).bitwiseAND(0xFFFF)
+                    for s in (0, 16, 32, 48)
+                ]
+            )
+        ).alias("chunk_pos", "chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_pos") == F.col("y.chunk_pos"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,257 @@
+"""Vector-similarity operators (SURVEY.md §2.13 X3 + north-star ANN).
+
+Embedding columns are `array<float>`; all math promotes to double with a
+fixed fold order so results are reproducible across runs and engines.
+
+Scale design:
+- Brute-force top-k: the query set is broadcast (it is small by
+  definition); the corpus never shuffles — each partition scores its rows
+  and a per-partition top-k heap (TakeOrderedAndProject after the window
+  filter; at extreme k use aggregation) feeds the final merge.
+- IVF: a coarse quantizer (deterministic sample as centroids) buckets the
+  corpus once (one narrow shuffle keyed by centroid id); queries probe
+  `n_probe` nearest buckets, cutting scored candidates by ~C/n_probe.
+- Random-hyperplane LSH: sign-bit sketches give Hamming pre-filtering with
+  the same banding trick as MinHash (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ with left-to-right fold in double — deterministic."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2_expr(a: Column | str) -> Column:
+    """Σ aᵢ² (squared L2 norm), same fold discipline."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Plan shape: broadcast(queries) × corpus → score → window top-k.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All-pairs cosine above a threshold (embedding near-dup detection).
+    Exact O(n²) scoring — the correctness baseline the LSH/IVF paths are
+    judged against; at 100 TB use `lsh_topk`/IVF instead."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("v_a", "v_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _centroids(df: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+    """Deterministic coarse quantizer: the n lowest-id vectors act as
+    centroids (stand-in for k-means; swappable)."""
+    return (
+        df.orderBy(id_col)
+        .limit(n)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign each vector to its nearest centroid (max cosine, id
+    tie-break). Returns (assignments(id, vec, centroid_id), centroids)."""
+    cents = _centroids(df, id_col, vec_col, n_centroids)
+    scored = df.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(cents)
+    ).withColumn("sim", cosine_expr(vec_col, "centroid"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    return assign, cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest centroid buckets
+    per query, brute-force only inside them. Recall rises with n_probe;
+    n_probe == n_centroids degenerates to exact."""
+    assign, cents = ivf_assign(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = q.join(F.broadcast(cents)).withColumn(
+        "sim", cosine_expr("q_vec", "centroid")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = probes.join(assign, "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.withColumn("cosine", cosine_expr("q_vec", vec_col)).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def random_hyperplane_sketch(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-bit LSH sketch: bit_i = sign(v · h_i) for pseudo-random
+    hyperplanes derived from xxhash64(dim, bit, seed) — fully
+    deterministic, no stored projection matrix. Adds `sketch` (long)."""
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    def bit(i: int) -> Column:
+        # h_i[d] in {-1,+1} from the hash parity of (d, i, seed)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                dim_idx,
+                lambda x, d: x.cast("double")
+                * F.when(
+                    F.xxhash64(d, F.lit(i), F.lit(seed)).bitwiseAND(1) == 1, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sketch = bit(0)
+    for i in range(1, n_bits):
+        sketch = sketch + bit(i)
+    return df.withColumn("sketch", sketch)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 16,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """LSH-prefiltered top-k: score only candidates whose sign-bit sketch
+    is within `max_hamming` of the query's. The Hamming filter is a cheap
+    bit_count on longs; the expensive cosine runs on the surviving
+    fraction only."""
+    c = random_hyperplane_sketch(corpus, vec_col=vec_col, n_bits=n_bits).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("sketch").alias("c_sketch"),
+    )
+    q = random_hyperplane_sketch(queries, vec_col=vec_col, n_bits=n_bits).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("sketch").alias("q_sketch"),
+    )
+    cand = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).filter(
+        F.bit_count(F.col("c_sketch").bitwiseXOR(F.col("q_sketch")))
+        <= max_hamming
+    )
+    scored = cand.withColumn("cosine", cosine_expr("q_vec", "c_vec")).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

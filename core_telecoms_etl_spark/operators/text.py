@@ -1,0 +1,167 @@
+"""Text-analysis operators (SURVEY.md §2.13 X4 + north-star extensions):
+tokenization, token counting, language-ID heuristic, quality scoring,
+document fingerprinting.
+
+Everything row-level is built-in JVM expressions (split / filter /
+higher-order functions / regexp) so the 100 TB path stays inside
+whole-stage codegen — no Python in the scan loop. These are column
+*expressions* (composable into any plan), not materialized ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic marker-token lists for the language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "y"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "les", "et", "des", "une"],
+}
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: split on single spaces, drop empties (robust
+    to leading/trailing/double spaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), " "), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex:
+    runs of letters | runs of digits | single other non-space char."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)).cast(
+        "long"
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit of near-dup detection.
+    Requires ≥ n tokens (callers filter shorter docs)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    )
+
+
+def marker_hits(col: Column | str, markers: list[str]) -> Column:
+    """Count (with multiplicity) of tokens in the marker list."""
+    t = tokens(col)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("long")
+
+
+def cjk_char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^一-鿿]", "")).cast("long")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker scores; zh scored by CJK character presence."""
+    out = {k: marker_hits(col, v) for k, v in LANG_MARKERS.items()}
+    out["zh"] = cjk_char_count(col)
+    return out
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax over language scores with a fixed tie-break priority
+    (en > es > de > fr > zh). Expressed as a CASE chain so the exact same
+    SQL runs on any ANSI engine."""
+    s = lang_scores(col)
+    return (
+        F.when(s["en"] >= F.greatest(s["es"], s["de"], s["fr"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["de"], s["fr"], s["zh"]), "es")
+        .when(s["de"] >= F.greatest(s["fr"], s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+
+
+def quality_components(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals: all ratios derive from integer counts
+    so they are bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_distinct = distinct_token_count(c)
+    n_chars = F.length(c).cast("long")
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")).cast("long")
+    stop_hits = marker_hits(c, EN_STOPWORDS)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "type_token_ratio": n_distinct / n_tok,
+        "alpha_ratio": n_alpha / n_chars,
+        "stopword_ratio": stop_hits / n_tok,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1]-ish score: lexical diversity + alphabetic density +
+    a stopword-presence signal (too few stopwords ⇒ keyword-stuffing-like).
+    Fixed operand order keeps it bit-deterministic."""
+    q = quality_components(col)
+    return (
+        q["type_token_ratio"] * 0.4
+        + q["alpha_ratio"] * 0.4
+        + F.least(q["stopword_ratio"] * 4.0, F.lit(1.0)) * 0.2
+    )
+
+
+def content_sha256(col: Column | str) -> Column:
+    """Exact-content fingerprint (sha256 hex, lowercase)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def normalized_sha256(col: Column | str) -> Column:
+    """Fingerprint robust to case/whitespace: lower + collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "), 256)
+
+
+def simhash64(col: Column | str, seed: int = 42) -> Column:
+    """64-bit SimHash over whitespace tokens using xxhash64 token hashes.
+
+    Pure JVM expression: explode-free — folds the token array into a
+    64-slot weight vector via higher-order functions, then reads off sign
+    bits. Engine-specific hash → verified by rows-only check + pytest.
+    """
+    t = tokens(col)
+
+    def token_bits(tok):
+        # ±1 per bit position; shift amounts are Python ints (fixed plan)
+        h = F.xxhash64(tok, F.lit(seed))
+        return F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+                for j in range(63)
+            ]
+        )
+
+    # weights[j] = sum over tokens of (bit_j(h) ? 1 : -1)
+    weights = F.aggregate(
+        t,
+        F.array_repeat(F.lit(0), 63),
+        lambda acc, tok: F.zip_with(acc, token_bits(tok), lambda a, b: a + b),
+    )
+    # bits → single long (63 bits: stays in positive long range)
+    out = F.lit(0).cast("long")
+    for j in range(63):
+        out = out + F.when(
+            F.element_at(weights, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out

@@ -1,0 +1,90 @@
+"""Event-time queries on the `events` table (SURVEY.md §2.10 extension
+surface) + the multimodal-column metadata query (§2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.multimodal import binary_metadata
+from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.sources.readers import load_table
+from core_telecoms_etl_spark.streaming.events import (
+    run_stream_tumbling,
+    sessionize,
+    tumbling_agg,
+)
+
+# Spark's F.window and DuckDB's time_bucket both align 15-minute windows to
+# a common epoch multiple, so window_start values agree exactly.
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type, count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2"""
+
+
+@query("events_tumbling", oracle=_TUMBLING_ORACLE)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute event-time aggregation (batch plan; identical
+    logical plan drives the streaming variant below)."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"), "15 minutes")
+
+
+@query("stream_tumbling", oracle=_TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME aggregation executed through Structured Streaming
+    (readStream over the parquet folder → complete-mode memory sink),
+    proving batch/stream plan parity — and checked against the same oracle."""
+    return run_stream_tumbling(
+        spark, f"{sf_dir}/events.parquet", width="15 minutes"
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (
+                SELECT user_id, event_id, ts, value,
+                       CAST(sum(is_new) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS session_id
+                FROM flagged)
+              SELECT user_id, session_id, count(*) AS n_events,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                       AS duration_sec,
+                     round(sum(value), 2) AS value_sum
+              FROM sess GROUP BY user_id, session_id""",
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute gap): lag + cumulative boundary
+    sum, exact integer-microsecond gap math."""
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query(
+    "multimodal_meta",
+    oracle="""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS payload_sha256
+              FROM documents""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo on a real binary column: documents.text
+    encoded to UTF-8 bytes stands in for an image/audio payload; the
+    metadata extraction (byte length, digest) is the real JVM-side path
+    used for any opaque binary column."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_metadata(d, "payload", id_col="doc_id")

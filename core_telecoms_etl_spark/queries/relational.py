@@ -1,0 +1,542 @@
+"""Relational operator queries (SURVEY.md §2.1–§2.7, §2.9).
+
+Every query here is a declarative DataFrame plan — Catalyst handles
+predicate pushdown, column pruning, and join-strategy selection. Scale
+annotations note the expected physical behavior at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.cleaning import (
+    dedup_latest_by_key,
+    rename_columns,
+)
+from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.sources.readers import load_table, read_csv, read_json
+
+# ---------------------------------------------------------------------------
+# §2.1 scans (S1–S3). csv/json scans round-trip a small dim table through the
+# format to exercise the real reader path against the parquet oracle.
+# ---------------------------------------------------------------------------
+
+
+@query("parquet_scan", oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem")
+def parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan + projection (ref: plugins/transform.py:71-83). The
+    SELECT reaches the parquet reader: ReadSchema carries only 4 columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query("csv_scan", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-CSV scan with explicit schema (ref: pd.read_csv,
+    plugins/s3_copy.py:110-112). Writes the nation dim to CSV and reads it
+    back through the production reader."""
+    out = os.path.join(tempfile.gettempdir(), "ctes_csv_scan")
+    load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    df = read_csv(
+        spark, out, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query("json_scan", oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier")
+def json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-record scan (ref: pd.read_json of complaint documents,
+    plugins/s3_copy.py:113-114)."""
+    out = os.path.join(tempfile.gettempdir(), "ctes_json_scan")
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    ).coalesce(1).write.mode("overwrite").json(out)
+    df = read_json(
+        spark, out, schema="s_suppkey long, s_name string, s_nationkey int"
+    )
+    return df.select("s_suppkey", "s_name", "s_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "projection_alias",
+    oracle="""SELECT c_custkey AS customer_id, c_name AS customer_name,
+              c_mktsegment AS segment FROM customer""",
+)
+def projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aliased projection (ref: dbt dim models' SELECT lists,
+    dimensions/dim_customers.sql:4-12)."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "rename_map",
+    oracle="""SELECT c_custkey AS customer_id, c_name AS customer_name,
+              c_acctbal AS account_balance FROM customer""",
+)
+def rename_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk rename-map projection (ref: five rename maps at
+    pipeline.py:49-99 applied via df.rename, plugins/transform.py:91-92)."""
+    df = rename_columns(
+        load_table(spark, sf_dir, "customer"),
+        {
+            "c_custkey": "customer_id",
+            "c_name": "customer_name",
+            "c_acctbal": "account_balance",
+            "not_a_column": "ignored",  # unknown keys tolerated like pandas
+        },
+    )
+    return df.select("customer_id", "customer_name", "account_balance")
+
+
+@query(
+    "filter_predicate",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+              FROM lineitem
+              WHERE l_quantity >= 30 AND l_discount <= 0.05 AND l_returnflag = 'R'""",
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive equality/range predicate (generalizes the ref's suffix
+    predicates, plugins/s3_copy.py:92-93). All three conjuncts push down to
+    the parquet row-group level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "inner_join_dim",
+    oracle="""SELECT o_orderkey, o_totalprice, c_mktsegment, c_nationkey
+              FROM orders JOIN customer ON o_custkey = c_custkey""",
+)
+def inner_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim inner equi-join (ref: facts/fact_call_logs.sql:13-14).
+    The dim is explicitly broadcast: at 100 TB the fact side never
+    shuffles for a dim join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_mktsegment", "c_nationkey")
+
+
+@query(
+    "multi_join",
+    oracle="""SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                     count(*) AS n_items
+              FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+              GROUP BY r_name""",
+)
+def multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table join chain (ref's 3-table star, facts/*.sql:12-17, widened).
+    customer/nation/region broadcast; only lineitem⋈orders is a shuffle
+    join, on the natural key both sides. Revenue rounded at the 4-decimal
+    grid of the price×discount product (see queries/__init__ rules)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "semi_join",
+    oracle="""SELECT c_custkey, c_mktsegment FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (ref: the fact⋈dim joins project only fact columns —
+    semantically EXISTS, facts/fact_call_logs.sql:3-16)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "anti_join",
+    oracle="""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the ref's skip-processed-files set difference
+    (plugins/s3_copy.py:84-99; ledger probe snowflake_load.py:108-121),
+    set-at-a-time."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "count_filter",
+    oracle="SELECT count(*) AS n_returned FROM lineitem WHERE l_returnflag = 'R'",
+)
+def count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) under a predicate (ref: ledger existence check,
+    plugins/snowflake_load.py:111-115)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").agg(
+        F.count("*").alias("n_returned")
+    )
+
+
+@query(
+    "groupby_agg",
+    oracle="""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2)                        AS sum_qty,
+                     round(sum(l_extendedprice), 2)                   AS sum_base_price,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                     round(sum(l_quantity), 2) / count(*)             AS avg_qty,
+                     round(sum(l_extendedprice), 2) / count(*)        AS avg_price,
+                     count(*)                                         AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus""",
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped hash aggregate (capability row A4; the ref's fact
+    grain, facts/schema.yml:6-39, exists to be aggregated like this).
+    Partial (map-side) agg then final — one shuffle of 4 tiny groups.
+    Averages derive from the snapped sums so both engines divide
+    bit-identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""SELECT o_orderstatus,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_orderstatus""",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (capability A5). Spark expands this to a
+    two-phase agg (distinct then count) — no driver-side state."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("approx_count_distinct")  # HLL sketch differs per engine → rows-only check
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (capability A5). At 100 TB this
+    replaces exact distinct wherever a ~2% error is tolerable: no
+    distinct-expand shuffle, constant memory per group."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_price
+              FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup (capability A6): status × priority, per-status,
+    and grand total in one pass (Spark Expand + single shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       CAST(row_number() OVER (
+                         PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+                FROM customer) WHERE rn <= 3""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per partition (capability W1: top agent per state). One
+    shuffle on the partition key; ordering ends in the unique c_custkey
+    so ranks are deterministic."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@query(
+    "window_lag",
+    oracle="""SELECT o_custkey, o_orderkey, prev_order_date,
+                     CAST(date_diff('day', CAST(prev_order_date AS DATE),
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+              FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                           lag(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_order_date
+                    FROM orders)""",
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over event time per key (capability W2: time between a
+    customer's complaints)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_order_date"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""SELECT o_custkey, o_orderkey,
+                     round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_total
+              FROM orders""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit frame (capability W3). Both
+    engines accumulate in identical window order, so values snap at the
+    2-decimal grid."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_by",
+    oracle="SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
+)
+def order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (ref: ORDER BY table_name catalog listing,
+    plugins/postgres_extract.py:109). Spark range-partitions on the sort
+    key (sampled boundaries) — no single-node sort at scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+@query(
+    "limit",
+    oracle="SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def limit_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LIMIT under a total order (ref: first-file pick,
+    plugins/snowflake_load.py:234-235)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "top_k",
+    oracle="""SELECT c_custkey, c_name, c_acctbal FROM customer
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (capability O3). Spark plans TakeOrderedAndProject: per-
+    partition heaps + driver merge of k rows — never a full global sort."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_all",
+    oracle="""SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000""",
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (ref: daily-file append merge ≡ UNION ALL, README.md:23;
+    by-name resolution via unionByName ≡ MATCH_BY_COLUMN_NAME)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    # deliberately shuffled column order: unionByName resolves it
+    b = orders.filter(F.col("o_totalprice") > 100000).select(
+        "o_orderstatus", "o_orderkey"
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "except_op",
+    oracle="""SELECT c_custkey FROM customer
+              EXCEPT SELECT o_custkey AS c_custkey FROM orders""",
+)
+def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (ref: new-files = source keys ∖ processed keys,
+    plugins/s3_copy.py:84-99)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.subtract(ordered)
+
+
+@query(
+    "intersect_op",
+    oracle="""SELECT c_custkey FROM customer
+              INTERSECT SELECT o_custkey AS c_custkey FROM orders""",
+)
+def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (capability U3)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.intersect(ordered)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def dedup_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (ref: df.drop_duplicates(), plugins/transform.py:97-102).
+    Hash aggregate on the projected columns — map-side combine first."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+    )
+
+
+@query(
+    "dedup_latest_by_key",
+    oracle="""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders) WHERE rn = 1""",
+)
+def dedup_latest_by_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (capability D4, implied by the ref's unique-key
+    tests facts/schema.yml:9-11)."""
+    return dedup_latest_by_key(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        ),
+        keys=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+    )

@@ -1,0 +1,215 @@
+"""Scalar-function queries (SURVEY.md §2.8 F1–F9, §2.11).
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
+inside whole-stage codegen). The one deliberate exception is
+`pandas_udf_scalar`, which demonstrates the sanctioned slow-path pattern:
+Arrow-batched vectorized UDF, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.sources.readers import load_table
+
+
+@query(
+    "string_trim",
+    oracle="""SELECT c_custkey, trim('  ' || c_name || '  ') AS trimmed,
+                     ltrim('  ' || c_name) AS lefttrimmed
+              FROM customer""",
+)
+def string_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — trim (ref: per-column strip lambda, plugins/transform.py:104-107,
+    replaced by codegen'd F.trim)."""
+    c = load_table(spark, sf_dir, "customer")
+    padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
+    return c.select(
+        "c_custkey",
+        F.trim(padded).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), F.col("c_name"))).alias("lefttrimmed"),
+    )
+
+
+@query(
+    "string_case",
+    oracle="""SELECT c_custkey, upper(c_name) AS name_upper,
+                     lower(c_mktsegment) AS segment_lower FROM customer""",
+)
+def string_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — case conversion (ref: identifier upper-casing,
+    plugins/snowflake_load.py:152-154)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""SELECT c_custkey,
+                     split_part(c_name, '#', 2)                    AS name_num,
+                     CAST(length(c_name) AS BIGINT)                AS name_len,
+                     substr(c_name, 1, 8)                          AS name_prefix,
+                     regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS seg_consonants,
+                     c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nation
+              FROM customer""",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 — split/substring/regexp/concat (ref: key rsplit + basename
+    rewrites, plugins/s3_copy.py:97, plugins/transform.py:159)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "").alias("seg_consonants"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""SELECT o_orderkey,
+                     CAST(o_orderdate AS DATE)                   AS order_date,
+                     CAST(year(o_orderdate) AS BIGINT)           AS order_year,
+                     CAST(month(o_orderdate) AS BIGINT)          AS order_month,
+                     date_trunc('month', o_orderdate)            AS month_start,
+                     CAST(o_orderdate AS DATE) + 30              AS plus_30d,
+                     CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                    DATE '1999-01-01') AS BIGINT) AS days_to_1999
+              FROM orders""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — typed date handling. The ref stores all dates as VARCHAR
+    (snowflake_load.py:147-154 type collapse); here they are real
+    DATE/TIMESTAMP with to_date/date_trunc/datediff arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("plus_30d"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_1999"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""SELECT p_partkey,
+                     p_retailprice * 1.1                      AS bumped,
+                     CAST(floor(p_retailprice) AS BIGINT)     AS floor_price,
+                     CAST(ceil(p_retailprice)  AS BIGINT)     AS ceil_price,
+                     abs(p_retailprice - 1500.0)              AS dist_from_1500,
+                     sqrt(p_retailprice)                      AS sqrt_price,
+                     CAST(p_partkey % 7 AS BIGINT)            AS key_mod7
+              FROM part""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — arithmetic/rounding. Row-level IEEE ops on identical input
+    doubles are bit-deterministic across engines — no rounding needed."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        (F.col("p_retailprice") * 1.1).alias("bumped"),
+        F.floor("p_retailprice").cast("long").alias("floor_price"),
+        F.ceil("p_retailprice").cast("long").alias("ceil_price"),
+        F.abs(F.col("p_retailprice") - 1500.0).alias("dist_from_1500"),
+        F.sqrt("p_retailprice").alias("sqrt_price"),
+        (F.col("p_partkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+@query(
+    "json_funcs",
+    oracle="""SELECT event_id, event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+              FROM events""",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — JSON field extraction (ref: record-JSON complaint parsing,
+    plugins/s3_copy.py:113-114; here on the events.props JSON column)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""SELECT coalesce(nullif(l_returnflag, 'N'), 'UNKNOWN') AS flag,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1""",
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — NULL normalization (ref: null_if=["NULL",""] load rule,
+    aws_infrastructure/snowflake.tf:86, + dropna)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = F.when(F.col("l_returnflag") == "N", None).otherwise(
+        F.col("l_returnflag")
+    )
+    return (
+        li.select(F.coalesce(flag, F.lit("UNKNOWN")).alias("flag"))
+        .groupBy("flag")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""SELECT vec_id,
+                     CAST(len(embedding) AS BIGINT) AS n_dims,
+                     CAST(embedding[1] AS DOUBLE)   AS first_elem,
+                     round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4)
+                       AS vec_sum
+              FROM embeddings""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — array ops on the embedding column (size / element access /
+    fold), all JVM-side higher-order functions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.col("embedding")[0].cast("double").alias("first_elem"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+    )
+
+
+@query(
+    "pandas_udf_scalar",
+    oracle="""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1 - l_discount) AS net_price
+              FROM lineitem""",
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — Arrow-vectorized scalar UDF (the sanctioned slow path; the
+    ref's row-wise strip lambda, plugins/transform.py:107, is the anti-
+    pattern). Same IEEE ops as the oracle → bit-identical, no rounding."""
+
+    @F.pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )

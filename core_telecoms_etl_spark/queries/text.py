@@ -1,0 +1,215 @@
+"""Text-analysis + dedup queries on the `documents` table (SURVEY.md §2.13
+X1/X2/X4 + north-star training-data ops). Oracle SQL mirrors the Spark
+expressions token-for-token so integer-derived ratios hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators import dedup as dd
+from core_telecoms_etl_spark.operators import text as tx
+from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.sources.readers import load_table
+
+# DuckDB fragments mirroring operators/text.py (kept adjacent for review)
+_TOKS = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+_MARK = (
+    lambda words: f"CAST(len(list_filter({_TOKS}, t -> list_contains({words}, t))) AS BIGINT)"
+)
+_EN = "['the','a','of','and','to']"
+_ES = "['el','la','de','los','y']"
+_DE = "['der','die','und','das','ein']"
+_FR = "['le','les','et','des','une']"
+_STOP = "['the','a','of','and','to','in','is','it','for','on']"
+_ZH = "CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT)"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""SELECT doc_id, lang,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+                 CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+               FROM documents""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — whitespace + BPE-style-regex token counting, all codegen'd."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tx.token_count("text").alias("n_tokens"),
+        tx.distinct_token_count("text").alias("n_distinct_tokens"),
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_exact_dedup",
+    oracle="""SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256,
+                     count(*) AS n_copies
+              FROM documents GROUP BY sha256(text)""",
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact dedup keyed on the sha256 digest: the shuffle carries
+    32-byte digests, not document bodies."""
+    return dd.exact_dedup(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+                     sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       AS fp_normalized
+              FROM documents""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact + whitespace/case-normalized digests."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        tx.content_sha256("text").alias("fp_sha256"),
+        tx.normalized_sha256("text").alias("fp_normalized"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""WITH s AS (
+                 SELECT doc_id, lang,
+                        {_MARK(_EN)} AS s_en, {_MARK(_ES)} AS s_es,
+                        {_MARK(_DE)} AS s_de, {_MARK(_FR)} AS s_fr,
+                        {_ZH} AS s_zh
+                 FROM documents)
+               SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+                      CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                           WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+                           WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+                           WHEN s_fr >= s_zh THEN 'fr'
+                           ELSE 'zh' END AS predicted_lang
+               FROM s""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic with a fixed tie-break priority.
+    (The synthetic corpus shares one vocabulary across `lang` labels, so
+    the heuristic's value here is determinism, not label recovery.)"""
+    d = load_table(spark, sf_dir, "documents")
+    s = tx.lang_scores("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        s["en"].alias("s_en"),
+        s["es"].alias("s_es"),
+        s["de"].alias("s_de"),
+        s["fr"].alias("s_fr"),
+        s["zh"].alias("s_zh"),
+        tx.predicted_lang("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct({_TOKS})) AS BIGINT) / CAST(len({_TOKS}) AS BIGINT)
+                   AS type_token_ratio,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                   / CAST(length(text) AS BIGINT) AS alpha_ratio,
+                 {_MARK(_STOP)} / CAST(len({_TOKS}) AS BIGINT) AS stopword_ratio,
+                 (CAST(len(list_distinct({_TOKS})) AS BIGINT) / CAST(len({_TOKS}) AS BIGINT)) * 0.4
+                   + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                      / CAST(length(text) AS BIGINT)) * 0.4
+                   + least(({_MARK(_STOP)} / CAST(len({_TOKS}) AS BIGINT)) * 4.0, 1.0) * 0.2
+                   AS quality_score
+               FROM documents""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: every ratio derives from integer counts, so the
+    doubles are bit-identical across engines (no rounding needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_components("text")
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["type_token_ratio"].alias("type_token_ratio"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality_score"),
+    )
+
+
+@query(
+    "near_dedup",
+    oracle="""WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                      for i in range(1, len(ts) - 1)]) AS shingles
+                FROM toks WHERE len(ts) >= 3),
+              ex AS (
+                SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n,
+                       unnest(shingles) AS shingle
+                FROM sh),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common,
+                       any_value(a.n) AS n_a, any_value(b.n) AS n_b
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              SELECT doc_a, doc_b, n_common, n_a, n_b,
+                     n_common / (n_a + n_b - n_common) AS jaccard
+              FROM pairs WHERE n_common / (n_a + n_b - n_common) >= 0.8""",
+)
+def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — exact 3-gram Jaccard near-dup pairs via inverted-index
+    self-join (the scale path caps posting-list length; uncapped here so
+    the oracle matches exactly)."""
+    pairs = dd.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
+@query("minhash_near_dup")  # engine-specific hash family → rows-only check
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 at scale — MinHash(k=64)+LSH(16 bands) candidate pairs with
+    estimated jaccard ≥ 0.7. Sub-quadratic: pairs only form inside
+    (band, bucket) groups. Verified against exact jaccard in pytest."""
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        k=64,
+        bands=16,
+        est_threshold=0.7,
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("simhash_signatures")  # engine-specific hash → rows-only check
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 signatures + chunk-blocked near-dup pairs (hamming ≤ 8)."""
+    return dd.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    ).orderBy("doc_a", "doc_b")

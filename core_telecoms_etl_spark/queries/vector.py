@@ -1,0 +1,140 @@
+"""Vector-similarity queries on the `embeddings` table (SURVEY.md §2.13
+X3 + north-star ANN). Brute-force cosine is the oracle-checked baseline;
+IVF and sign-bit LSH are the approximate scale paths (rows-only checks,
+recall-tested against brute force in pytest).
+
+Float determinism: cosine = dot/sqrt(n²a·n²b) where dot and the norms are
+rounded at 1e-6 BEFORE the division, so both engines divide bit-identical
+doubles; ranks order by the resulting cosine with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators import similarity as sim
+from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.sources.readers import load_table
+
+N_QUERY_VECS = 8
+
+_DDOT = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6)"
+)
+_DN = lambda t: (  # noqa: E731
+    f"round(list_dot_product(CAST({t}.embedding AS DOUBLE[]),"
+    f" CAST({t}.embedding AS DOUBLE[])), 6)"
+)
+
+
+def _rounded_cosine(a: str, b: str) -> F.Column:
+    dot = F.round(sim.dot_expr(a, b), 6)
+    na = F.round(sim.norm2_expr(a), 6)
+    nb = F.round(sim.norm2_expr(b), 6)
+    return dot / F.sqrt(na * nb)
+
+
+@query(
+    "embedding_norms",
+    oracle="""SELECT vec_id, label,
+                     CAST(len(embedding) AS BIGINT) AS n_dims,
+                     sqrt(round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])), 6))
+                       AS l2_norm
+              FROM embeddings""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms — the array-fold building block of every
+    similarity op, verified exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.sqrt(F.round(sim.norm2_expr("embedding"), 6)).alias("l2_norm"),
+    )
+
+
+@query(
+    "vector_topk",
+    oracle=f"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+               scored AS (
+                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                        {_DDOT} / sqrt({_DN('a')} * {_DN('b')}) AS cosine
+                 FROM q a JOIN embeddings b ON b.vec_id <> a.vec_id),
+               ranked AS (
+                 SELECT query_id, neighbor_id, cosine,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                 FROM scored)
+               SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+               FROM ranked WHERE rank <= 10""",
+)
+def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — exact brute-force cosine top-10 for a broadcast query set.
+    The corpus never shuffles; scoring is JVM higher-order-function math."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("cosine", _rounded_cosine("q_vec", "c_vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+@query(
+    "cosine_pairs",
+    oracle=f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      round({_DDOT} / sqrt({_DN('a')} * {_DN('b')}), 6) AS cosine
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE {_DDOT} / sqrt({_DN('a')} * {_DN('b')}) >= 0.3""",
+)
+def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: all pairs with cosine ≥ 0.3 (exact
+    baseline; LSH/IVF below are the 100 TB paths)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", _rounded_cosine("v_a", "v_b"))
+        .filter(F.col("cos_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query("vector_topk_ivf")  # approximate → rows-only; recall vs exact in pytest
+def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — IVF: bucket the corpus by nearest coarse centroid,
+    probe 4/16 buckets per query. Scored candidates drop ~4×."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sim.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("vector_topk_lsh")  # approximate → rows-only; recall vs exact in pytest
+def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — sign-bit random-hyperplane LSH prefilter (Hamming ≤ 6
+    of 16 bits) before exact scoring of survivors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sim.lsh_topk(e, q, k=10, n_bits=16, max_hamming=6).orderBy(
+        "query_id", "rank"
+    )

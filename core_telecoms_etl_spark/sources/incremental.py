@@ -1,0 +1,108 @@
+"""IncrementalLoader — file-granular, duplicate-safe incremental loading
+(SURVEY.md §2.3 J4/J5, §4.2; the one genuinely custom component).
+
+The reference guarantees idempotency with three layers of skip-processed-file
+logic: raw-copy key-set difference (plugins/s3_copy.py:84-99), staging
+head_object existence checks (plugins/transform.py:161-169), and a
+PROCESSED_FILES warehouse ledger probed per file
+(plugins/snowflake_load.py:64-69,108-133,179-199). All three are the same
+semantic operation — an anti-join of candidate files against a manifest —
+done row-at-a-time over the network.
+
+Here it is ONE set-at-a-time operation: list source files → left_anti join
+against the manifest parquet → process only new files → append manifest
+entries. At 100 TB the manifest is thousands-to-millions of rows (one per
+file), always tiny relative to data, so the anti-join broadcasts.
+
+Crash-safety without a transactional table format: data is written BEFORE the
+manifest entry, so a crash between the two re-processes that batch's files on
+retry; paired with deterministic output naming (or an idempotent sink) this
+yields effectively-once. With Delta/Iceberg available, the manifest commit
+and data write would share a transaction; this module keeps the plain-parquet
+contract of the harness.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = "folder_name string, file_name string, loaded_at timestamp"
+
+
+@dataclass
+class LoadReport:
+    candidates: int
+    new_files: list[str]
+    skipped: int
+
+
+class IncrementalLoader:
+    """Manifest-backed incremental file loader.
+
+    manifest table: (folder_name, file_name, loaded_at) — the reference's
+    PROCESSED_FILES ledger (plugins/snowflake_load.py:64-69) as parquet.
+    """
+
+    def __init__(self, spark: SparkSession, manifest_path: str) -> None:
+        self.spark = spark
+        self.manifest_path = manifest_path
+
+    def manifest(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_path)
+        except Exception:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    def new_files(self, folder: str, files: Sequence[str]) -> list[str]:
+        """Set-at-a-time discovery: candidates ∖ manifest via left_anti
+        (replaces the reference's per-file COUNT(*) ledger probe,
+        plugins/snowflake_load.py:108-121). The manifest side is broadcast —
+        no shuffle of the candidate list."""
+        if not files:
+            return []
+        cand = self.spark.createDataFrame(
+            [(folder, f) for f in files], "folder_name string, file_name string"
+        )
+        new = cand.join(
+            F.broadcast(self.manifest()),
+            ["folder_name", "file_name"],
+            "left_anti",
+        )
+        return [r.file_name for r in new.collect()]
+
+    def record(self, folder: str, files: Sequence[str]) -> None:
+        if not files:
+            return
+        entries = self.spark.createDataFrame(
+            [(folder, f) for f in files], "folder_name string, file_name string"
+        ).withColumn("loaded_at", F.current_timestamp())
+        entries.write.mode("append").parquet(self.manifest_path)
+
+    def run(
+        self,
+        folder: str,
+        files: Sequence[str],
+        process: Callable[[list[str]], None],
+        *,
+        extensions: Sequence[str] = (".parquet", ".csv", ".json"),
+    ) -> LoadReport:
+        """Filter candidates by extension (the reference's suffix predicate,
+        plugins/s3_copy.py:92-93), anti-join against the manifest, process
+        all new files as ONE multi-file batch, then record them."""
+        candidates = [
+            f for f in files if os.path.splitext(f)[1].lower() in extensions
+        ]
+        new = self.new_files(folder, candidates)
+        if new:
+            process(new)
+            self.record(folder, new)
+        return LoadReport(
+            candidates=len(candidates),
+            new_files=new,
+            skipped=len(candidates) - len(new),
+        )

@@ -1,0 +1,192 @@
+"""Source readers (SURVEY.md §2.1 S1–S6).
+
+The reference ingests CSV, record-array JSON, Parquet, Postgres tables and
+Google-Sheet rows with pandas inference (reference: plugins/s3_copy.py:110-114,
+plugins/customerload.py:92-96, plugins/postgres_extract.py:138-144,
+plugins/google_sheets.py:76-77). Here each source is a Spark DataFrameReader
+so scans are distributed, columnar where possible, and Catalyst can push
+projections/filters into the scan.
+
+Scale notes:
+- Parquet is the primary format: multi-file folder scans parallelize one task
+  per split, schema comes from footers (no data pass), and predicate/column
+  pushdown reach the row groups.
+- CSV/JSON schema inference costs an extra pass; production callers pass an
+  explicit ``schema`` (the reference's first-file-wins DDL inference is
+  subsumed by Spark's footer/sampled inference).
+- The empty-string⇒NULL rule of the reference's load format
+  (aws_infrastructure/snowflake.tf:86 `null_if = ["NULL", ""]`) maps to the
+  ``nullValue``/``nanValue`` reader options here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Columnar scan with pushdown; a folder of daily files is one logical
+    table (the reference's append-merge folder model,
+    plugins/snowflake_load.py:81-103)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.parquet(*paths)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | str | None = None,
+    *,
+    header: bool = True,
+    null_value: str = "",
+    options: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """Header CSV scan. ``null_value=""`` mirrors the reference's
+    empty-string⇒NULL load semantics."""
+    reader = spark.read.option("header", header).option("nullValue", null_value)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    if options:
+        for k, v in options.items():
+            reader = reader.option(k, v)
+    paths = [path] if isinstance(path, str) else list(path)
+    return reader.csv(paths)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | str | None = None,
+    *,
+    multiline: bool = False,
+    options: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """JSON-lines (or record-array with multiline=True) scan for the
+    social-media complaint shape (plugins/s3_copy.py:113-114)."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        for k, v in options.items():
+            reader = reader.option(k, v)
+    paths = [path] if isinstance(path, str) else list(path)
+    return reader.json(paths)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    options: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """JDBC scan (reference: per-table SELECT * over psycopg2,
+    plugins/postgres_extract.py:138-144). Parallelized via partition-column
+    range splits instead of a single cursor. No JDBC driver jar ships in the
+    test harness, so tests stub this; the plan construction is real."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("numPartitions", num_partitions)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    if options:
+        for k, v in options.items():
+            reader = reader.option(k, v)
+    return reader.load()
+
+
+def list_jdbc_tables_query(schema: str) -> str:
+    """Catalog-discovery query (reference: information_schema listing,
+    plugins/postgres_extract.py:102-113). Returned as SQL for a JDBC
+    subquery scan."""
+    return (
+        "(SELECT table_name FROM information_schema.tables "
+        f"WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE' "
+        "ORDER BY table_name) AS t"
+    )
+
+
+def read_rows(
+    spark: SparkSession,
+    rows: Iterable[Mapping[str, Any]],
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Small-source shim: a list of records → DataFrame. Covers the
+    Google-Sheets source (get_all_records() → DataFrame,
+    plugins/google_sheets.py:76-77) without the network dependency. Intended
+    only for genuinely small driver-side sources (a sheet is ≤ thousands of
+    rows); anything large must arrive as files."""
+    rows = list(rows)
+    if schema is not None:
+        return spark.createDataFrame(rows, schema=schema)
+    return spark.createDataFrame(rows)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's semantics depend on, applied
+    defensively for sessions not built by `get_spark` (e.g. the driver
+    harness): UTC timestamps (oracle comparability), nanos-parquet
+    readability, case-insensitive resolution."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.caseSensitive", "false")
+    # right-size shuffles for sessions that kept the 200 default (local
+    # harness sessions); on a managed cluster this is already tuned + AQE
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table (TESTDATA.md). The events table is
+    written with TIMESTAMP(NANOS) parquet timestamps, which Spark reads
+    (under nanosAsLong) as raw nanos longs — normalized here to a real
+    TimestampType truncated to microseconds, matching how DuckDB (and any
+    µs-resolution consumer) reads the same file."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    if not names:
+        names = TESTDATA_TABLES
+    return tuple(load_table(spark, sf_dir, n) for n in names)

@@ -1,0 +1,117 @@
+"""Event-time operators (SURVEY.md §2.10 extension surface).
+
+The reference has no streaming semantics — "incremental" there means daily
+file-set difference (airflow pipeline.py:122 @daily). This module adds the
+event-time layer a complaint/event feed needs, batch-first (same plan works
+on a static DataFrame) with a Structured Streaming wrapper:
+
+- tumbling_agg: fixed windows via F.window (epoch-aligned).
+- sessionize: gap-based sessions via lag + cumulative boundary sum.
+- run_stream_tumbling: the same aggregation as a readStream over the
+  parquet folder, complete-mode memory sink (the local smoke pattern);
+  on a cluster the source becomes Kafka and the sink a Delta/parquet
+  append with watermarking.
+
+Scale: windowed aggregation shuffles once on (window, key); sessionize
+shuffles once on the user key and scans each partition sorted — both
+linear, skew-safe under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# raw parquet schema: ts arrives as TIMESTAMP(NANOS) → read as nanos long
+# (spark.sql.legacy.parquet.nanosAsLong) and normalized to µs TimestampType
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tumbling_agg(events: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Tumbling event-time windows: count + 2-decimal-snapped value sum
+    per (window, event_type)."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800, user_col: str = "user_id"
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap since
+    the user's previous event exceeds `gap_seconds`. Integer-microsecond
+    gap math keeps it exact across engines."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    with_sess = events.withColumn(
+        "session_id", F.sum(is_new).over(wrun).cast("long")
+    )
+    return (
+        with_sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 1_000_000.0
+            ).alias("duration_sec"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+def run_stream_tumbling(
+    spark: SparkSession,
+    path: str,
+    *,
+    width: str = "15 minutes",
+    query_name: str = "stream_tumbling_out",
+) -> DataFrame:
+    """Drive the tumbling aggregation through Structured Streaming over the
+    parquet folder and return the materialized result. Complete-mode memory
+    sink so the single historical batch emits every window (append mode
+    would withhold windows until the watermark passes them)."""
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
+    # the file-stream source wants a directory: stream the parent dir with
+    # a glob filter selecting the events file(s)
+    base, _, fname = path.rpartition("/")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .load(base)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_agg(stream, width)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

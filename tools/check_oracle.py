@@ -1,0 +1,133 @@
+"""Local replica of the driver's correctness harness: runs each declared
+query on Spark AND its DuckDB oracle at sf0.01, then compares row count,
+sorted column names, and exact values (stricter than the driver's hash).
+
+Usage: python tools/check_oracle.py [query ...]   (default: all)
+       SF_DIR=/root/testdata/sf0.01 python tools/check_oracle.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[ns]")
+        elif s.dtype == object and len(s) and not s.isna().all():
+            first = s.dropna().iloc[0]
+            if hasattr(first, "isoformat") and not isinstance(first, str):
+                df[c] = pd.to_datetime(s)
+        if pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("Int64")
+    df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    if len(sdf) != len(odf):
+        return [f"row count differs: spark={len(sdf)} oracle={len(odf)}"]
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv.dtype) or pd.api.types.is_float_dtype(ov.dtype):
+            a = sv.to_numpy(dtype=float)
+            b = ov.to_numpy(dtype=float)
+            both_nan = np.isnan(a) & np.isnan(b)
+            neq = ~both_nan & (a != b)
+            if neq.any():
+                d = np.abs(a[neq] - b[neq])
+                problems.append(
+                    f"col {c}: {neq.sum()} float mismatches, max abs diff {d.max():.3e}"
+                )
+        else:
+            neq = ~(sv.eq(ov) | (sv.isna() & ov.isna()))
+            if neq.any():
+                i = int(np.argmax(neq.to_numpy()))
+                problems.append(
+                    f"col {c}: {int(neq.sum())} mismatches, first at row {i}: "
+                    f"spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    from core_telecoms_etl_spark import get_spark
+    from core_telecoms_etl_spark import queries as qmod
+
+    spark = get_spark("oracle-check")
+    qs = qmod.queries()
+    oracles = qmod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    wanted = sys.argv[1:] or list(qs)
+    n_pass = n_fail = n_rows_only = 0
+    for name in wanted:
+        if name not in qs:
+            print(f"?? {name}: no such query")
+            n_fail += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark side raised")
+            traceback.print_exc(limit=5)
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            status = "rows-only"
+            ok = len(sdf) >= 0
+            print(f"OK?  {name}: {len(sdf)} rows [{status}] ({dt:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL raised: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name}: ({len(sdf)} spark rows, {len(odf)} oracle rows)")
+            for p in problems:
+                print(f"     {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({dt:.1f}s)")
+            n_pass += 1
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(wanted)} queries"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
