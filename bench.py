@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing discipline: each query materializes via the noop sink (full plan
+executes, nothing collects to the driver). The session is warmed by a
+trivial job first so JVM startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "groupby_agg",
+    "multi_join",
+    "window_running_sum",
+    "dedup_latest_by_key",
+    "filter_predicate",
+    "distinct_agg",
+    "top_k",
+    "events_tumbling",
+    "sessionize",
+    "json_funcs",
+    "text_quality",
+    "near_dedup",
+    "vector_topk",
+    "pandas_udf_scalar",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from core_telecoms_etl_spark import get_spark
+    from core_telecoms_etl_spark import queries as qmod
+
+    spark = get_spark("bench")
+    qs = qmod.queries()
+
+    # warm the JVM + file listing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

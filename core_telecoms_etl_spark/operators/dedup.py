@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.operators.text import (
     content_sha256,
+    shingles_of,
     simhash64,
     tokens,
-    word_shingles,
 )
 
 
@@ -43,16 +43,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, shingles) with token + shingle arrays materialized in their own
+    projections — keeps Catalyst from re-inlining the tokenizer into every
+    downstream reference (see word_shingles PERF note)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    return toks.select(
+        "doc", shingles_of(F.col("__toks"), n).alias("shingles")
+    )
+
+
 def shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, shingle, n_shingles) exploded inverted index over distinct word
     n-grams. Docs with < n tokens carry no shingles and drop out."""
-    sh = df.filter(F.size(tokens(text_col)) >= n).select(
-        F.col(id_col).alias("doc"),
-        word_shingles(text_col, n).alias("shingles"),
-    )
-    return sh.select(
+    return _shingled(df, id_col, text_col, n).select(
         "doc",
         F.size("shingles").alias("n_shingles"),
         F.explode("shingles").alias("shingle"),
@@ -75,7 +83,18 @@ def jaccard_pairs(
     cap), bounding the worst-case pair blowup at scale; exactness then
     holds for pairs whose shared shingles are all below the cap.
     """
-    post = shingle_postings(df, id_col, text_col, n)
+    # Cache at the shingle-ARRAY level, before the explode: the self-join
+    # consumes everything twice, and caching here also stops
+    # InferFiltersFromGenerate from pushing a `size(shingles) > 0` filter
+    # below the projection — that pushdown re-inlines the tokenizer into
+    # the filter and re-evaluates it per element_at (O(tokens²), ~3×
+    # slower end-to-end). At cluster scale: persist(DISK) or checkpoint.
+    sh = _shingled(df, id_col, text_col, n).cache()
+    post = sh.select(
+        "doc",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
     if max_shingle_freq is not None:
         freq = post.groupBy("shingle").agg(F.count("*").alias("df"))
         post = (
@@ -114,9 +133,7 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig: array<bigint>[k]) MinHash signature: sig[i] = min over
     shingles of xxhash64(shingle, seed=i). One pass, no shuffle."""
-    sh = df.filter(F.size(tokens(text_col)) >= n).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
-    )
+    sh = _shingled(df, id_col, text_col, n)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
@@ -196,7 +213,9 @@ def simhash_pairs(
     """SimHash near-dup pairs via 16-bit-chunk blocking + exact Hamming
     filter (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal; wider
     max_hamming still prunes most of the space)."""
-    sig = simhash_signatures(df, id_col, text_col)
+    # signature computation is the expensive pass; the blocking self-join
+    # reads it twice → cache
+    sig = simhash_signatures(df, id_col, text_col).cache()
     chunks = sig.select(
         F.col(id_col).alias("doc"),
         "simhash",

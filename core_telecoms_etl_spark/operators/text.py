@@ -47,15 +47,28 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles — the unit of near-dup detection.
-    Requires ≥ n tokens (callers filter shorter docs)."""
-    t = tokens(col)
+def shingles_of(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Callers must project the token array into its own column
+    first (see `word_shingles` note)."""
+    t = tokens_col
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
     parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit of near-dup detection.
+    Requires ≥ n tokens (callers filter shorter docs).
+
+    PERF: this inlines the tokenizer subtree into every element_at
+    reference; when the expression fans out (explode, per-seed hashing),
+    project `tokens()` into a column first and use `shingles_of` — Catalyst
+    keeps a multiply-referenced non-trivial alias materialized, turning an
+    O(tokens²) re-evaluation into O(tokens) (7× on the documents table)."""
+    return shingles_of(tokens(col), n)
 
 
 def marker_hits(col: Column | str, markers: list[str]) -> Column:
@@ -140,11 +153,12 @@ def simhash64(col: Column | str, seed: int = 42) -> Column:
     64-slot weight vector via higher-order functions, then reads off sign
     bits. Engine-specific hash → verified by rows-only check + pytest.
     """
-    t = tokens(col)
+    # hash each token ONCE into an array, then fold over the cheap longs
+    # (folding over raw tokens would re-hash per bit position: 63×)
+    hashes = F.transform(tokens(col), lambda tok: F.xxhash64(tok, F.lit(seed)))
 
-    def token_bits(tok):
+    def hash_bits(h):
         # ±1 per bit position; shift amounts are Python ints (fixed plan)
-        h = F.xxhash64(tok, F.lit(seed))
         return F.array(
             *[
                 F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -154,9 +168,9 @@ def simhash64(col: Column | str, seed: int = 42) -> Column:
 
     # weights[j] = sum over tokens of (bit_j(h) ? 1 : -1)
     weights = F.aggregate(
-        t,
+        hashes,
         F.array_repeat(F.lit(0), 63),
-        lambda acc, tok: F.zip_with(acc, token_bits(tok), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, b: a + b),
     )
     # bits → single long (63 bits: stays in positive long range)
     out = F.lit(0).cast("long")
