@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from core_telecoms_etl_spark.operators.text import (
     content_sha256,
     shingles_of,
-    simhash64,
     tokens,
 )
 
@@ -203,8 +202,18 @@ def minhash_lsh_pairs(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: bigint). Near-dups are signatures within small
     Hamming distance; candidate blocking at scale = group by 4×16-bit
-    chunks (any chunk equal ⇒ hamming ≤ 48 candidate)."""
-    return df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+    chunks (any chunk equal ⇒ hamming ≤ 48 candidate).
+
+    Two-stage: the weight-vector aggregate is materialized as a column,
+    then the 63 sign-bit reads reference it cheaply (inlining the
+    aggregate into each read would explode codegen)."""
+    from core_telecoms_etl_spark.operators.text import (
+        simhash_from_weights,
+        simhash_weights,
+    )
+
+    w = df.select(F.col(id_col), simhash_weights(text_col).alias("__w"))
+    return w.select(id_col, simhash_from_weights(F.col("__w")).alias("simhash"))
 
 
 def simhash_pairs(

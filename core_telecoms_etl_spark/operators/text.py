@@ -49,13 +49,21 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def shingles_of(tokens_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
-    array column. Callers must project the token array into its own column
-    first (see `word_shingles` note)."""
+    array column; empty array for docs with < n tokens. Callers must
+    project the token array into its own column first (see `word_shingles`
+    note).
+
+    Total expression by construction: codegen subexpression elimination
+    can evaluate a pushed-down predicate's subtree EAGERLY (bypassing AND
+    short-circuit), so this must never error on short docs — hence the
+    clamped sequence bound and try_element_at, with the WHEN guard giving
+    the empty-array semantics."""
     t = tokens_col
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    parts = lambda i: [F.try_element_at(t, i + j) for j in range(n)]  # noqa: E731
+    win = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(F.size(t) >= n, F.array_distinct(win)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -146,13 +154,13 @@ def normalized_sha256(col: Column | str) -> Column:
     return F.sha2(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "), 256)
 
 
-def simhash64(col: Column | str, seed: int = 42) -> Column:
-    """64-bit SimHash over whitespace tokens using xxhash64 token hashes.
+def simhash_weights(col: Column | str, seed: int = 42) -> Column:
+    """SimHash bit-weight vector (63 slots) over whitespace tokens.
 
-    Pure JVM expression: explode-free — folds the token array into a
-    64-slot weight vector via higher-order functions, then reads off sign
-    bits. Engine-specific hash → verified by rows-only check + pytest.
-    """
+    Pure JVM expression, explode-free: tokens → xxhash64 once per token →
+    fold into per-bit ±1 sums. MUST be materialized into its own column
+    before `simhash_from_weights` reads the 63 bit positions — inlining
+    would duplicate this aggregate 63× and blow up codegen (OOM)."""
     # hash each token ONCE into an array, then fold over the cheap longs
     # (folding over raw tokens would re-hash per bit position: 63×)
     hashes = F.transform(tokens(col), lambda tok: F.xxhash64(tok, F.lit(seed)))
@@ -167,15 +175,19 @@ def simhash64(col: Column | str, seed: int = 42) -> Column:
         )
 
     # weights[j] = sum over tokens of (bit_j(h) ? 1 : -1)
-    weights = F.aggregate(
+    return F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 63),
         lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, b: a + b),
     )
-    # bits → single long (63 bits: stays in positive long range)
+
+
+def simhash_from_weights(weights_col: Column) -> Column:
+    """Sign-bit readout of a MATERIALIZED weight-vector column → 63-bit
+    signature (positive long; bit 63 dropped deliberately)."""
     out = F.lit(0).cast("long")
     for j in range(63):
         out = out + F.when(
-            F.element_at(weights, j + 1) > 0, F.lit(1 << j).cast("long")
+            F.element_at(weights_col, j + 1) > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return out

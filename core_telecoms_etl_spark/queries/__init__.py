@@ -68,6 +68,7 @@ def _load_all() -> None:
         relational,
         scalar_funcs,
         quality,
+        star,
         text,
         vector,
         events,

@@ -44,7 +44,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ:
-        builder = builder.master(f"local[{cpus}]")
+        # local mode = driver-only JVM; give it real memory (the container
+        # has 128 GiB). On a cluster these come from spark-submit instead.
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

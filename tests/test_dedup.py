@@ -1,0 +1,96 @@
+"""Dedup-family tests (SURVEY.md §2.13 X1/X2): exact, Jaccard, MinHash,
+SimHash — including the estimator-vs-exact consistency checks the
+rows-only declared queries rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators import dedup as dd
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 0
+    (2, "completely different content about spark query engines here"),
+    (3, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+    (4, "a b"),  # too short for 3-gram shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dd.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_id = {r.doc_id: r.n_copies for r in out}
+    assert by_id[0] == 2  # doc 3 collapsed into doc 0 (min id kept)
+    assert 3 not in by_id
+    assert by_id[2] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = dd.jaccard_pairs(
+        _docs(spark), "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert got[(0, 3)] == 1.0  # exact dup
+    assert 0.5 <= got[(0, 1)] < 1.0  # near dup
+    assert (0, 2) not in got
+
+
+def test_jaccard_short_docs_excluded(spark):
+    post = dd.shingle_postings(_docs(spark), "doc_id", "text", 3)
+    assert post.filter(F.col("doc") == 4).count() == 0
+
+
+def test_minhash_estimates_match_exact(spark):
+    """MinHash estimate within ±0.25 of exact jaccard for flagged pairs."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.jaccard_pairs(
+            _docs(spark), "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    est = dd.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", n=3, k=64, bands=16, est_threshold=0.3
+    ).collect()
+    assert est, "LSH found no candidate pairs"
+    for r in est:
+        if (r.doc_a, r.doc_b) in exact:
+            assert abs(r.est_jaccard - exact[(r.doc_a, r.doc_b)]) < 0.25
+
+
+def test_minhash_exact_dup_is_certain(spark):
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dd.minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", est_threshold=0.9
+        ).collect()
+    }
+    assert est[(0, 3)] == 1.0
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    pairs = dd.simhash_pairs(
+        _docs(spark), "doc_id", "text", max_hamming=10
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got[(0, 3)] == 0
+    # near-dup should be closer than the unrelated doc
+    if (0, 1) in got:
+        assert got[(0, 1)] > 0
+
+
+def test_simhash_signature_deterministic(spark):
+    a = dd.simhash_signatures(_docs(spark), "doc_id", "text").collect()
+    b = dd.simhash_signatures(_docs(spark), "doc_id", "text").collect()
+    assert {r.doc_id: r.simhash for r in a} == {r.doc_id: r.simhash for r in b}
+
+
+def test_jaccard_max_shingle_freq_prunes(spark):
+    # with a cap of 1, every shared shingle is pruned → no pairs survive
+    pairs = dd.jaccard_pairs(
+        _docs(spark), "doc_id", "text", n=3, threshold=0.1, max_shingle_freq=1
+    )
+    assert pairs.count() == 0

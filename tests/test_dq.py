@@ -1,0 +1,48 @@
+"""Data-quality check tests (SURVEY.md §2.12): the dbt not_null/unique
+schema-test semantics on crafted violations."""
+
+from __future__ import annotations
+
+from core_telecoms_etl_spark.operators import dq
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None), (None, "d")], "k int, v string"
+    )
+
+
+def test_not_null_counts(spark):
+    res = dq.check_not_null(_df(spark), ["k", "v"])
+    got = {r.column: r.violations for r in res}
+    assert got == {"k": 1, "v": 1}
+    assert not res[0].passed
+
+
+def test_unique_counts_excess_rows(spark):
+    res = dq.check_unique(_df(spark), ["k"])
+    assert res[0].violations == 1  # one excess duplicate of k=1
+    clean = dq.check_unique(_df(spark), ["v"])
+    assert clean[0].violations == 0  # NULLs don't count as duplicates
+
+
+def test_accepted_values(spark):
+    res = dq.check_accepted_values(_df(spark), "v", ["a", "b"])
+    assert res[0].violations == 1  # 'd'; NULL is not a violation
+
+
+def test_run_checks_combined(spark):
+    res = dq.run_checks(_df(spark), not_null=["k"], unique=["k"])
+    assert [r.check for r in res] == ["not_null", "unique"]
+
+
+def test_star_schema_dq_green(spark, sf_dir):
+    """The reference's post-build `dbt test` analog: every declared check
+    on the built star schema passes on the driver data."""
+    from core_telecoms_etl_spark.plans.star import run_star_dq
+
+    results = run_star_dq(spark, sf_dir)
+    assert set(results) == {"dim_customers", "dim_agents", "fact_complaints"}
+    for model, checks in results.items():
+        for c in checks:
+            assert c.passed, f"{model}.{c.column} {c.check}: {c.violations}"

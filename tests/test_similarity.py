@@ -1,0 +1,100 @@
+"""Vector-similarity tests (SURVEY.md §2.13 X3): cosine math vs numpy,
+brute-force exactness, and recall of the approximate (IVF / LSH) paths
+against the brute-force baseline on real test embeddings."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators import similarity as sim
+from core_telecoms_etl_spark.sources.readers import load_table
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),  # close to 0
+    (2, [0.0, 1.0, 0.0]),  # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expr_matches_numpy(spark):
+    df = _vecs(spark)
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    out = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", sim.cosine_expr("va", "vb").alias("cos"))
+        .collect()
+    )
+    import numpy as np
+
+    # storage is array<float> (float32); math promotes to double — so the
+    # oracle must truncate through float32 first, then compute in float64
+    vecs = {
+        i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in VECS
+    }
+    for r in out:
+        expected = float(
+            vecs[r.ia] @ vecs[r.ib]
+            / math.sqrt((vecs[r.ia] @ vecs[r.ia]) * (vecs[r.ib] @ vecs[r.ib]))
+        )
+        assert r.cos == pytest.approx(expected, abs=1e-9)
+
+
+def test_brute_force_topk_ordering(spark):
+    df = _vecs(spark)
+    out = sim.brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]  # close, orthogonal, opposite
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(e, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """n_probe == n_centroids degenerates to exact search."""
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = e.filter(F.col("vec_id") < 2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(e, q, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(e, q, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(e, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_topk(e, q, k=10, n_bits=16, max_hamming=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"

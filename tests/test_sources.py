@@ -1,0 +1,67 @@
+"""Source/sink tests (SURVEY.md §2.1): reader null semantics, the
+Sheets-shim, writer normalization, and by-name union across the
+case/order-drifted daily files the reference tolerates via
+MATCH_BY_COLUMN_NAME (plugins/snowflake_load.py:191)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.sources import readers, writers
+
+
+def test_read_csv_empty_string_is_null(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,alice\n2,\n")
+    df = readers.read_csv(spark, str(p), schema="id int, name string")
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows[1] == "alice" and rows[2] is None
+
+
+def test_read_rows_sheet_shim(spark):
+    df = readers.read_rows(
+        spark,
+        [{"iD": 1, "NamE": "a"}, {"iD": 2, "NamE": "b"}],
+        schema="iD long, NamE string",
+    )
+    assert df.count() == 2
+
+
+def test_write_parquet_normalizes_names(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], ["customeR iD", "NamE"])
+    out = str(tmp_path / "out")
+    writers.write_parquet(df, out, mode="overwrite")
+    back = spark.read.parquet(out)
+    assert back.columns == ["customer_id", "name"]
+
+
+def test_union_by_name_handles_schema_drift(spark, tmp_path):
+    """Daily files with shuffled column order and a missing column merge
+    by-name after normalization — the reference's case-insensitive load."""
+    day1 = spark.createDataFrame([(1, "a", "x")], ["ID", "val", "extra"])
+    day2 = spark.createDataFrame([("b", 2)], ["VAL", "id"])  # shuffled, short
+    from core_telecoms_etl_spark.operators.cleaning import (
+        normalize_column_names,
+    )
+
+    merged = normalize_column_names(day1).unionByName(
+        normalize_column_names(day2), allowMissingColumns=True
+    )
+    rows = sorted(merged.collect(), key=lambda r: r.id)
+    assert rows[0].extra == "x" and rows[1].extra is None
+    assert [r.val for r in rows] == ["a", "b"]
+
+
+def test_multi_file_folder_scan_is_union_all(spark, tmp_path):
+    """A folder of daily drops reads as one logical table (the reference's
+    append-merge folder model)."""
+    base = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "a int").write.parquet(f"{base}/d1")
+    spark.createDataFrame([(2,)], "a int").write.parquet(f"{base}/d2")
+    df = readers.read_parquet(spark, [f"{base}/d1", f"{base}/d2"])
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_jdbc_catalog_query_shape():
+    q = readers.list_jdbc_tables_query("public")
+    assert "information_schema.tables" in q and "ORDER BY table_name" in q
