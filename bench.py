@@ -27,6 +27,8 @@ HEADLINE = [
     "top_k",
     "events_tumbling",
     "sessionize",
+    "asof_join",
+    "range_join",
     "json_funcs",
     "text_quality",
     "near_dedup",

@@ -1,0 +1,151 @@
+"""Temporal join operators (capability extensions; SURVEY.md §2.3 notes the
+reference has no as-of/range joins — these are the Spark-first designs a
+100 TB event pipeline needs).
+
+Scale design:
+- `asof_join`: the classic union-tag trick — both sides are unioned, tagged,
+  shuffled ONCE on the partition key, and a per-partition ordered scan
+  carries the latest right-side row forward (`last(..., ignorenulls)` over
+  an unbounded-preceding frame). No inequality join, no range explosion,
+  no broadcast requirement: linear in rows, one shuffle, skew handled by
+  AQE. This is how as-of joins are done on shuffle engines.
+- `range_join_binned`: an inequality join `r.ts ∈ (l.ts, l.ts + Δ]`
+  executed as an equi-join on coarse time bins: the left side explodes to
+  the (at most 2) bins its window overlaps, the right side keeps its single
+  bin, the join runs on (key, bin) — hash join, not a broadcast-nested-loop
+  — and the exact predicate refines inside the join. Candidate fan-out is
+  bounded by bin width ≈ Δ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join_binned"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` for the same ``on`` key (left-join semantics:
+    left rows with no prior right row keep NULLs).
+
+    Single shuffle on ``on``; per-partition ordered scan. Ties at equal
+    timestamps resolve right-before-left so a right row at exactly
+    ``left.ts`` IS matched (ASOF >= semantics, matching DuckDB)."""
+    right_cols = right_cols or [c for c in right.columns if c != on]
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # align schemas for the union: left lacks __r_*, right lacks left cols
+    r_types = dict(rt.dtypes)
+    for c in right_cols:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(r_types[f"__r_{c}"]))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at the same __ts (side 0 < 1)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    keep = list(left.columns)
+    for c in right_cols:
+        name = c if c not in left.columns else f"{c}{suffix}"
+        out = out.withColumn(name, F.col(f"__m_{c}"))
+        keep.append(name)
+    return out.select(*keep)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_id: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join right rows with ``l.ts < r.ts <= l.ts + window_seconds`` for the
+    same key. Executed as an equi-join on (key, time-bin): bin width equals
+    the window span, so each left window overlaps at most 2 bins — the left
+    side fans out ×2 (explode), the right side keeps its single bin, and the
+    exact range predicate refines inside the hash join.
+
+    Output columns: every left column prefixed ``l_``, every right column
+    prefixed ``r_``. ``how="left"`` keeps zero-match left rows (NULL right
+    columns), reconstructed via a left-anti join keyed on ``left_id`` (must
+    be unique per left row)."""
+    span_us = window_seconds * 1_000_000
+
+    def bin_of(ts: Column) -> Column:
+        return (F.unix_micros(ts) / span_us).cast("long")
+
+    l_pref = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__lts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.array(bin_of(F.col("__lts")), bin_of(F.col("__lts")) + 1)
+        ),
+    )
+    r_pref = right.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        F.col(right_ts).alias("__rbin_src"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+    ).withColumn("__bin", bin_of(F.col("__rbin_src")))
+    cond = (
+        (l_pref["__k"] == r_pref["__rk"])
+        & (l_pref["__bin"] == r_pref["__bin"])
+        & (r_pref["__rts"] > l_pref["__lts"])
+        & (
+            F.unix_micros(r_pref["__rts"])
+            <= F.unix_micros(l_pref["__lts"]) + span_us
+        )
+    )
+    inner = l_pref.join(r_pref, cond, "inner").drop(
+        "__k", "__rk", "__bin", "__lts", "__rts", "__rbin_src"
+    )
+    if how == "inner":
+        return inner
+    if how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    r_null_types = {c: t for c, t in inner.dtypes if c.startswith("r_")}
+    unmatched = (
+        l_pref.drop("__bin")
+        .dropDuplicates([f"l_{left_id}"])
+        .join(
+            inner.select(F.col(f"l_{left_id}").alias("__mk")).distinct(),
+            F.col(f"l_{left_id}") == F.col("__mk"),
+            "left_anti",
+        )
+        .drop("__k", "__lts")
+    )
+    for c, t in r_null_types.items():
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(t))
+    return inner.unionByName(unmatched)

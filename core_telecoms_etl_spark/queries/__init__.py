@@ -69,6 +69,7 @@ def _load_all() -> None:
         scalar_funcs,
         quality,
         star,
+        temporal,
         text,
         vector,
         events,

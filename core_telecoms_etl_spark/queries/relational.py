@@ -540,3 +540,78 @@ def dedup_latest_by_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_custkey"],
         order_by=["o_orderdate", "o_orderkey"],
     )
+
+
+@query(
+    "pivot_agg",
+    oracle="""SELECT o_orderpriority,
+                     count(*) FILTER (o_orderstatus = 'O') AS n_open,
+                     count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+                     count(*) FILTER (o_orderstatus = 'P') AS n_partial,
+                     round(coalesce(sum(o_totalprice)
+                       FILTER (o_orderstatus = 'O'), 0), 2) AS rev_open
+              FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (capability; complaint-status × priority matrix shape). The
+    pivot value list is explicit so the output schema is fixed at plan
+    time — at scale an unbounded pivot would need a values pre-scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "rev"
+            ),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_partial"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("rev_open"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (capability A6 sibling of rollup_agg): all 4
+    grouping-set combinations in one pass (Spark Expand + single shuffle,
+    not 4 scans)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "percentile_agg",
+    oracle="""SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.5) AS p50_qty,
+                     quantile_cont(l_quantity, 0.9) AS p90_qty,
+                     CAST(max(l_quantity) AS DOUBLE) AS max_qty
+              FROM lineitem GROUP BY l_returnflag""",
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (capability). Computed on the
+    integer-grid quantity column so the linear interpolation lands on
+    exactly representable doubles in every engine. At 100 TB swap to
+    approx_percentile (t-digest sketch, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )

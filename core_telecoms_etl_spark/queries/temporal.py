@@ -1,0 +1,203 @@
+"""Temporal-join + windowing queries on the `events` table: as-of join,
+range join, sliding windows, native session windows, range-frame windows.
+All capability extensions (the reference is daily batch with no event-time
+semantics, SURVEY.md §2.10); oracles are ANSI/DuckDB equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.sources.readers import load_table
+
+
+@query(
+    "asof_join",
+    oracle="""SELECT p.event_id, p.user_id, p.ts,
+                     c.event_id AS click_id, c.ts AS click_ts,
+                     (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0
+                       AS gap_sec
+              FROM (FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style as-of join: each purchase matched to the user's
+    latest click at-or-before it. Union-tag + ordered partition scan —
+    one shuffle, no inequality join (operators/temporal.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=["click_id", "ts"],
+        suffix="_click",
+    ).withColumnRenamed("ts_click", "click_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        "click_ts",
+        (
+            (F.unix_micros("ts") - F.unix_micros("click_ts")) / 1_000_000.0
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "range_join",
+    oracle="""SELECT e.event_id, e.user_id,
+                     CAST(count(x.event_id) AS BIGINT) AS n_next_10m,
+                     round(coalesce(sum(x.value), 0), 2) AS value_next_10m
+              FROM (FROM events WHERE event_type = 'error') e
+              LEFT JOIN events x
+                ON e.user_id = x.user_id
+               AND x.ts > e.ts
+               AND epoch_us(x.ts) <= epoch_us(e.ts) + 600 * 1000000
+              GROUP BY e.event_id, e.user_id""",
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: activity in the 10 minutes after each error
+    event, per user. Executed as a binned equi-join (≤2 bins per window),
+    never a nested-loop (operators/temporal.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    cand = range_join_binned(
+        errors,
+        ev.select("event_id", "user_id", "ts", "value"),
+        on="user_id",
+        left_id="event_id",
+        window_seconds=600,
+        how="left",
+    )
+    return cand.groupBy("l_event_id", "l_user_id").agg(
+        F.count("r_event_id").alias("n_next_10m"),
+        F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 2).alias(
+            "value_next_10m"
+        ),
+    ).select(
+        F.col("l_event_id").alias("event_id"),
+        F.col("l_user_id").alias("user_id"),
+        "n_next_10m",
+        "value_next_10m",
+    )
+
+
+@query(
+    "events_sliding",
+    oracle="""SELECT ws AS window_start, event_type,
+                     count(*) AS n_events, round(sum(value), 2) AS value_sum
+              FROM events,
+                   unnest([time_bucket(INTERVAL '15 minutes', ts),
+                           time_bucket(INTERVAL '15 minutes', ts)
+                             - INTERVAL '15 minutes']) AS t(ws)
+              GROUP BY ws, event_type""",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30-minute windows every 15 minutes: each event lands in
+    exactly 2 windows (width/slide). Spark expands via its window
+    generator; the oracle unnests the same 2 aligned starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "session_window",
+    oracle="""WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              sess AS (
+                SELECT user_id, ts, value,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS sid
+                FROM flagged)
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) AS session_end,
+                     count(*) AS n_events, round(sum(value), 2) AS value_sum
+              FROM sess GROUP BY user_id, sid""",
+)
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-minute gap) — the same
+    operator Structured Streaming uses for stateful sessionization. A new
+    session starts when the gap reaches the timeout (strict >=), hence the
+    oracle's >= where the lag-based `sessionize` query uses >."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""SELECT event_id, user_id, ts,
+                     round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+                       2) AS value_1h
+              FROM events""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame running aggregate: per-user rolling 1-hour value sum.
+    Ordering on integer microseconds so the frame bound is exact; the frame
+    contents are identical across engines, and the sum is snapped at the
+    2-decimal grid."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+    )

@@ -1,0 +1,94 @@
+"""Temporal operator tests: as-of join semantics (ties, no-match rows),
+binned range join (bin-boundary spans, zero-match left rows)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(30)), (3, 20, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(8)), (101, 10, _ts(10)), (102, 10, _ts(25))],
+        "click_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: r.click_id
+        for r in asof_join(
+            left,
+            right.select("user_id", "ts", "click_id"),
+            on="user_id",
+            right_cols=["click_id"],
+        ).collect()
+    }
+    # equal timestamps match (>= semantics): event 1 at :10 takes click :10
+    assert out[1] == 101
+    assert out[2] == 102  # latest before :30 is :25
+    assert out[3] is None  # user 20 has no clicks at all
+
+
+def test_asof_join_keeps_left_row_count(spark, sf_dir):
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["click_id"])
+    assert out.count() == left.count()
+
+
+def test_range_join_binned_crosses_bin_boundary(spark):
+    # left at :09:30, right at :19:00 — 9.5 min later, inside the 10-min
+    # window but in the NEXT 10-minute bin: the ×2 bin fan-out must find it
+    left = spark.createDataFrame(
+        [(1, 10, _ts(9, 30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(50, 10, _ts(19, 0)), (51, 10, _ts(19, 31)), (52, 10, _ts(9, 30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = range_join_binned(
+        left, right, on="user_id", left_id="event_id", window_seconds=600
+    ).collect()
+    # 50 is in-window (next bin); 51 is 1s past the window; 52 is NOT
+    # strictly after left.ts
+    assert [r.r_event_id for r in out] == [50]
+
+
+def test_range_join_binned_left_keeps_zero_match_rows(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(0)), (2, 99, _ts(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(50, 10, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    out = range_join_binned(
+        left,
+        right,
+        on="user_id",
+        left_id="event_id",
+        window_seconds=600,
+        how="left",
+    ).collect()
+    by_left = {r.l_event_id: r.r_event_id for r in out}
+    assert by_left == {1: 50, 2: None}
+    assert len(out) == 2  # no duplicate rows from the bin fan-out
