@@ -88,3 +88,19 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return binary_metadata(d, "payload", id_col="doc_id")
+
+
+@query(
+    "stream_stateful",
+    oracle="""SELECT user_id, count(*) AS n_events,
+                     round(sum(value), 2) AS value_sum
+              FROM events GROUP BY user_id""",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals kept in explicit group state. The finite source arrives
+    as one micro-batch, so the emitted updates equal the batch aggregate —
+    checked against the plain GROUP BY oracle."""
+    from core_telecoms_etl_spark.streaming.events import run_stream_stateful
+
+    return run_stream_stateful(spark, f"{sf_dir}/events.parquet")

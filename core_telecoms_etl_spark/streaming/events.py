@@ -115,3 +115,75 @@ def run_stream_tumbling(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stateful_user_totals(
+    stream: DataFrame, *, user_col: str = "user_id"
+) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum
+    maintained in explicit group state via applyInPandasWithState (the
+    arbitrary-stateful-processing API; state lives in the state store,
+    checkpointed, partitioned by key — the 100 TB path for custom
+    aggregations Spark's built-ins can't express).
+
+    Emits the updated running totals for every user seen in each
+    micro-batch. On a finite one-batch source the emitted rows ARE the
+    per-user totals, which is what the batch oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [round(s, 2)],
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_sum double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_stateful(
+    spark: SparkSession,
+    path: str,
+    *,
+    query_name: str = "stream_stateful_out",
+) -> DataFrame:
+    """Drive the stateful per-user totals through Structured Streaming over
+    the events parquet (single historical micro-batch → emitted updates are
+    the final totals)."""
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base, _, fname = path.rpartition("/")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .load(base)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

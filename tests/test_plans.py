@@ -1,0 +1,104 @@
+"""Physical-plan shape tests: the properties that matter at 100 TB
+(pushdown, pruning, broadcast choice, shuffle count) asserted on the
+actual optimized plans, so regressions fail loudly at sf-tiny."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _n_ops(plan: str, op: str) -> int:
+    """Count operator detail blocks '(N) <op>' in a formatted plan (each
+    physical operator appears exactly once in the details section)."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def _n_exchanges(plan: str) -> int:
+    # shuffle exchanges only (BroadcastExchange is cheap by design)
+    return _n_ops(plan, "Exchange")
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["filter_predicate"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # the quantity/price predicates must appear in the pushed list
+    pushed = next(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "GreaterThan" in pushed or "LessThan" in pushed, pushed
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_multi_join_broadcasts_dims(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["multi_join"](spark, sf_dir))
+    # customer/nation/region are explicit broadcasts; at tiny sf Catalyst
+    # may ALSO broadcast orders (it's under the threshold), so: at least 3
+    # broadcast joins, and at most the one lineitem⋈orders shuffle join
+    assert _n_ops(plan, "BroadcastHashJoin") >= 3, plan
+    n_shuffle_joins = _n_ops(plan, "SortMergeJoin") + _n_ops(
+        plan, "ShuffledHashJoin"
+    )
+    assert n_shuffle_joins <= 1, plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["asof_join"](spark, sf_dir))
+    # union-tag design: one hash exchange (on user_id) feeds the window;
+    # no join operator at all
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan
+
+
+def test_groupby_agg_is_partial_then_final(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["groupby_agg"](spark, sf_dir))
+    # map-side combine: two HashAggregates around exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_top_k_plans_take_ordered(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["top_k"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_whole_stage_codegen_covers_text_ops(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["text_quality"](spark, sf_dir))
+    assert "Batched: true" in plan  # vectorized parquet reader
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # and no pandas UDF either
+
+
+def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["text_exact_dedup"](spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex and all("text" not in l for l in ex), ex

@@ -89,3 +89,28 @@ def test_stream_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_totals_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.sources.readers import load_table
+    from core_telecoms_etl_spark.streaming.events import run_stream_stateful
+
+    got = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in run_stream_stateful(
+            spark, f"{sf_dir}/events.parquet", query_name="t_stateful"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want
