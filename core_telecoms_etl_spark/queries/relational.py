@@ -615,3 +615,99 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
     )
+
+
+@query(
+    "grouping_sets",
+    oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): two
+    independent groupings in ONE pass — Spark's Expand feeds a single
+    shuffle instead of scanning the fact twice."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "sql_api",
+    oracle="""SELECT o_orderkey, o_orderdate,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the same ANSI text runs verbatim on Spark SQL
+    and the oracle (TPC-H-Q3 shape). Views registered over the parquet
+    scans; Catalyst pushes the segment filter into the customer scan and
+    broadcasts it."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """SELECT o_orderkey, o_orderdate,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4)
+                    AS revenue
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderkey, o_orderdate
+           ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+    )
+
+
+@query(
+    "exists_subquery",
+    oracle="""SELECT s_suppkey, s_name FROM supplier s
+              WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                  AND l.l_quantity > 45)""",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS — Catalyst decorrelates it to a left-anti
+    join (no per-row subquery execution)."""
+    for t in ("supplier", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """SELECT s_suppkey, s_name FROM supplier s
+           WHERE NOT EXISTS (
+             SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+               AND l.l_quantity > 45)"""
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""SELECT o_orderkey, o_totalprice,
+                     o_totalprice - (SELECT avg(o_totalprice) FROM orders)
+                       AS price_vs_avg
+              FROM orders
+              WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — computed once and broadcast into the
+    filter/projection (one extra tiny job, no per-row work). avg() is the
+    same double in both engines only because sum/count are: both sum the
+    identical parquet doubles in some order then divide — the division is
+    exact relative to the summed value, and the filter margin (price vs
+    global avg) is far above summation-order noise."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderkey, o_totalprice,
+                  o_totalprice - (SELECT avg(o_totalprice) FROM orders)
+                    AS price_vs_avg
+           FROM orders
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""
+    )

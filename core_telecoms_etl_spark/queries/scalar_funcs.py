@@ -213,3 +213,40 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         net_price("l_extendedprice", "l_discount").alias("net_price"),
     )
+
+
+@query(
+    "grouped_map_zscore",
+    oracle="""SELECT event_id, user_id, value,
+                     round((value - avg(value) OVER w)
+                           / stddev_samp(value) OVER w, 4) AS zscore
+              FROM events
+              WINDOW w AS (PARTITION BY user_id)""",
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-user z-score of event
+    values. The UDF path exists to show the full-group-in-pandas shape —
+    for THIS computation the window-function plan (the oracle) is what
+    you'd ship at 100 TB; applyInPandas earns its cost only when the
+    per-group logic can't be expressed relationally. Rounded at 4dp to
+    absorb summation-order noise between pandas and SQL aggregation."""
+    import pandas as pd
+
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "user_id", "value"]].copy()
+        out["zscore"] = ((pdf["value"] - m) / s).round(4)
+        return out
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            zscore,
+            schema="event_id long, user_id long, value double, zscore double",
+        )
+    )

@@ -187,3 +187,58 @@ def run_stream_stateful(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_windowed_append(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    width: str = "15 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+    query_name: str = "stream_append_out",
+) -> DataFrame:
+    """Watermarked tumbling aggregation in APPEND mode over a directory of
+    event files: each file is a micro-batch (maxFilesPerTrigger=1), the
+    watermark advances between batches, and only windows fully below the
+    watermark are emitted — the late-data policy a production stream needs
+    (late rows beyond the watermark are dropped, not silently wrong).
+
+    Returns the emitted (closed) windows. On a cluster the sink is a
+    parquet/Delta append with checkpointing; the memory sink here is the
+    local harness shape."""
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -65,3 +65,16 @@ def test_multi_file_folder_scan_is_union_all(spark, tmp_path):
 def test_jdbc_catalog_query_shape():
     q = readers.list_jdbc_tables_query("public")
     assert "information_schema.tables" in q and "ORDER BY table_name" in q
+
+
+def test_observe_counts_free_with_action(spark, sf_dir):
+    from core_telecoms_etl_spark.operators.metrics import observe_counts
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    observed = observe_counts(
+        orders, name="t_obs", not_null_col="o_custkey"
+    )
+    n = observed.df.count()  # the action that also computes the metrics
+    assert observed.metrics["n_rows"] == n
+    assert observed.metrics["n_null_o_custkey"] == 0

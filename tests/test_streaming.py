@@ -114,3 +114,92 @@ def test_stateful_totals_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_append_emits_closed_windows_and_drops_late(
+    spark, tmp_path
+):
+    """Three micro-batches: batch 2's max event time advances the
+    watermark past batch 1's windows, so they emit in append mode; batch 3
+    then delivers a row older than the watermark, which is DROPPED — the
+    already-emitted window is never revised. Files are written WHILE the
+    stream runs (processAllAvailable between writes) so batch order is
+    deterministic."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from core_telecoms_etl_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    dir_ = str(tmp_path / "ev")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.unix_micros("ts") * 1000)  # nanos long
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dir_)
+        )
+
+    write_batch([(0, datetime(2023, 12, 31, 23, 59), 1, "click", 0.5, None)])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .load(dir_)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm_append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(
+            [
+                (1, datetime(2024, 1, 1, 0, 5), 1, "click", 10.0, None),
+                (2, datetime(2024, 1, 1, 0, 20), 1, "click", 20.0, None),
+            ]
+        )
+        q.processAllAvailable()
+        # advances the watermark to 03:00 - 30min = 02:30 after this batch
+        write_batch(
+            [(3, datetime(2024, 1, 1, 3, 0), 1, "click", 30.0, None)]
+        )
+        q.processAllAvailable()
+        # a VERY late row for the closed 00:00 window — beyond the watermark
+        write_batch(
+            [(4, datetime(2024, 1, 1, 0, 6), 1, "click", 999.0, None)]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.value_sum)
+        for r in spark.table("t_wm_append").collect()
+    }
+    # 00:00 and 00:15 windows closed after the 03:00 batch WITHOUT row 4
+    assert got.get(("2024-01-01T00:00:00", "click")) == (1, 10.0)
+    assert got.get(("2024-01-01T00:15:00", "click")) == (1, 20.0)
+    # the 03:00 window is still open (watermark < its end): not emitted
+    assert ("2024-01-01T03:00:00", "click") not in got
