@@ -47,8 +47,16 @@ def main() -> None:
     spark = get_spark("bench")
     qs = qmod.queries()
 
-    # warm the JVM + file listing
+    # warm the JVM, file listings, and parquet footers for every table so
+    # per-query timings measure the plans, not cold-start IO (untimed)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from core_telecoms_etl_spark.sources.readers import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
