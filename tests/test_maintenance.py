@@ -1,0 +1,61 @@
+"""Partitioned-layout pruning + small-file compaction tests — the IO-side
+scale behaviors (partition pruning has data to bite on only when the
+layout is partitioned; compaction escapes the many-tiny-files regime)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.sources.maintenance import (
+    compact_parquet,
+    dir_stats,
+)
+from core_telecoms_etl_spark.sources.readers import load_table
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(out)
+
+    pruned = spark.read.parquet(out).filter(F.col("day") == "2024-01-02")
+    plan = _formatted(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+    # the partition filter must NOT appear as a pushed data filter — it is
+    # resolved at file-listing time, before any row is read
+    day1 = pruned.count()
+    total = spark.read.parquet(out).count()
+    assert 0 < day1 < total
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    # simulate 30 daily appends of a small batch → 30+ tiny files
+    for day in range(30):
+        spark.range(day * 100, (day + 1) * 100).selectExpr(
+            "id", "id % 7 AS k"
+        ).coalesce(1).write.mode("append").parquet(src)
+    n_before, size = dir_stats(src)
+    assert n_before >= 30
+
+    dest = str(tmp_path / "compacted")
+    n_after = compact_parquet(
+        spark, src, dest, target_file_bytes=max(size, 1)
+    )
+    assert n_after == 1
+    assert (
+        spark.read.parquet(dest).count()
+        == spark.read.parquet(src).count()
+        == 3000
+    )

@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the operators whose correctness
+is easiest to break silently: sessionization boundaries, jaccard bounds
+and symmetry, and as-of join invariants. Small generated cases, single
+local Spark jobs per example — kept deliberately cheap."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+GAP = 600  # seconds
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+offsets = st.lists(
+    st.integers(min_value=0, max_value=5000), min_size=1, max_size=12
+)
+
+
+@given(offsets=offsets)
+@_settings
+def test_sessionize_gap_invariants(spark, offsets):
+    """Within a session every inter-event gap ≤ GAP; the event right
+    before each session start is > GAP away (or absent)."""
+    from core_telecoms_etl_spark.streaming.events import sessionize
+
+    base = datetime(2024, 1, 1)
+    times = sorted(base + timedelta(seconds=o) for o in set(offsets))
+    rows = [
+        (i, t, 1, "e", 1.0, None) for i, t in enumerate(times)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sess = sessionize(df, gap_seconds=GAP).collect()
+    # reconstruct expected session count by scanning gaps
+    expected_sessions = 1 + sum(
+        1
+        for a, b in zip(times, times[1:])
+        if (b - a).total_seconds() > GAP
+    )
+    assert len(sess) == expected_sessions
+    assert sum(r.n_events for r in sess) == len(times)
+    # sessions must not overlap and must be separated by > GAP
+    spans = sorted((r.session_start, r.session_end) for r in sess)
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert (s2 - e1).total_seconds() > GAP
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab "),
+        min_size=5,
+        max_size=40,
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=texts)
+@_settings
+def test_jaccard_pairs_bounds_and_self_dup(spark, texts):
+    """0 < jaccard ≤ 1 on every emitted pair; identical texts (≥3 tokens)
+    always form a jaccard-1.0 pair."""
+    from core_telecoms_etl_spark.operators.dedup import jaccard_pairs
+    from core_telecoms_etl_spark.operators.text import tokens
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # append an exact duplicate of the first text
+    rows.append((len(rows), texts[0]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_tokens_first = (
+        df.filter("doc_id = 0")
+        .select(tokens("text").alias("t"))
+        .collect()[0]
+        .t
+    )
+    pairs = jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0
+    ).collect()
+    for p in pairs:
+        assert 0.0 < p.jaccard <= 1.0
+        assert p.n_common <= min(p.n_a, p.n_b)
+    if len(n_tokens_first) >= 3:
+        dup = [
+            p
+            for p in pairs
+            if p.doc_a == 0 and p.doc_b == len(rows) - 1
+        ]
+        assert len(dup) == 1 and dup[0].jaccard == 1.0
+
+
+asof_case = st.tuples(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=8),  # left ts
+    st.lists(st.integers(0, 1000), min_size=0, max_size=8),  # right ts
+)
+
+
+@given(case=asof_case)
+@_settings
+def test_asof_join_matches_python_oracle(spark, case):
+    """asof_join == the obvious per-row python scan: latest right ts ≤
+    left ts (None when absent)."""
+    from core_telecoms_etl_spark.operators.temporal import asof_join
+
+    left_ts, right_ts = case
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, 1, base + timedelta(seconds=s))
+            for i, s in enumerate(sorted(set(left_ts)))
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100 + i, 1, base + timedelta(seconds=s))
+            for i, s in enumerate(sorted(set(right_ts)))
+        ],
+        "rid long, user_id long, ts timestamp",
+    ) if right_ts else spark.createDataFrame(
+        [], "rid long, user_id long, ts timestamp"
+    )
+    out = asof_join(
+        left,
+        right.select("user_id", "ts", "rid"),
+        on="user_id",
+        right_cols=["rid"],
+    ).collect()
+    rights = sorted(
+        (base + timedelta(seconds=s), 100 + i)
+        for i, s in enumerate(sorted(set(right_ts)))
+    )
+    lefts = {
+        i: base + timedelta(seconds=s)
+        for i, s in enumerate(sorted(set(left_ts)))
+    }
+    for r in out:
+        candidates = [rid for ts, rid in rights if ts <= lefts[r.event_id]]
+        assert r.rid == (candidates[-1] if candidates else None)
