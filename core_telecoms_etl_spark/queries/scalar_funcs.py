@@ -250,3 +250,38 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="event_id long, user_id long, value double, zscore double",
         )
     )
+
+
+@query(
+    "string_funcs_extended",
+    oracle="""SELECT p_partkey,
+                     regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+                     lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+                     replace(p_name, ' ', '-') AS hyphenated,
+                     left(p_name, 5) AS name_prefix,
+                     CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+                     reverse(p_brand) AS brand_rev,
+                     repeat(p_brand, 2) AS brand_twice
+              FROM part""",
+)
+def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wider scalar-string surface (regexp_extract / lpad / replace /
+    substring / instr / reverse / repeat) — all codegen'd JVM expressions
+    with exact ANSI equivalents on the oracle."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias(
+            "padded_key"
+        ),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias(
+            "hyphenated"
+        ),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+    )

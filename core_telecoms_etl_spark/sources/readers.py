@@ -190,3 +190,44 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     if not names:
         names = TESTDATA_TABLES
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_json_permissive(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON scan that CAPTURES malformed records instead of failing the
+    job (PERMISSIVE + corrupt-record column): at 100 TB a single bad line
+    must not kill a multi-hour load, and silently dropping it loses the
+    audit trail. Callers split on `corrupt_col IS NULL` — clean rows to
+    staging, bad lines to a quarantine sink. The schema must declare the
+    corrupt column (string) alongside the data fields."""
+    if isinstance(schema, str):
+        if corrupt_col not in schema:
+            schema = f"{schema}, {corrupt_col} string"
+    elif corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, T.StringType())
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(schema)
+        .json(path if isinstance(path, list) else [path])
+    )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, quarantine_rows). One lazy plan
+    each. The quarantine side keeps ALL columns: Spark disallows plans
+    that reference ONLY the internal corrupt-record column of a raw scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the parsed
+    fragments are useful for triage anyway."""
+    from pyspark.sql import functions as F
+
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, quarantine

@@ -78,3 +78,36 @@ def test_observe_counts_free_with_action(spark, sf_dir):
     n = observed.df.count()  # the action that also computes the metrics
     assert observed.metrics["n_rows"] == n
     assert observed.metrics["n_null_o_custkey"] == 0
+
+
+def test_corrupt_json_quarantined_not_fatal(spark, tmp_path):
+    from core_telecoms_etl_spark.sources.readers import (
+        read_json_permissive,
+        split_corrupt,
+    )
+
+    p = tmp_path / "dirty.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json at all\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "type clash"}\n'
+    )
+    df = read_json_permissive(spark, str(p), "id long, name string")
+    clean, quarantine = split_corrupt(df)
+    ids = sorted(r.id for r in clean.collect())
+    assert ids == [1, 2]
+    bad = [r._corrupt_record for r in quarantine.collect()]
+    assert len(bad) == 2  # the non-JSON line AND the type-clash line
+    assert any("not json" in b for b in bad)
+
+
+def test_catalog_registers_all_tables(spark, sf_dir):
+    from core_telecoms_etl_spark import catalog
+
+    names = catalog.register_tables(spark, sf_dir)
+    assert len(names) == 10
+    n = catalog.sql(
+        spark, sf_dir, "SELECT count(*) AS n FROM nation"
+    ).collect()[0].n
+    assert n == 25
