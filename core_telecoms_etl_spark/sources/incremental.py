@@ -106,3 +106,50 @@ class IncrementalLoader:
             new_files=new,
             skipped=len(candidates) - len(new),
         )
+
+
+def streaming_incremental_load(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str,
+    fmt: str = "csv",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    options: dict[str, str] | None = None,
+) -> int:
+    """The Spark-NATIVE incremental loader (SURVEY.md §1.5(b)): a
+    file-source readStream with Trigger.AvailableNow — the checkpoint's
+    file log replaces the manifest table entirely, exactly-once per file
+    comes from the streaming commit protocol, and the run returns when
+    all currently-available files are processed (batch-job ergonomics).
+
+    Use this when the destination is file/Delta-like and the cleaning is
+    per-row (foreachBatch applies `transform` to each micro-batch).
+    The manifest `IncrementalLoader` remains for sinks that need custom
+    commit coordination or human-auditable load ledgers.
+
+    Returns the number of micro-batches executed in this run."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load(src_dir)
+    n_batches = 0
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        out = transform(batch_df) if transform else batch_df
+        out.write.mode("append").parquet(dest_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

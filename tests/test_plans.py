@@ -102,3 +102,19 @@ def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
     plan = _formatted(queries()["text_exact_dedup"](spark, sf_dir))
     ex = [l for l in plan.splitlines() if "Exchange" in l]
     assert ex and all("text" not in l for l in ex), ex
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["range_join"](spark, sf_dir))
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+
+
+def test_sql_api_pushes_segment_filter_into_scan(spark, sf_dir):
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["sql_api"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("BUILDING" in l for l in pushed), pushed
