@@ -65,6 +65,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from core_telecoms_etl_spark.queries import (  # noqa: F401
+        analytics,
         relational,
         scalar_funcs,
         quality,

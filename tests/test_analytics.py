@@ -1,0 +1,94 @@
+"""Funnel-fold and deterministic-sampling operator tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.funnel import (
+    funnel_counts,
+    user_funnel_times,
+)
+from core_telecoms_etl_spark.operators.sampling import (
+    dataset_split,
+    deterministic_sample,
+    hash_bucket,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, 1 if len(r) < 3 else r[2], datetime(2024, 1, 1, 0, r[1]), r[0])
+            for i, r in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_order_matters(spark):
+    # user 1 completes in order; user 2 has purchase BEFORE click → stalls
+    rows = [
+        ("signup", 0, 1),
+        ("click", 10, 1),
+        ("purchase", 20, 1),
+        ("signup", 0, 2),
+        ("purchase", 5, 2),
+        ("click", 10, 2),
+    ]
+    out = funnel_counts(_ev(spark, rows), ["signup", "click", "purchase"]).collect()[0]
+    assert (
+        out.n_signup,
+        out.n_signup_click,
+        out.n_signup_click_purchase,
+    ) == (2, 2, 1)
+
+
+def test_funnel_strictly_after_previous_stage(spark):
+    # click at the SAME minute as signup does not count (strict >)
+    rows = [("signup", 5, 1), ("click", 5, 1)]
+    times = user_funnel_times(
+        _ev(spark, rows), ["signup", "click"]
+    ).collect()[0]
+    assert times.stage_ts[0] is not None
+    assert times.stage_ts[1] is None
+
+
+def test_funnel_ignores_pre_signup_events(spark):
+    rows = [("click", 0, 1), ("signup", 5, 1), ("click", 9, 1)]
+    times = user_funnel_times(
+        _ev(spark, rows), ["signup", "click"]
+    ).collect()[0]
+    assert times.stage_ts[1].minute == 9  # the post-signup click
+
+
+def test_hash_bucket_stable_and_salted(spark):
+    df = spark.range(1000)
+    a = df.select("id", hash_bucket("id", 100).alias("b"))
+    b = df.select("id", hash_bucket("id", 100).alias("b"))
+    assert a.exceptAll(b).isEmpty()  # identical across evaluations
+    salted = df.select("id", hash_bucket("id", 100, salt="v2").alias("b"))
+    assert not a.exceptAll(salted).isEmpty()  # salt changes assignment
+
+
+def test_dataset_split_partitions_everything_once(spark):
+    df = spark.range(2000)
+    s = dataset_split(df, "id")
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    # monotone growth: enlarging train keeps every existing train member
+    bigger = dataset_split(
+        df, "id", weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    t_small = {r.id for r in s.filter("split = 'train'").collect()}
+    t_big = {r.id for r in bigger.filter("split = 'train'").collect()}
+    assert t_small <= t_big
+
+
+def test_deterministic_sample_fraction(spark):
+    df = spark.range(10_000)
+    n = deterministic_sample(df, "id", 0.2).count()
+    assert abs(n - 2000) < 300  # within ~4σ of the binomial
