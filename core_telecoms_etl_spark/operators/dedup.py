@@ -282,3 +282,42 @@ def simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def layered_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The production near-dup layering (see BASELINE.md scale probe):
+    exact-dedup FIRST — collapsing byte-identical copies to one
+    representative (min id) with a copy count — then exact n-gram jaccard
+    only over distinct content. On data with heavy exact duplication this
+    turns a quadratic-in-copies pair explosion into linear collapse +
+    near-dup on the (much smaller) distinct set.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard, copies_a,
+    copies_b) where copies_* are the exact-copy counts each side
+    represents."""
+    reps = exact_dedup(df, text_col, id_col).select(id_col, "n_copies")
+    rep_docs = reps.join(df, id_col, "inner").select(
+        id_col, text_col, "n_copies"
+    )
+    pairs = jaccard_pairs(
+        rep_docs, id_col, text_col, n=n, threshold=threshold
+    )
+    ca = rep_docs.select(
+        F.col(id_col).alias("doc_a"), F.col("n_copies").alias("copies_a")
+    )
+    cb = rep_docs.select(
+        F.col(id_col).alias("doc_b"), F.col("n_copies").alias("copies_b")
+    )
+    return pairs.join(F.broadcast(ca), "doc_a").join(
+        F.broadcast(cb), "doc_b"
+    ).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard",
+        "copies_a", "copies_b",
+    )

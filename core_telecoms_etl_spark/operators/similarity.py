@@ -117,10 +117,17 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign each vector to its nearest centroid (max cosine, id
-    tie-break). Returns (assignments(id, vec, centroid_id), centroids)."""
-    cents = _centroids(df, id_col, vec_col, n_centroids)
+    tie-break). Returns (assignments(id, vec, centroid_id), centroids).
+    Pass `centroids` (e.g. from kmeans_centroids) to override the naive
+    lowest-id quantizer."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _centroids(df, id_col, vec_col, n_centroids)
+    )
     scored = df.select(F.col(id_col), F.col(vec_col)).join(
         F.broadcast(cents)
     ).withColumn("sim", cosine_expr(vec_col, "centroid"))
@@ -144,12 +151,24 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest centroid buckets
     per query, brute-force only inside them. Recall rises with n_probe;
-    n_probe == n_centroids degenerates to exact."""
+    n_probe == n_centroids degenerates to exact. kmeans_iters > 0 refines
+    the coarse quantizer with deterministic Lloyd iterations (better-
+    balanced buckets => better recall at the same n_probe)."""
+    cents_in = (
+        kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, k=n_centroids,
+            iters=kmeans_iters,
+        )
+        if kmeans_iters > 0
+        else None
+    )
     assign, cents = ivf_assign(
-        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        centroids=cents_in,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -255,3 +274,45 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd iterations as pure DataFrame ops: init from the
+    k lowest-id vectors, then repeat [broadcast-assign to nearest centroid
+    by cosine → per-cluster dimension-wise mean]. No MLlib, no RNG — the
+    same input always yields the same centroids, so IVF results stay
+    reproducible. Empty clusters drop out (k may shrink).
+
+    The mean is computed with one F.avg per dimension (dim agg
+    expressions): fine up to a few hundred dims; beyond that switch the
+    update step to a posexplode + (cluster, dim) aggregation."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
+    cents = _centroids(df, id_col, vec_col, k)
+    for _ in range(iters):
+        scored = df.select(id_col, vec_col).join(
+            F.broadcast(cents)
+        ).withColumn("sim", cosine_expr(vec_col, "centroid"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("sim").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, "centroid_id")
+        )
+        cents = assigned.groupBy("centroid_id").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1))
+                    for i in range(dim)
+                ]
+            ).alias("centroid")
+        )
+    return cents

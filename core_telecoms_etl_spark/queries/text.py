@@ -213,3 +213,57 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "near_dedup_layered",
+    oracle="""WITH reps AS (
+                SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+                FROM documents GROUP BY sha256(text)),
+              docs AS (
+                SELECT r.doc_id, d.text, r.n_copies
+                FROM reps r JOIN documents d USING (doc_id)),
+              toks AS (
+                SELECT doc_id, n_copies,
+                       list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
+                FROM docs),
+              sh AS (
+                SELECT doc_id, n_copies,
+                       list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                      for i in range(1, len(ts) - 1)]) AS shingles
+                FROM toks WHERE len(ts) >= 3),
+              ex AS (
+                SELECT doc_id, n_copies, CAST(len(shingles) AS BIGINT) AS n,
+                       unnest(shingles) AS shingle
+                FROM sh),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common,
+                       any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+                       any_value(a.n_copies) AS copies_a,
+                       any_value(b.n_copies) AS copies_b
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              SELECT doc_a, doc_b, n_common, n_a, n_b,
+                     n_common / (n_a + n_b - n_common) AS jaccard,
+                     copies_a, copies_b
+              FROM pairs WHERE n_common / (n_a + n_b - n_common) >= 0.8""",
+)
+def near_dedup_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 production layering — exact-dedup collapse, then jaccard over
+    distinct content only, with copy counts carried through (see
+    BASELINE.md scale probe for why this ordering matters at 100 TB)."""
+    out = dd.layered_near_dup(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8,
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+        F.col("copies_a").cast("long").alias("copies_a"),
+        F.col("copies_b").cast("long").alias("copies_b"),
+    )

@@ -98,3 +98,39 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_kmeans_ivf_recall_at_least_naive(spark, sf_dir):
+    """Deterministic Lloyd refinement must not hurt recall vs the naive
+    lowest-id quantizer at the same n_probe (both fully deterministic, so
+    this is an exact, non-flaky comparison)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(e, q, k=10).collect()
+    }
+
+    def recall(kmeans_iters):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(
+                e, q, k=10, n_centroids=16, n_probe=4,
+                kmeans_iters=kmeans_iters,
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    assert recall(3) >= recall(0)
+
+
+def test_kmeans_centroids_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(200)
+    a = sim.kmeans_centroids(e, k=8, iters=2).collect()
+    b = sim.kmeans_centroids(e, k=8, iters=2).collect()
+    assert sorted(r.centroid_id for r in a) == sorted(
+        r.centroid_id for r in b
+    )
+    ca = {r.centroid_id: r.centroid for r in a}
+    cb = {r.centroid_id: r.centroid for r in b}
+    assert ca == cb
