@@ -32,6 +32,8 @@ HEADLINE = [
     "json_funcs",
     "text_quality",
     "near_dedup",
+    "near_dedup_layered",
+    "funnel",
     "vector_topk",
     "pandas_udf_scalar",
 ]

@@ -6,7 +6,7 @@ star schema exists for (README.md:5-7) plus the training-data split a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.operators.sampling import dataset_split
@@ -110,3 +110,102 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
     return d.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "scd2_history",
+    oracle="""SELECT user_id, event_id, value, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS valid_to,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL AS is_current
+              FROM events WHERE event_type = 'signup'""",
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals from a change stream (each signup event
+    as a new 'profile version'): valid_from/valid_to via one window lead,
+    open row flagged current."""
+    from core_telecoms_etl_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    return scd2_history(
+        ev.select("user_id", "event_id", "value", "ts"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        change_cols=["event_id", "value"],
+    ).select(
+        "user_id", "event_id", "value", "valid_from", "valid_to",
+        "is_current",
+    )
+
+
+@query(
+    "upsert",
+    oracle="""WITH both_sides AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       o_orderdate, 0 AS src
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, 'X' AS o_orderstatus,
+                       o_totalprice + 1 AS o_totalprice,
+                       o_orderdate, 1 AS src
+                FROM orders WHERE o_orderkey % 10 = 0),
+              ranked AS (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_orderdate DESC, src DESC) AS rn
+                FROM both_sides)
+              SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+              FROM ranked WHERE rn = 1""",
+)
+def upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert: a derived update set (every 10th order flips
+    status, bumps price) overlaid on the target; updates win per key.
+    One shuffle on the key, no row-at-a-time MERGE loop."""
+    from core_telecoms_etl_spark.operators.scd import upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    )
+    return upsert(
+        orders, updates, key_cols=["o_orderkey"], version_col="o_orderdate"
+    )
+
+
+@query(
+    "window_rank_extended",
+    oracle="""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     rank() OVER w AS rnk,
+                     dense_rank() OVER w AS drnk,
+                     ntile(4) OVER w AS quartile,
+                     round(percent_rank() OVER w, 6) AS pct_rank,
+                     round(cume_dist() OVER w, 6) AS cdist
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def window_rank_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window spec (unique
+    tiebreaker key ⇒ deterministic). percent_rank/cume_dist are ratios of
+    ints — rounded at 6dp only to guard the division's last ulp."""
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -92,3 +92,61 @@ def test_deterministic_sample_fraction(spark):
     df = spark.range(10_000)
     n = deterministic_sample(df, "id", 0.2).count()
     assert abs(n - 2000) < 300  # within ~4σ of the binomial
+
+
+def test_scd2_intervals_chain(spark):
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), "bronze"),
+            (1, datetime(2024, 2, 1), "silver"),
+            (1, datetime(2024, 3, 1), "gold"),
+            (2, datetime(2024, 1, 15), "bronze"),
+        ],
+        "customer_id long, changed_at timestamp, tier string",
+    )
+    out = scd2_history(
+        df, key_cols=["customer_id"], ts_col="changed_at"
+    ).collect()
+    v1 = {
+        r.tier: (r.valid_from, r.valid_to, r.is_current)
+        for r in out
+        if r.customer_id == 1
+    }
+    # intervals chain with no gaps: each valid_to == next valid_from
+    assert v1["bronze"][1] == v1["silver"][0]
+    assert v1["silver"][1] == v1["gold"][0]
+    assert v1["gold"][1] is None and v1["gold"][2] is True
+    assert not v1["bronze"][2] and not v1["silver"][2]
+
+
+def test_upsert_updates_win_and_inserts_append(spark):
+    from core_telecoms_etl_spark.operators.scd import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "id long, v string, ver long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (3, "c", 1)], "id long, v string, ver long"
+    )
+    out = {
+        r.id: r.v
+        for r in upsert(
+            target, updates, key_cols=["id"], version_col="ver"
+        ).collect()
+    }
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_same_version_update_wins(spark):
+    from core_telecoms_etl_spark.operators.scd import upsert
+
+    target = spark.createDataFrame([(1, "old", 5)], "id long, v string, ver long")
+    updates = spark.createDataFrame([(1, "new", 5)], "id long, v string, ver long")
+    out = upsert(
+        target, updates, key_cols=["id"], version_col="ver"
+    ).collect()
+    assert len(out) == 1 and out[0].v == "new"
