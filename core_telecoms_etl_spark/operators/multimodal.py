@@ -113,3 +113,56 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+RESIZED_SCHEMA = "media_id long, mime string, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize via mapInPandas — the standard
+    pre-embedding normalization step. The codec is injected (`resizer`);
+    without one this raises NotImplementedError per batch, loudly (no
+    image library ships in this container). The Spark-side shape —
+    batch iteration, output schema with the new dimensions, binary
+    passthrough — is the production plumbing."""
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "image resizing requires an image library not present "
+                    "in this container; inject resize_images(resizer=...)"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "width": tw,
+                    "height": th,
+                    "payload": pdf[payload_col].map(
+                        lambda b: resizer(
+                            bytes(b) if b is not None else b"", tw, th
+                        )
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def deterministic_fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Test resizer: truncate/pad the byte stream to w*h bytes — keeps the
+    batch plumbing honest (output size depends on the target dims)."""
+    need = w * h
+    if not payload:
+        return b"\x00" * need
+    return (payload * (need // len(payload) + 1))[:need]

@@ -87,3 +87,27 @@ def dq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
         )
     )
+
+
+@query(
+    "dq_accepted_values",
+    oracle="""SELECT 'o_orderstatus' AS column_name,
+                     CAST(count(*) FILTER (
+                       o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+                       AS n_violations,
+                     count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+                       = 0 AS passed
+              FROM orders""",
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt accepted_values check as a relation (sibling of dq_not_null /
+    dq_unique): domain violations counted in one aggregate pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    viol = F.sum(
+        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+    ).cast("long")
+    return orders.agg(
+        F.lit("o_orderstatus").alias("column_name"),
+        viol.alias("n_violations"),
+        (viol == 0).alias("passed"),
+    )

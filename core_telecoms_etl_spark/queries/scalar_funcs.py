@@ -285,3 +285,30 @@ def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_brand").alias("brand_rev"),
         F.repeat("p_brand", 2).alias("brand_twice"),
     )
+
+
+@query(
+    "json_struct_parse",
+    oracle="""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     json_extract_string(props, '$.s') AS s,
+                     CAST(json_extract_string(props, '$.f') AS DOUBLE) AS f
+              FROM events""",
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — full typed JSON parsing via from_json into a struct (one parse
+    per row, then struct field access — cheaper than repeated
+    get_json_object calls when several fields are read)."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k long, s string, f double").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.s").alias("s"),
+        F.col("p.f").alias("f"),
+    )

@@ -58,3 +58,42 @@ def test_frame_sample_plan(spark):
     )
     got = sorted(r.frame_ts_ms for r in frames.collect())
     assert got == [0, 1000, 2000]
+
+
+def test_resize_plumbing_with_fake_codec(spark):
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.operators.multimodal import (
+        deterministic_fake_resizer,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"abc")), (2, "image/png", bytearray(b""))],
+        "media_id long, mime string, payload binary",
+    )
+    out = resize_images(
+        df, target=(4, 2), resizer=deterministic_fake_resizer
+    ).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].width == 4 and by_id[1].height == 2
+    assert len(bytes(by_id[1].payload)) == 8
+    assert bytes(by_id[1].payload) == b"abcabcab"
+    assert len(bytes(by_id[2].payload)) == 8  # empty payload padded
+
+
+def test_resize_without_codec_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from core_telecoms_etl_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"abc"))],
+        "media_id long, mime string, payload binary",
+    )
+    with pytest.raises(Exception) as e:
+        resize_images(df).collect()
+    assert "NotImplementedError" in str(e.value) or "image library" in str(
+        e.value
+    )
