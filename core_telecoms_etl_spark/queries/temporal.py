@@ -74,7 +74,10 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: activity in the 10 minutes after each error
     event, per user. Executed as a binned equi-join (≤2 bins per window),
-    never a nested-loop (operators/temporal.py)."""
+    never a nested-loop (operators/temporal.py). Zero-match errors are
+    restored by LEFT-joining the aggregated counts back onto the error
+    set — cheaper than the operator's how="left" reconstruction because
+    the second join touches per-error aggregates, not candidates."""
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
@@ -85,18 +88,19 @@ def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id",
         left_id="event_id",
         window_seconds=600,
-        how="left",
+        how="inner",
     )
-    return cand.groupBy("l_event_id", "l_user_id").agg(
+    counts = cand.groupBy("l_event_id").agg(
         F.count("r_event_id").alias("n_next_10m"),
-        F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 2).alias(
-            "value_next_10m"
-        ),
+        F.round(F.sum("r_value"), 2).alias("value_next_10m"),
+    )
+    return errors.join(
+        counts, errors.event_id == counts.l_event_id, "left"
     ).select(
-        F.col("l_event_id").alias("event_id"),
-        F.col("l_user_id").alias("user_id"),
-        "n_next_10m",
-        "value_next_10m",
+        "event_id",
+        "user_id",
+        F.coalesce("n_next_10m", F.lit(0).cast("long")).alias("n_next_10m"),
+        F.coalesce("value_next_10m", F.lit(0.0)).alias("value_next_10m"),
     )
 
 
