@@ -111,3 +111,25 @@ def test_catalog_registers_all_tables(spark, sf_dir):
         spark, sf_dir, "SELECT count(*) AS n FROM nation"
     ).collect()[0].n
     assert n == 25
+
+
+def test_paginated_api_datasource_partitioned_read(spark):
+    """Custom Python DataSource: one Spark task per API page; rows exact
+    and complete across partition boundaries."""
+    from core_telecoms_etl_spark.sources import api_source
+
+    api_source.register(spark)
+    df = (
+        spark.read.format("paginated_api")
+        .option("n_rows", 250)
+        .option("page_size", 100)
+        .load()
+    )
+    assert df.count() == 250
+    # pages 0,1,2 with the last one partial
+    pages = {r.page: r.n for r in df.groupBy("page").agg(F.count("*").alias("n")).collect()}
+    assert pages == {0: 100, 1: 100, 2: 50}
+    row = df.filter("id = 123").collect()[0]
+    assert (row.name, row.score, row.page) == ("record_123", 184.5, 1)
+    # the scan parallelism IS the page count
+    assert df.rdd.getNumPartitions() == 3
