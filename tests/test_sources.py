@@ -133,3 +133,26 @@ def test_paginated_api_datasource_partitioned_read(spark):
     assert (row.name, row.score, row.page) == ("record_123", 184.5, 1)
     # the scan parallelism IS the page count
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_schema_drift_across_daily_files(spark, tmp_path):
+    """The reference tolerates column-order/case/missing-column drift
+    across daily files (MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE,
+    snowflake_load.py:191). Spark analog: normalized writes + mergeSchema
+    read resolves by name; missing columns surface as NULLs."""
+    from core_telecoms_etl_spark.sources.writers import write_parquet
+
+    out = str(tmp_path / "drifting")
+    day1 = spark.createDataFrame(
+        [(1, "alice", "NY")], "Customer_ID long, Name string, State string"
+    )
+    # day2: different order, different case, 'state' column missing
+    day2 = spark.createDataFrame(
+        [("bob", 2)], "NAME string, customer_id long"
+    )
+    write_parquet(day1, out)  # normalize=True lower_snake_cases names
+    write_parquet(day2, out)
+    df = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(df.columns) == {"customer_id", "name", "state"}
+    rows = {r.customer_id: (r.name, r.state) for r in df.collect()}
+    assert rows == {1: ("alice", "NY"), 2: ("bob", None)}
