@@ -711,3 +711,89 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM orders
            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""
     )
+
+
+@query(
+    "filter_agg_scalar",
+    oracle="""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                     count(*) AS n_items
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24""",
+)
+def filter_agg_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: tight conjunctive range predicate straight into a
+    scalar aggregate — everything pushes to the scan, zero joins, one
+    tiny final row; the canonical fully-pushed-down plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "exists_group_agg",
+    oracle="""SELECT o_orderpriority, count(*) AS n_orders
+              FROM orders o
+              WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+              GROUP BY o_orderpriority""",
+)
+def exists_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: correlated EXISTS decorrelated to a left-semi join
+    feeding a grouped count — the semi side never widens the rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    )
+    return (
+        orders.join(
+            li, orders.o_orderkey == li.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "window_value_funcs",
+    oracle="""SELECT o_orderkey, o_custkey, o_totalprice,
+                     first_value(o_totalprice) OVER w AS first_price,
+                     last_value(o_totalprice) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS last_price,
+                     nth_value(o_totalprice, 2) OVER w AS second_price
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)""",
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a customer's order
+    history (unique tiebreaker ⇒ deterministic; last_value needs the
+    full-partition frame — the default running frame is a classic
+    silent-wrong-answer)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

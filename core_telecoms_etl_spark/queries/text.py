@@ -267,3 +267,22 @@ def near_dedup_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("copies_a").cast("long").alias("copies_a"),
         F.col("copies_b").cast("long").alias("copies_b"),
     )
+
+
+@query(
+    "explode_tokens",
+    oracle="""WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
+                FROM documents)
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS token
+              FROM toks, unnest(generate_series(1, len(ts))) AS u(i)""",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/flatMap surface: posexplode of the token array into
+    (doc, position, token) rows — the relational form of tokenized text
+    that downstream n-gram / TF jobs consume."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
+    )
