@@ -104,3 +104,54 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_telecoms_etl_spark.streaming.events import run_stream_stateful
 
     return run_stream_stateful(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "stream_static_join",
+    oracle="""SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+                     round(sum(e.value), 2) AS value_sum
+              FROM events e JOIN customer c ON e.user_id = c.c_custkey
+              GROUP BY c.c_mktsegment""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joins a static dimension
+    (broadcast — the stream side never shuffles for it) and aggregates
+    per segment, complete-mode memory sink. The standard enrichment shape
+    for a Kafka feed ⋈ dimension table."""
+    from core_telecoms_etl_spark.sources.readers import (
+        ensure_session_confs,
+        load_table,
+    )
+    from core_telecoms_etl_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    ensure_session_confs(spark)
+    static_dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.join(F.broadcast(static_dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_static_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_static_join_out")

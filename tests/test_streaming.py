@@ -203,3 +203,62 @@ def test_watermark_append_emits_closed_windows_and_drops_late(
     assert got.get(("2024-01-01T00:15:00", "click")) == (1, 20.0)
     # the 03:00 window is still open (watermark < its end): not emitted
     assert ("2024-01-01T03:00:00", "click") not in got
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup by event_id with dropDuplicatesWithinWatermark:
+    a replay of the same event id inside the watermark window is dropped
+    across micro-batches (state-store-backed)."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    dir_ = str(tmp_path / "dups")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.unix_micros("ts") * 1000)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dir_)
+        )
+
+    write_batch([(1, datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, None)])
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .load(dir_)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # replay of id=1 in a later micro-batch + one genuinely new event
+        write_batch(
+            [
+                (1, datetime(2024, 1, 1, 0, 10), 1, "click", 99.0, None),
+                (2, datetime(2024, 1, 1, 0, 20), 1, "view", 2.0, None),
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_stream_dedup").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2]  # the replayed id=1 was deduplicated
+    assert {r.value for r in rows if r.event_id == 1} == {1.0}
