@@ -191,3 +191,24 @@ def simhash_from_weights(weights_col: Column) -> Column:
             F.element_at(weights_col, j + 1) > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return out
+
+
+POSITIVE_WORDS = ["good", "great", "excellent", "happy", "love", "best"]
+NEGATIVE_WORDS = ["bad", "poor", "terrible", "angry", "hate", "worst"]
+
+
+def sentiment_counts(col: Column | str) -> tuple[Column, Column]:
+    """(positive_hits, negative_hits) lexicon counts — the Spark-scale
+    sentiment primitive (lexicon scoring parallelizes embarrassingly;
+    model-based scoring slots in as a pandas UDF downstream)."""
+    return (
+        marker_hits(col, POSITIVE_WORDS),
+        marker_hits(col, NEGATIVE_WORDS),
+    )
+
+
+def sentiment_polarity(col: Column | str) -> Column:
+    """(pos - neg) / (pos + neg + 1) in [-1, 1): integer-derived, so the
+    double is bit-identical on every engine; +1 smooths neutral docs."""
+    pos, neg = sentiment_counts(col)
+    return (pos - neg) / (pos + neg + F.lit(1))

@@ -286,3 +286,31 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
     )
+
+
+_POS = "['good','great','excellent','happy','love','best']"
+_NEG = "['bad','poor','terrible','angry','hate','worst']"
+
+
+@query(
+    "sentiment_score",
+    oracle=f"""SELECT doc_id,
+                 {_MARK(_POS)} AS n_positive,
+                 {_MARK(_NEG)} AS n_negative,
+                 ({_MARK(_POS)} - {_MARK(_NEG)})
+                   / ({_MARK(_POS)} + {_MARK(_NEG)} + 1) AS polarity
+               FROM documents""",
+)
+def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the embarrassingly-parallel
+    primitive behind large-scale sentiment analysis on Spark): marker
+    counts + smoothed polarity, all integer-derived → exact across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    pos, neg = tx.sentiment_counts("text")
+    return d.select(
+        "doc_id",
+        pos.alias("n_positive"),
+        neg.alias("n_negative"),
+        tx.sentiment_polarity("text").alias("polarity"),
+    )
