@@ -797,3 +797,69 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "stats_agg",
+    oracle="""SELECT l_returnflag,
+                     round(stddev_samp(l_quantity), 6) AS sd_qty,
+                     round(var_samp(l_quantity), 6) AS var_qty,
+                     round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                     round(covar_samp(l_quantity, l_extendedprice), 4)
+                       AS covar_qty_price
+              FROM lineitem GROUP BY l_returnflag""",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    single-pass distributed moments (partial+final), rounded to absorb
+    summation-order noise between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@query(
+    "histogram_agg",
+    oracle="""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                     count(*) AS n,
+                     round(min(o_totalprice), 2) AS lo,
+                     round(max(o_totalprice), 2) AS hi
+              FROM orders GROUP BY 1""",
+)
+def histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucket groupBy — one pass, exact
+    integer bucket keys (vs approx_percentile-based equi-depth at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "string_agg",
+    oracle="""SELECT n_regionkey,
+                     string_agg(n_name, ',' ORDER BY n_name) AS nations
+              FROM nation GROUP BY n_regionkey""",
+)
+def string_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is order-nondeterministic
+    under parallel merge, so sort_array before joining — the deterministic
+    equivalent of STRING_AGG(... ORDER BY)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations"
+        )
+    )

@@ -314,3 +314,71 @@ def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg.alias("n_negative"),
         tx.sentiment_polarity("text").alias("polarity"),
     )
+
+
+@query(
+    "token_topk",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+               SELECT token, count(*) AS n,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM toks GROUP BY token
+               ORDER BY n DESC, token LIMIT 20""",
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k tokens (the canonical explode → count → top-k at
+    scale: partial aggregation absorbs the token skew before the single
+    tiny shuffle; TakeOrderedAndProject avoids a global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "tf_idf",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+               tf AS (
+                 SELECT doc_id, token, count(*) AS tf
+                 FROM toks GROUP BY doc_id, token),
+               df AS (
+                 SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM toks GROUP BY token),
+               n AS (SELECT count(*) AS n_docs FROM documents)
+               SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                      round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                        AS tf_idf
+               FROM tf JOIN df USING (token) CROSS JOIN n
+               WHERE df.df <= 200""",
+)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights via the inverted index: term frequencies and
+    document frequencies are two aggregations over one exploded relation;
+    the df table is small (vocabulary-sized) and broadcasts into the join.
+    Weights rounded at 6dp to absorb any last-ulp ln() difference between
+    math libraries. The df cap drops stop-tokens (standard, and keeps the
+    hot keys out of the join)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).filter(F.col("df") <= 200)
+    return tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tf_idf"),
+    )
