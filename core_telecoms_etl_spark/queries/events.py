@@ -155,3 +155,61 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("stream_static_join_out")
+
+
+@query(
+    "stream_session",
+    oracle="""WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              sess AS (
+                SELECT user_id, ts, value,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS sid
+                FROM flagged)
+              SELECT user_id, min(ts) AS session_start,
+                     count(*) AS n_events, round(sum(value), 2) AS value_sum
+              FROM sess GROUP BY user_id, sid""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through Structured Streaming (the stateful merging
+    operator), complete-mode memory sink — batch/stream parity for
+    sessionization, checked against the same gap-CTE oracle as the batch
+    `session_window` query."""
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+    from core_telecoms_etl_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    ensure_session_confs(spark)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "value_sum")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_session_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_session_out")
