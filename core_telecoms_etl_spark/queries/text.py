@@ -382,3 +382,56 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
         ).alias("tf_idf"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                      for i in range(1, len(ts) - 1)]) AS shingles
+                FROM toks WHERE len(ts) >= 3),
+              ex AS (
+                SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n,
+                       unnest(shingles) AS shingle
+                FROM sh),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common,
+                       any_value(a.n) AS n_a, any_value(b.n) AS n_b
+                FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.8),
+              edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+              nodes AS (SELECT DISTINCT a AS node FROM edges),
+              reach(src, dst) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+              SELECT src AS doc_id, min(dst) AS component
+              FROM reach GROUP BY src""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS via iterative connected components
+    (min-label propagation, operators/graph.py) — the step that picks one
+    representative per duplicate group. The oracle computes the same
+    components with a recursive-CTE transitive closure."""
+    from core_telecoms_etl_spark.operators.graph import connected_components
+
+    pairs = dd.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+    )
+    cc = connected_components(
+        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
+    )
+    return cc.select(F.col("node").alias("doc_id"), "component")

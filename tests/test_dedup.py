@@ -94,3 +94,32 @@ def test_jaccard_max_shingle_freq_prunes(spark):
         _docs(spark), "doc_id", "text", n=3, threshold=0.1, max_shingle_freq=1
     )
     assert pairs.count() == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from core_telecoms_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), pair 10-11, and nothing for 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    out = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_shape(spark):
+    from core_telecoms_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], "src long, dst long"
+    )
+    out = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert set(out.values()) == {1}
