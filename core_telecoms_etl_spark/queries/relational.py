@@ -210,6 +210,79 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+@query(
+    "left_outer_join",
+    oracle="""SELECT c.c_custkey, c.c_mktsegment,
+                     coalesce(o.n_orders, 0) AS n_orders
+              FROM customer c
+              LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
+                         FROM orders GROUP BY o_custkey) o
+                ON c.c_custkey = o.o_custkey""",
+)
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched build-side rows (capability —
+    the ref's only SQL join shape is inner, facts/*.sql:12-17; outer joins
+    are required the moment the dims are incomplete). Aggregate-then-join:
+    orders collapses to one row per custkey BEFORE the join, so the shuffle
+    carries pre-aggregated counts, and zero-order customers surface with
+    n_orders=0 instead of silently dropping as they do in the ref's inner
+    shape. At 100 TB the aggregated side is orders-of-magnitude smaller
+    than the raw fact — often broadcast-able after AQE remeasures it."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+    )
+
+
+@query(
+    "full_outer_join",
+    oracle="""SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+                     coalesce(c.n_rich, 0) AS n_rich,
+                     coalesce(s.n_supp, 0) AS n_supp
+              FROM (SELECT c_nationkey, count(*) AS n_rich FROM customer
+                    WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+              FULL OUTER JOIN
+                   (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+                    WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+                ON c.c_nationkey = s.s_nationkey""",
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides on nation key (capability;
+    absent from the ref). The acctbal filters make BOTH sides sparse at
+    small SF (at sf0.01: 4 nations supplier-only, 10 customer-only), so
+    genuinely unmatched rows appear on both sides. Both inputs are
+    pre-aggregated to ≤ |nation| rows, so the outer join itself is tiny
+    regardless of base-table scale — the aggregate-then-join shape again."""
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_rich"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return rich.join(
+        supp, rich.c_nationkey == supp.s_nationkey, "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_rich", F.lit(0)).cast("bigint").alias("n_rich"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------
