@@ -60,12 +60,19 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # min-of-3 per query: one-shot wall times on a busy box conflate JVM
+    # GC / OS contention with plan cost; the min is the variance-proof
+    # estimate of what the plan actually costs.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

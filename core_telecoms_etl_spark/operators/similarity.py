@@ -46,6 +46,17 @@ def cosine_expr(a: Column | str, b: Column | str) -> Column:
     return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
 
 
+def cosine_from_norms(dot: Column, n2_a: Column, n2_b: Column) -> Column:
+    """cosine given a precomputed dot product and squared norms.
+
+    Identical expression tree to `cosine_expr` (dot / sqrt(n²a·n²b)) but
+    lets callers hoist the O(dim) norm folds out of pairwise scoring:
+    computed once per row below the join instead of once per pair above
+    it. On an N×Q scoring join this cuts the fold count from 2·N·Q to
+    N+Q while producing bit-identical doubles."""
+    return dot / F.sqrt(n2_a * n2_b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,14 +70,23 @@ def brute_force_topk(
     Plan shape: broadcast(queries) × corpus → score → window top-k.
     Returns (query_id, neighbor_id, cosine, rank)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2_expr(vec_col).alias("q_n2"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm2_expr(vec_col).alias("c_n2"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                dot_expr("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -89,11 +109,27 @@ def cosine_pairs(
     """All-pairs cosine above a threshold (embedding near-dup detection).
     Exact O(n²) scoring — the correctness baseline the LSH/IVF paths are
     judged against; at 100 TB use `lsh_topk`/IVF instead."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    d = df.select(
+        F.col(id_col), F.col(vec_col), norm2_expr(vec_col).alias("_n2")
+    )
+    a = d.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("_n2").alias("n2_a"),
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("_n2").alias("n2_b"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr("v_a", "v_b"))
+        .withColumn(
+            "cosine",
+            cosine_from_norms(
+                dot_expr("v_a", "v_b"), F.col("n2_a"), F.col("n2_b")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -128,9 +164,15 @@ def ivf_assign(
         if centroids is not None
         else _centroids(df, id_col, vec_col, n_centroids)
     )
-    scored = df.select(F.col(id_col), F.col(vec_col)).join(
-        F.broadcast(cents)
-    ).withColumn("sim", cosine_expr(vec_col, "centroid"))
+    cents_n = cents.withColumn("cent_n2", norm2_expr("centroid"))
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), norm2_expr(vec_col).alias("v_n2")
+    ).join(F.broadcast(cents_n)).withColumn(
+        "sim",
+        cosine_from_norms(
+            dot_expr(vec_col, "centroid"), F.col("v_n2"), F.col("cent_n2")
+        ),
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("sim").desc(), F.col("centroid_id")
     )
@@ -171,10 +213,17 @@ def ivf_topk(
         centroids=cents_in,
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2_expr(vec_col).alias("q_n2"),
     )
-    qc = q.join(F.broadcast(cents)).withColumn(
-        "sim", cosine_expr("q_vec", "centroid")
+    qc = q.join(
+        F.broadcast(cents.withColumn("cent_n2", norm2_expr("centroid")))
+    ).withColumn(
+        "sim",
+        cosine_from_norms(
+            dot_expr("q_vec", "centroid"), F.col("q_n2"), F.col("cent_n2")
+        ),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("centroid_id")
@@ -182,14 +231,17 @@ def ivf_topk(
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "q_n2", "centroid_id")
     )
-    cand = probes.join(assign, "centroid_id").filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    scored = cand.withColumn("cosine", cosine_expr("q_vec", vec_col)).select(
-        "query_id", F.col(id_col).alias("neighbor_id"), "cosine"
-    )
+    cand = probes.join(
+        assign.withColumn("c_n2", norm2_expr(vec_col)), "centroid_id"
+    ).filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine",
+        cosine_from_norms(
+            dot_expr("q_vec", vec_col), F.col("q_n2"), F.col("c_n2")
+        ),
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -252,20 +304,25 @@ def lsh_topk(
     c = random_hyperplane_sketch(corpus, vec_col=vec_col, n_bits=n_bits).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm2_expr(vec_col).alias("c_n2"),
         F.col("sketch").alias("c_sketch"),
     )
     q = random_hyperplane_sketch(queries, vec_col=vec_col, n_bits=n_bits).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm2_expr(vec_col).alias("q_n2"),
         F.col("sketch").alias("q_sketch"),
     )
     cand = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).filter(
         F.bit_count(F.col("c_sketch").bitwiseXOR(F.col("q_sketch")))
         <= max_hamming
     )
-    scored = cand.withColumn("cosine", cosine_expr("q_vec", "c_vec")).select(
-        "query_id", "neighbor_id", "cosine"
-    )
+    scored = cand.withColumn(
+        "cosine",
+        cosine_from_norms(
+            dot_expr("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")
+        ),
+    ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -296,9 +353,16 @@ def kmeans_centroids(
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
     cents = _centroids(df, id_col, vec_col, k)
     for _ in range(iters):
-        scored = df.select(id_col, vec_col).join(
-            F.broadcast(cents)
-        ).withColumn("sim", cosine_expr(vec_col, "centroid"))
+        scored = df.select(
+            id_col, vec_col, norm2_expr(vec_col).alias("v_n2")
+        ).join(
+            F.broadcast(cents.withColumn("cent_n2", norm2_expr("centroid")))
+        ).withColumn(
+            "sim",
+            cosine_from_norms(
+                dot_expr(vec_col, "centroid"), F.col("v_n2"), F.col("cent_n2")
+            ),
+        )
         w = Window.partitionBy(id_col).orderBy(
             F.col("sim").desc(), F.col("centroid_id")
         )
