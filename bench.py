@@ -30,7 +30,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "json_funcs",
-    "text_quality",
+    "text_profile",
     "near_dedup",
     "near_dedup_layered",
     "funnel",

@@ -15,71 +15,89 @@ from core_telecoms_etl_spark.sources.readers import load_table
 
 
 @query(
-    "dq_not_null",
-    oracle="""SELECT 'o_orderkey' AS column_name,
-                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
-              FROM orders
+    "dq_suite",
+    oracle="""SELECT 'not_null' AS check_type, 'orders.' || col AS target,
+                     v AS violations, v = 0 AS passed
+              FROM (
+                SELECT unnest(['o_orderkey', 'o_custkey', 'o_totalprice']) AS col,
+                       unnest([
+                         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       ]) AS v
+                FROM orders)
               UNION ALL
-              SELECT 'o_custkey',
-                     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-              FROM orders
+              SELECT 'unique', 'orders.o_orderkey',
+                     CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+                     coalesce(sum(c - 1), 0) = 0
+              FROM (SELECT count(*) AS c FROM orders
+                    GROUP BY o_orderkey HAVING count(*) > 1)
               UNION ALL
-              SELECT 'o_totalprice',
-                     CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              SELECT 'unique', 'lineitem.l_orderkey+l_linenumber',
+                     CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+                     coalesce(sum(c - 1), 0) = 0
+              FROM (SELECT count(*) AS c FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'accepted_values', 'orders.o_orderstatus',
+                     CAST(count(*) FILTER (
+                       o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+                     count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) = 0
               FROM orders""",
 )
-def dq_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 — not_null checks for three columns fused into ONE table scan
-    (vs one compiled query per dbt test), unpivoted via stack()."""
-    o = load_table(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    counts = o.agg(
+def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q2 — the dbt schema-test suite as ONE relation of
+    (check_type, target, violations, passed):
+
+    - not_null on three orders columns, fused into a single table scan
+      (vs one compiled query per dbt test), unpivoted via stack();
+    - unique on a single key (orders.o_orderkey) and a composite key
+      (lineitem.l_orderkey+l_linenumber) — excess-duplicate-row counts,
+      one partial-agg'd hash aggregate per key;
+    - accepted_values on orders.o_orderstatus — domain violations in the
+      same scan-and-aggregate shape.
+
+    Per-branch scans stay independent so each check still pushes its own
+    column pruning to parquet; the union is a plan concat, not a shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    # not_null: one scan, all columns aggregated at once, then unpivot
+    nn_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    nn_counts = orders.agg(
         *[
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(c)
-            for c in cols
+            for c in nn_cols
         ]
     )
-    stack_expr = ", ".join(f"'{c}', {c}" for c in cols)
-    return counts.selectExpr(
-        f"stack({len(cols)}, {stack_expr}) as (column_name, violations)"
+    stack_expr = ", ".join(f"'orders.{c}', {c}" for c in nn_cols)
+    not_null = nn_counts.selectExpr(
+        f"stack({len(nn_cols)}, {stack_expr}) as (target, violations)"
+    ).select(
+        F.lit("not_null").alias("check_type"),
+        "target",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
     )
 
-
-@query(
-    "dq_unique",
-    oracle="""SELECT 'orders.o_orderkey' AS key_name,
-                     CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS duplicate_rows
-              FROM (SELECT count(*) AS c FROM orders
-                    GROUP BY o_orderkey HAVING count(*) > 1)
-              UNION ALL
-              SELECT 'lineitem.l_orderkey+l_linenumber',
-                     CAST(coalesce(sum(c - 1), 0) AS BIGINT)
-              FROM (SELECT count(*) AS c FROM lineitem
-                    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)""",
-)
-def dq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2 — unique-key checks (single- and composite-key): count of excess
-    duplicate rows per key. One hash aggregate per key, partial-agg'd."""
-
     def dup_count(df: DataFrame, key_name: str, *cols: str) -> DataFrame:
+        excess = F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("long")
         return (
             df.groupBy(*cols)
             .count()
             .filter(F.col("count") > 1)
             .agg(
-                F.lit(key_name).alias("key_name"),
-                F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
-                .cast("long")
-                .alias("duplicate_rows"),
+                F.lit("unique").alias("check_type"),
+                F.lit(key_name).alias("target"),
+                excess.alias("violations"),
+                (excess == 0).alias("passed"),
             )
-            .select("key_name", "duplicate_rows")
+            .select("check_type", "target", "violations", "passed")
         )
 
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return dup_count(orders, "orders.o_orderkey", "o_orderkey").unionByName(
+    uniq = dup_count(orders, "orders.o_orderkey", "o_orderkey").unionByName(
         dup_count(
             lineitem,
             "lineitem.l_orderkey+l_linenumber",
@@ -88,26 +106,14 @@ def dq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-@query(
-    "dq_accepted_values",
-    oracle="""SELECT 'o_orderstatus' AS column_name,
-                     CAST(count(*) FILTER (
-                       o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
-                       AS n_violations,
-                     count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
-                       = 0 AS passed
-              FROM orders""",
-)
-def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dbt accepted_values check as a relation (sibling of dq_not_null /
-    dq_unique): domain violations counted in one aggregate pass."""
-    orders = load_table(spark, sf_dir, "orders")
-    viol = F.sum(
+    av_viol = F.sum(
         F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
     ).cast("long")
-    return orders.agg(
-        F.lit("o_orderstatus").alias("column_name"),
-        viol.alias("n_violations"),
-        (viol == 0).alias("passed"),
+    accepted = orders.agg(
+        F.lit("accepted_values").alias("check_type"),
+        F.lit("orders.o_orderstatus").alias("target"),
+        av_viol.alias("violations"),
+        (av_viol == 0).alias("passed"),
     )
+
+    return not_null.unionByName(uniq).unionByName(accepted)

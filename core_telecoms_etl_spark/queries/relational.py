@@ -70,28 +70,14 @@ def json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "projection_alias",
-    oracle="""SELECT c_custkey AS customer_id, c_name AS customer_name,
-              c_mktsegment AS segment FROM customer""",
-)
-def projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aliased projection (ref: dbt dim models' SELECT lists,
-    dimensions/dim_customers.sql:4-12)."""
-    return load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("customer_id"),
-        F.col("c_name").alias("customer_name"),
-        F.col("c_mktsegment").alias("segment"),
-    )
-
-
-@query(
     "rename_map",
     oracle="""SELECT c_custkey AS customer_id, c_name AS customer_name,
               c_acctbal AS account_balance FROM customer""",
 )
 def rename_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bulk rename-map projection (ref: five rename maps at
-    pipeline.py:49-99 applied via df.rename, plugins/transform.py:91-92)."""
+    """P1+P2 — aliased / bulk rename-map projection (ref: five rename maps
+    at pipeline.py:49-99 applied via df.rename, plugins/transform.py:91-92;
+    dbt dim models' aliased SELECT lists, dimensions/dim_customers.sql:4-12)."""
     df = rename_columns(
         load_table(spark, sf_dir, "customer"),
         {
@@ -372,25 +358,6 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rollup_agg",
-    oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS total_price
-              FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
-)
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-level rollup (capability A6): status × priority, per-status,
-    and grand total in one pass (Spark Expand + single shuffle)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
@@ -492,28 +459,15 @@ def order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "limit",
-    oracle="SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 10",
-)
-def limit_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic LIMIT under a total order (ref: first-file pick,
-    plugins/snowflake_load.py:234-235)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey")
-        .orderBy("o_orderkey")
-        .limit(10)
-    )
-
-
-@query(
     "top_k",
     oracle="""SELECT c_custkey, c_name, c_acctbal FROM customer
               ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
 )
 def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k (capability O3). Spark plans TakeOrderedAndProject: per-
-    partition heaps + driver merge of k rows — never a full global sort."""
+    """O2+O3 — deterministic LIMIT under a total order ≡ top-k (ref:
+    first-file pick, plugins/snowflake_load.py:234-235). Spark plans
+    TakeOrderedAndProject: per-partition heaps + driver merge of k rows —
+    never a full global sort."""
     return (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
@@ -528,52 +482,35 @@ def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "union_all",
-    oracle="""SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    "set_ops",
+    oracle="""SELECT 'except' AS op, c_custkey
+              FROM (SELECT c_custkey FROM customer
+                    EXCEPT SELECT o_custkey AS c_custkey FROM orders)
               UNION ALL
-              SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000""",
+              SELECT 'intersect' AS op, c_custkey
+              FROM (SELECT c_custkey FROM customer
+                    INTERSECT SELECT o_custkey AS c_custkey FROM orders)""",
 )
-def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag union (ref: daily-file append merge ≡ UNION ALL, README.md:23;
-    by-name resolution via unionByName ≡ MATCH_BY_COLUMN_NAME)."""
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderstatus"
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2+U3 in one relation: customers-without-orders (EXCEPT — the
+    ref's new-files = source keys ∖ processed keys, plugins/s3_copy.py:
+    84-99) and customers-with-orders (INTERSECT), tagged and bag-unioned
+    (UNION ALL ≡ the ref's daily-file append merge, README.md:23; by-name
+    resolution via unionByName ≡ MATCH_BY_COLUMN_NAME). Both set ops are
+    single hash-distinct shuffles on the projected key; the union is a
+    free plan concat."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    ex = customer.subtract(ordered).select(
+        F.lit("except").alias("op"), "c_custkey"
     )
     # deliberately shuffled column order: unionByName resolves it
-    b = orders.filter(F.col("o_totalprice") > 100000).select(
-        "o_orderstatus", "o_orderkey"
+    inter = customer.intersect(ordered).select(
+        "c_custkey", F.lit("intersect").alias("op")
     )
-    return a.unionByName(b)
-
-
-@query(
-    "except_op",
-    oracle="""SELECT c_custkey FROM customer
-              EXCEPT SELECT o_custkey AS c_custkey FROM orders""",
-)
-def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (ref: new-files = source keys ∖ processed keys,
-    plugins/s3_copy.py:84-99)."""
-    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    ordered = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return customer.subtract(ordered)
-
-
-@query(
-    "intersect_op",
-    oracle="""SELECT c_custkey FROM customer
-              INTERSECT SELECT o_custkey AS c_custkey FROM orders""",
-)
-def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (capability U3)."""
-    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    ordered = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return customer.intersect(ordered)
+    return ex.unionByName(inter)
 
 
 # ---------------------------------------------------------------------------
@@ -656,9 +593,10 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE aggregation (capability A6 sibling of rollup_agg): all 4
-    grouping-set combinations in one pass (Spark Expand + single shuffle,
-    not 4 scans)."""
+    """A6 — CUBE aggregation: all 4 grouping-set combinations (the
+    superset of ROLLUP's 3 and of any 2-column GROUPING SETS) in one pass
+    — Spark's Expand feeds a single shuffle, not 4 scans. The same Expand
+    mechanism implements .rollup()/.groupingSets()."""
     return (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -687,27 +625,6 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
-    )
-
-
-@query(
-    "grouping_sets",
-    oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-              FROM orders
-              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
-)
-def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form of rollup/cube): two
-    independent groupings in ONE pass — Spark's Expand feeds a single
-    shuffle instead of scanning the fact twice."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupingSets(
-            [["o_orderstatus"], ["o_orderpriority"]],
-            "o_orderstatus",
-            "o_orderpriority",
-        )
-        .agg(F.count("*").alias("n_orders"))
     )
 
 

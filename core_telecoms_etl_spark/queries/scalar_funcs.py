@@ -17,41 +17,12 @@ from core_telecoms_etl_spark.sources.readers import load_table
 
 
 @query(
-    "string_trim",
-    oracle="""SELECT c_custkey, trim('  ' || c_name || '  ') AS trimmed,
-                     ltrim('  ' || c_name) AS lefttrimmed
-              FROM customer""",
-)
-def string_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 — trim (ref: per-column strip lambda, plugins/transform.py:104-107,
-    replaced by codegen'd F.trim)."""
-    c = load_table(spark, sf_dir, "customer")
-    padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
-    return c.select(
-        "c_custkey",
-        F.trim(padded).alias("trimmed"),
-        F.ltrim(F.concat(F.lit("  "), F.col("c_name"))).alias("lefttrimmed"),
-    )
-
-
-@query(
-    "string_case",
-    oracle="""SELECT c_custkey, upper(c_name) AS name_upper,
-                     lower(c_mktsegment) AS segment_lower FROM customer""",
-)
-def string_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 — case conversion (ref: identifier upper-casing,
-    plugins/snowflake_load.py:152-154)."""
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.upper("c_name").alias("name_upper"),
-        F.lower("c_mktsegment").alias("segment_lower"),
-    )
-
-
-@query(
     "string_funcs",
     oracle="""SELECT c_custkey,
+                     trim('  ' || c_name || '  ')                  AS trimmed,
+                     ltrim('  ' || c_name)                         AS lefttrimmed,
+                     upper(c_name)                                 AS name_upper,
+                     lower(c_mktsegment)                           AS segment_lower,
                      split_part(c_name, '#', 2)                    AS name_num,
                      CAST(length(c_name) AS BIGINT)                AS name_len,
                      substr(c_name, 1, 8)                          AS name_prefix,
@@ -60,10 +31,20 @@ def string_case(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM customer""",
 )
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3/F4 — split/substring/regexp/concat (ref: key rsplit + basename
-    rewrites, plugins/s3_copy.py:97, plugins/transform.py:159)."""
-    return load_table(spark, sf_dir, "customer").select(
+    """F1–F4 in one projection — trim (ref: per-column strip lambda,
+    plugins/transform.py:104-107, replaced by codegen'd F.trim), case
+    conversion (ref: identifier upper-casing, plugins/snowflake_load.py:
+    152-154), split/substring/regexp/concat (ref: key rsplit + basename
+    rewrites, plugins/s3_copy.py:97, plugins/transform.py:159). One scan,
+    one codegen stage."""
+    c = load_table(spark, sf_dir, "customer")
+    padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
+    return c.select(
         "c_custkey",
+        F.trim(padded).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), F.col("c_name"))).alias("lefttrimmed"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
         F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
@@ -133,16 +114,32 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_funcs",
     oracle="""SELECT event_id, event_type,
-                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     json_extract_string(props, '$.s') AS s,
+                     CAST(json_extract_string(props, '$.f') AS DOUBLE) AS f
               FROM events""",
 )
 def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 — JSON field extraction (ref: record-JSON complaint parsing,
-    plugins/s3_copy.py:113-114; here on the events.props JSON column)."""
-    return load_table(spark, sf_dir, "events").select(
+    """F7 — both JSON surfaces in one projection (ref: record-JSON
+    complaint parsing, plugins/s3_copy.py:113-114): path extraction via
+    get_json_object (one field, no full parse) AND typed from_json into a
+    struct (one parse per row, then struct field access — cheaper than
+    repeated get_json_object when several fields are read)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
         "event_id",
         "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.from_json("props", "k long, s string, f double").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        "event_type",
+        "k_value",
+        F.col("p.k").alias("k"),
+        F.col("p.s").alias("s"),
+        F.col("p.f").alias("f"),
     )
 
 
@@ -287,28 +284,3 @@ def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "json_struct_parse",
-    oracle="""SELECT event_id,
-                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-                     json_extract_string(props, '$.s') AS s,
-                     CAST(json_extract_string(props, '$.f') AS DOUBLE) AS f
-              FROM events""",
-)
-def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 — full typed JSON parsing via from_json into a struct (one parse
-    per row, then struct field access — cheaper than repeated
-    get_json_object calls when several fields are read)."""
-    from core_telecoms_etl_spark.sources.readers import load_table
-
-    ev = load_table(spark, sf_dir, "events")
-    parsed = ev.select(
-        "event_id",
-        F.from_json("props", "k long, s string, f double").alias("p"),
-    )
-    return parsed.select(
-        "event_id",
-        F.col("p.k").alias("k"),
-        F.col("p.s").alias("s"),
-        F.col("p.f").alias("f"),
-    )

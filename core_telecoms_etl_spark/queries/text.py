@@ -26,23 +26,75 @@ _STOP = "['the','a','of','and','to','in','is','it','for','on']"
 _ZH = "CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT)"
 
 
+_POS = "['good','great','excellent','happy','love','best']"
+_NEG = "['bad','poor','terrible','angry','hate','worst']"
+
+
 @query(
-    "text_token_count",
+    "text_profile",
     oracle=f"""SELECT doc_id, lang,
+                 CAST(length(text) AS BIGINT) AS n_chars,
                  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
                  CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
                  CAST(len(regexp_extract_all(text,
-                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+                 CAST(len(list_distinct({_TOKS})) AS BIGINT) / CAST(len({_TOKS}) AS BIGINT)
+                   AS type_token_ratio,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                   / CAST(length(text) AS BIGINT) AS alpha_ratio,
+                 {_MARK(_STOP)} / CAST(len({_TOKS}) AS BIGINT) AS stopword_ratio,
+                 (CAST(len(list_distinct({_TOKS})) AS BIGINT) / CAST(len({_TOKS}) AS BIGINT)) * 0.4
+                   + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+                      / CAST(length(text) AS BIGINT)) * 0.4
+                   + least(({_MARK(_STOP)} / CAST(len({_TOKS}) AS BIGINT)) * 4.0, 1.0) * 0.2
+                   AS quality_score,
+                 CASE WHEN {_MARK(_EN)} >= greatest({_MARK(_ES)}, {_MARK(_DE)},
+                                                    {_MARK(_FR)}, {_ZH}) THEN 'en'
+                      WHEN {_MARK(_ES)} >= greatest({_MARK(_DE)}, {_MARK(_FR)},
+                                                    {_ZH}) THEN 'es'
+                      WHEN {_MARK(_DE)} >= greatest({_MARK(_FR)}, {_ZH}) THEN 'de'
+                      WHEN {_MARK(_FR)} >= {_ZH} THEN 'fr'
+                      ELSE 'zh' END AS predicted_lang,
+                 {_MARK(_POS)} AS n_positive,
+                 {_MARK(_NEG)} AS n_negative,
+                 ({_MARK(_POS)} - {_MARK(_NEG)})
+                   / ({_MARK(_POS)} + {_MARK(_NEG)} + 1) AS polarity,
+                 md5(text) AS fp_md5,
+                 sha256(text) AS fp_sha256,
+                 sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS fp_normalized
                FROM documents""",
 )
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 — whitespace + BPE-style-regex token counting, all codegen'd."""
-    return load_table(spark, sf_dir, "documents").select(
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the full per-document text-analysis profile in ONE scan and
+    one codegen stage: token counting (whitespace + BPE-style regex),
+    quality scoring (every ratio derives from integer counts, so the
+    doubles are bit-identical across engines — no rounding), marker-token
+    language-ID with a fixed tie-break priority, lexicon sentiment
+    (integer-derived smoothed polarity), and exact + whitespace/case-
+    normalized fingerprints. At 100 TB this is the shape you want anyway:
+    one pass over the corpus computing every per-doc signal, not five."""
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_components("text")
+    pos, neg = tx.sentiment_counts("text")
+    return d.select(
         "doc_id",
         "lang",
+        q["n_chars"].alias("n_chars"),
         tx.token_count("text").alias("n_tokens"),
         tx.distinct_token_count("text").alias("n_distinct_tokens"),
         tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        q["type_token_ratio"].alias("type_token_ratio"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality_score"),
+        tx.predicted_lang("text").alias("predicted_lang"),
+        pos.alias("n_positive"),
+        neg.alias("n_negative"),
+        tx.sentiment_polarity("text").alias("polarity"),
+        F.md5("text").alias("fp_md5"),
+        tx.content_sha256("text").alias("fp_sha256"),
+        tx.normalized_sha256("text").alias("fp_normalized"),
     )
 
 
@@ -57,91 +109,6 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-byte digests, not document bodies."""
     return dd.exact_dedup(
         load_table(spark, sf_dir, "documents"), "text", "doc_id"
-    )
-
-
-@query(
-    "doc_fingerprint",
-    oracle="""SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
-                     sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-                       AS fp_normalized
-              FROM documents""",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: exact + whitespace/case-normalized digests."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5("text").alias("fp_md5"),
-        tx.content_sha256("text").alias("fp_sha256"),
-        tx.normalized_sha256("text").alias("fp_normalized"),
-    )
-
-
-@query(
-    "lang_id",
-    oracle=f"""WITH s AS (
-                 SELECT doc_id, lang,
-                        {_MARK(_EN)} AS s_en, {_MARK(_ES)} AS s_es,
-                        {_MARK(_DE)} AS s_de, {_MARK(_FR)} AS s_fr,
-                        {_ZH} AS s_zh
-                 FROM documents)
-               SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
-                      CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
-                           WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
-                           WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
-                           WHEN s_fr >= s_zh THEN 'fr'
-                           ELSE 'zh' END AS predicted_lang
-               FROM s""",
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID heuristic with a fixed tie-break priority.
-    (The synthetic corpus shares one vocabulary across `lang` labels, so
-    the heuristic's value here is determinism, not label recovery.)"""
-    d = load_table(spark, sf_dir, "documents")
-    s = tx.lang_scores("text")
-    return d.select(
-        "doc_id",
-        "lang",
-        s["en"].alias("s_en"),
-        s["es"].alias("s_es"),
-        s["de"].alias("s_de"),
-        s["fr"].alias("s_fr"),
-        s["zh"].alias("s_zh"),
-        tx.predicted_lang("text").alias("predicted_lang"),
-    )
-
-
-@query(
-    "text_quality",
-    oracle=f"""SELECT doc_id,
-                 CAST(length(text) AS BIGINT) AS n_chars,
-                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-                 CAST(len(list_distinct({_TOKS})) AS BIGINT) / CAST(len({_TOKS}) AS BIGINT)
-                   AS type_token_ratio,
-                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
-                   / CAST(length(text) AS BIGINT) AS alpha_ratio,
-                 {_MARK(_STOP)} / CAST(len({_TOKS}) AS BIGINT) AS stopword_ratio,
-                 (CAST(len(list_distinct({_TOKS})) AS BIGINT) / CAST(len({_TOKS}) AS BIGINT)) * 0.4
-                   + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
-                      / CAST(length(text) AS BIGINT)) * 0.4
-                   + least(({_MARK(_STOP)} / CAST(len({_TOKS}) AS BIGINT)) * 4.0, 1.0) * 0.2
-                   AS quality_score
-               FROM documents""",
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: every ratio derives from integer counts, so the
-    doubles are bit-identical across engines (no rounding needed)."""
-    d = load_table(spark, sf_dir, "documents")
-    q = tx.quality_components("text")
-    return d.select(
-        "doc_id",
-        q["n_chars"].alias("n_chars"),
-        q["n_tokens"].alias("n_tokens"),
-        q["type_token_ratio"].alias("type_token_ratio"),
-        q["alpha_ratio"].alias("alpha_ratio"),
-        q["stopword_ratio"].alias("stopword_ratio"),
-        tx.quality_score("text").alias("quality_score"),
     )
 
 
@@ -266,53 +233,6 @@ def near_dedup_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.col("copies_a").cast("long").alias("copies_a"),
         F.col("copies_b").cast("long").alias("copies_b"),
-    )
-
-
-@query(
-    "explode_tokens",
-    oracle="""WITH toks AS (
-                SELECT doc_id,
-                       list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
-                FROM documents)
-              SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS token
-              FROM toks, unnest(generate_series(1, len(ts))) AS u(i)""",
-)
-def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generator/flatMap surface: posexplode of the token array into
-    (doc, position, token) rows — the relational form of tokenized text
-    that downstream n-gram / TF jobs consume."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
-    )
-
-
-_POS = "['good','great','excellent','happy','love','best']"
-_NEG = "['bad','poor','terrible','angry','hate','worst']"
-
-
-@query(
-    "sentiment_score",
-    oracle=f"""SELECT doc_id,
-                 {_MARK(_POS)} AS n_positive,
-                 {_MARK(_NEG)} AS n_negative,
-                 ({_MARK(_POS)} - {_MARK(_NEG)})
-                   / ({_MARK(_POS)} + {_MARK(_NEG)} + 1) AS polarity
-               FROM documents""",
-)
-def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-based sentiment scoring (the embarrassingly-parallel
-    primitive behind large-scale sentiment analysis on Spark): marker
-    counts + smoothed polarity, all integer-derived → exact across
-    engines."""
-    d = load_table(spark, sf_dir, "documents")
-    pos, neg = tx.sentiment_counts("text")
-    return d.select(
-        "doc_id",
-        pos.alias("n_positive"),
-        neg.alias("n_negative"),
-        tx.sentiment_polarity("text").alias("polarity"),
     )
 
 

@@ -90,7 +90,7 @@ def test_top_k_plans_take_ordered(spark, sf_dir):
 def test_whole_stage_codegen_covers_text_ops(spark, sf_dir):
     from core_telecoms_etl_spark.queries import queries
 
-    plan = _formatted(queries()["text_quality"](spark, sf_dir))
+    plan = _formatted(queries()["text_profile"](spark, sf_dir))
     assert "Batched: true" in plan  # vectorized parquet reader
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan  # and no pandas UDF either
