@@ -3,13 +3,14 @@
 The reference's only correctness mechanism is dbt schema tests — not_null
 and unique on business keys (dbt/coretelecom/models/facts/schema.yml:7-26,
 dimensions/schema.yml:5-9), compiled to SQL and run by `dbt test`. Here each
-check is a DataFrame aggregation returning a violation count, so a whole
-suite collapses into a handful of scans; `violations_df` exposes the same
-result as a DataFrame for the declared `dq_not_null` / `dq_unique` queries.
+check is a DataFrame aggregation returning a violation count, and a table's
+whole suite (`checks_df`) is ONE unioned relation — a single Spark action,
+not one compiled query per test; the declared `dq_suite` query exposes the
+same shape to the oracle harness.
 
-Scale: each unique check is one hash aggregate on the key (map-side partial
-combine, AQE-coalesced); not_null checks on the same table are fused into a
-single pass via `run_checks`'s grouped aggregation.
+Scale: all scalar checks (not_null / accepted_values) fuse into one
+aggregate over one scan; each unique key is one hash aggregate on the key
+(map-side partial combine, AQE-coalesced), unioned into the same plan.
 """
 
 from __future__ import annotations
@@ -65,17 +66,94 @@ def check_accepted_values(
     return [DQResult("accepted_values", column, int(n))]
 
 
+def checks_df(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    accepted_values: dict[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """A table's whole check suite as ONE relation of
+    (check_name, column_name, violations).
+
+    All scalar checks (not_null + accepted_values) fuse into a single
+    aggregate over one scan; each unique key is necessarily its own
+    hash aggregate (different group keys), but all branches union into
+    one plan, so materializing it is one Spark action — not one job per
+    check the way `dbt test` compiles."""
+    branches: list[DataFrame] = []
+
+    scalar_aggs = []
+    scalar_rows: list[tuple[str, str]] = []  # (check_name, column)
+    for c in not_null:
+        scalar_aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{c}")
+        )
+        scalar_rows.append(("not_null", c))
+    for c, values in (accepted_values or {}).items():
+        scalar_aggs.append(
+            F.sum(
+                F.when(
+                    ~F.col(c).isin(list(values)) & F.col(c).isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"av_{c}")
+        )
+        scalar_rows.append(("accepted_values", c))
+    if scalar_aggs:
+        stack = ", ".join(
+            f"'{check}', '{col}', {'nn_' if check == 'not_null' else 'av_'}{col}"
+            for check, col in scalar_rows
+        )
+        branches.append(
+            df.agg(*scalar_aggs).selectExpr(
+                f"stack({len(scalar_rows)}, {stack})"
+                " as (check_name, column_name, violations)"
+            )
+        )
+
+    for key in unique:
+        branches.append(
+            df.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(
+                F.lit("unique").alias("check_name"),
+                F.lit(key).alias("column_name"),
+                F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+                .cast("long")
+                .alias("violations"),
+            )
+            .select("check_name", "column_name", "violations")
+        )
+
+    if not branches:
+        raise ValueError("checks_df: no checks requested")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def run_checks(
     df: DataFrame,
     not_null: Sequence[str] = (),
     unique: Sequence[str] = (),
+    accepted_values: dict[str, Sequence[str]] | None = None,
 ) -> list[DQResult]:
-    results: list[DQResult] = []
-    if not_null:
-        results.extend(check_not_null(df, not_null))
-    if unique:
-        results.extend(check_unique(df, unique))
-    return results
+    """Run a table's suite via `checks_df` — one collect (one Spark
+    action) regardless of the number of checks."""
+    if not (not_null or unique or accepted_values):
+        return []
+    rows = checks_df(
+        df, not_null=not_null, unique=unique, accepted_values=accepted_values
+    ).collect()
+    return [
+        DQResult(r.check_name, r.column_name, int(r.violations)) for r in rows
+    ]
 
 
 def violations_df(spark: SparkSession, results: Sequence[DQResult]) -> DataFrame:

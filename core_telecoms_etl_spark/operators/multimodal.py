@@ -2,9 +2,11 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed metadata.
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures, partition
-sizing — is real and tested; the actual codec step is stubbed behind
-`NotImplementedError` (no image/audio libraries in this container) with a
-deterministic fake decoder for tests.
+sizing — is real and tested. Codecs are injected (callable or registered
+name): the default stub raises `NotImplementedError` loudly (no image/audio
+libraries ship in this container), while `ppm_decoder`/`ppm_resizer` are
+REAL pure-Python codecs for binary PPM (P6) that exercise the non-stub
+path end-to-end; swap in PIL/libvips via the same hook on a cluster image.
 
 Scale notes:
 - Binary payloads ride in parquet with metadata columns alongside; filters
@@ -63,19 +65,87 @@ def deterministic_fake_decoder(payload: bytes) -> list[float]:
     return [n, s / n, mx, mn]
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary-PPM (P6) header — magic, width, height, maxval,
+    with `#` comments — and return (width, height, maxval, pixel_bytes).
+    Pure header arithmetic; no image library."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace byte after maxval, then raw RGB
+    width, height, maxval = tokens
+    pixels = payload[i : i + 3 * width * height]
+    if len(pixels) != 3 * width * height:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, maxval, pixels
+
+
+def ppm_decoder(payload: bytes) -> list[float]:
+    """REAL codec (pure Python, no external library): decodes binary PPM
+    (P6) images into [width, height, mean_r, mean_g, mean_b]. Exercises
+    the same inject-a-decoder path a PIL/libvips codec would use on a
+    cluster image — header struct parse + per-channel pixel math."""
+    width, height, _, pixels = _parse_ppm(payload)
+    n = width * height
+    sums = [0, 0, 0]
+    for p in range(n):
+        base = 3 * p
+        sums[0] += pixels[base]
+        sums[1] += pixels[base + 1]
+        sums[2] += pixels[base + 2]
+    return [
+        float(width),
+        float(height),
+        sums[0] / n,
+        sums[1] / n,
+        sums[2] / n,
+    ]
+
+
+def ppm_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """REAL resizer (pure Python): nearest-neighbor resample of a P6 PPM
+    to w×h, re-emitting a valid P6 payload."""
+    sw, sh, maxval, pixels = _parse_ppm(payload)
+    out = bytearray(f"P6\n{w} {h}\n{maxval}\n".encode())
+    for y in range(h):
+        sy = min(sh - 1, (y * sh) // h)
+        for x in range(w):
+            sx = min(sw - 1, (x * sw) // w)
+            base = 3 * (sy * sw + sx)
+            out += pixels[base : base + 3]
+    return bytes(out)
+
+
+
+
 def decode_features(
     df: DataFrame,
     *,
     id_col: str = "media_id",
     mime_col: str = "mime",
     payload_col: str = "payload",
-    decoder: Callable[[bytes], list[float]] = decode_image_stub,
+    decoder: str | Callable[[bytes], list[float]] = decode_image_stub,
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Arrow-batched decode → feature extraction via mapInPandas.
 
     The UDF signature, output schema, and batch iteration are the
-    production shape; only `decoder` is environment-specific."""
+    production shape; only `decoder` is environment-specific — pass a
+    callable or a registered codec name (see DECODERS, e.g. "ppm")."""
+    decoder = resolve_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,14 +195,17 @@ def resize_images(
     id_col: str = "media_id",
     mime_col: str = "mime",
     payload_col: str = "payload",
-    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    resizer: str | Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Arrow-batched image resize via mapInPandas — the standard
     pre-embedding normalization step. The codec is injected (`resizer`);
     without one this raises NotImplementedError per batch, loudly (no
     image library ships in this container). The Spark-side shape —
     batch iteration, output schema with the new dimensions, binary
-    passthrough — is the production plumbing."""
+    passthrough — is the production plumbing. `resizer` accepts a
+    callable or a registered codec name (see RESIZERS, e.g. "ppm")."""
+    if resizer is not None:
+        resizer = resolve_resizer(resizer)
     tw, th = target
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,3 +239,41 @@ def deterministic_fake_resizer(payload: bytes, w: int, h: int) -> bytes:
     if not payload:
         return b"\x00" * need
     return (payload * (need // len(payload) + 1))[:need]
+
+
+# name → codec, for configuration-driven injection: a pipeline config can
+# name the codec ("ppm") instead of importing a callable.
+DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "fake": deterministic_fake_decoder,
+    "ppm": ppm_decoder,
+}
+RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {
+    "fake": deterministic_fake_resizer,
+    "ppm": ppm_resizer,
+}
+
+
+def resolve_decoder(
+    decoder: str | Callable[[bytes], list[float]],
+) -> Callable[[bytes], list[float]]:
+    if callable(decoder):
+        return decoder
+    try:
+        return DECODERS[decoder]
+    except KeyError:
+        raise ValueError(
+            f"unknown decoder {decoder!r}; registered: {sorted(DECODERS)}"
+        ) from None
+
+
+def resolve_resizer(
+    resizer: str | Callable[[bytes, int, int], bytes],
+) -> Callable[[bytes, int, int], bytes]:
+    if callable(resizer):
+        return resizer
+    try:
+        return RESIZERS[resizer]
+    except KeyError:
+        raise ValueError(
+            f"unknown resizer {resizer!r}; registered: {sorted(RESIZERS)}"
+        ) from None

@@ -58,30 +58,65 @@ class IncrementalLoader:
         except Exception:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def new_files(self, folder: str, files: Sequence[str]) -> list[str]:
-        """Set-at-a-time discovery: candidates ∖ manifest via left_anti
-        (replaces the reference's per-file COUNT(*) ledger probe,
-        plugins/snowflake_load.py:108-121). The manifest side is broadcast —
-        no shuffle of the candidate list."""
-        if not files:
-            return []
-        cand = self.spark.createDataFrame(
-            [(folder, f) for f in files], "folder_name string, file_name string"
-        )
-        new = cand.join(
+    def new_files_df(
+        self, folder: str, files: Sequence[str] | DataFrame
+    ) -> DataFrame:
+        """PRIMARY interface — set-at-a-time discovery: candidates ∖
+        manifest via left_anti (replaces the reference's per-file COUNT(*)
+        ledger probe, plugins/snowflake_load.py:108-121). The manifest side
+        is broadcast — no shuffle of the candidate list. Returns a
+        DataFrame of (folder_name, file_name) that never touches the
+        driver: at the millions-of-files end, feed it straight to
+        `record_df` / downstream joins and collect only counts.
+
+        `files` may be a Sequence[str] of names (small case) or a
+        DataFrame with a `file_name` column (e.g. a listing table), which
+        stays distributed end-to-end."""
+        if isinstance(files, DataFrame):
+            cand = files.select(
+                F.lit(folder).alias("folder_name"), "file_name"
+            )
+        else:
+            cand = self.spark.createDataFrame(
+                [(folder, f) for f in files],
+                "folder_name string, file_name string",
+            )
+        return cand.join(
             F.broadcast(self.manifest()),
             ["folder_name", "file_name"],
             "left_anti",
         )
-        return [r.file_name for r in new.collect()]
+
+    def new_files(self, folder: str, files: Sequence[str]) -> list[str]:
+        """List helper over `new_files_df` for small candidate sets (the
+        common per-batch case, where the new-file names must reach the
+        driver anyway to build the read paths)."""
+        if not files:
+            return []
+        return [
+            r.file_name
+            for r in self.new_files_df(folder, files)
+            .select("file_name")
+            .collect()
+        ]
+
+    def record_df(self, new_df: DataFrame) -> None:
+        """Append manifest entries straight from the (folder_name,
+        file_name) DataFrame — no driver round-trip; the new-file set
+        stays distributed from discovery through commit."""
+        new_df.select("folder_name", "file_name").withColumn(
+            "loaded_at", F.current_timestamp()
+        ).write.mode("append").parquet(self.manifest_path)
 
     def record(self, folder: str, files: Sequence[str]) -> None:
         if not files:
             return
-        entries = self.spark.createDataFrame(
-            [(folder, f) for f in files], "folder_name string, file_name string"
-        ).withColumn("loaded_at", F.current_timestamp())
-        entries.write.mode("append").parquet(self.manifest_path)
+        self.record_df(
+            self.spark.createDataFrame(
+                [(folder, f) for f in files],
+                "folder_name string, file_name string",
+            )
+        )
 
     def run(
         self,
@@ -93,7 +128,10 @@ class IncrementalLoader:
     ) -> LoadReport:
         """Filter candidates by extension (the reference's suffix predicate,
         plugins/s3_copy.py:92-93), anti-join against the manifest, process
-        all new files as ONE multi-file batch, then record them."""
+        all new files as ONE multi-file batch, then record them. The
+        `process` callback takes the new-file list (it must build reader
+        paths on the driver regardless); the manifest bookkeeping itself
+        runs through the DataFrame path."""
         candidates = [
             f for f in files if os.path.splitext(f)[1].lower() in extensions
         ]

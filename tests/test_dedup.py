@@ -123,3 +123,47 @@ def test_connected_components_star_shape(spark):
         r.node: r.component for r in connected_components(edges).collect()
     }
     assert set(out.values()) == {1}
+
+
+def test_large_small_star_matches_min_label_on_random_graphs(spark):
+    """Property check: the O(log n) large-star/small-star variant computes
+    byte-identical components to min-label propagation on seeded random
+    graphs ≥1k nodes, including the shapes that stress each algorithm
+    (sparse forest of many components; a long chain, worst case for
+    min-label; plus a dense-ish blob)."""
+    import random
+
+    from core_telecoms_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    cases = []
+    # sparse: 1200 nodes, 700 random edges -> many small components
+    cases.append(
+        [(rng.randrange(1200), rng.randrange(1200)) for _ in range(700)]
+    )
+    # chain of 150 nodes (diameter 149) + 1000 extra random nodes/edges
+    chain = [(i, i + 1) for i in range(5000, 5150)]
+    cases.append(
+        chain + [(rng.randrange(2000), rng.randrange(2000)) for _ in range(500)]
+    )
+    # denser blob: 1000 nodes, 2500 edges
+    cases.append(
+        [(rng.randrange(1000), rng.randrange(1000)) for _ in range(2500)]
+    )
+
+    for i, raw in enumerate(cases):
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in raw if a != b], "src long, dst long"
+        )
+        ml = {
+            r.node: r.component
+            for r in connected_components(edges, max_iter=200).collect()
+        }
+        ls = {
+            r.node: r.component
+            for r in connected_components_star(edges).collect()
+        }
+        assert ml == ls, f"case {i}: mismatch"

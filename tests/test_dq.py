@@ -36,6 +36,37 @@ def test_run_checks_combined(spark):
     assert [r.check for r in res] == ["not_null", "unique"]
 
 
+def test_run_checks_single_action_all_check_types(spark):
+    """The fused suite: not_null + accepted_values share one aggregate,
+    unique keys union into the same plan — results match the per-check
+    helpers exactly."""
+    df = _df(spark)
+    res = dq.run_checks(
+        df,
+        not_null=["k", "v"],
+        unique=["k", "v"],
+        accepted_values={"v": ["a", "b"]},
+    )
+    got = {(r.check, r.column): r.violations for r in res}
+    assert got == {
+        ("not_null", "k"): 1,
+        ("not_null", "v"): 1,
+        ("accepted_values", "v"): 1,
+        ("unique", "k"): 1,
+        ("unique", "v"): 0,
+    }
+
+
+def test_checks_df_is_one_plan(spark):
+    """checks_df returns a single relation (one action materializes the
+    whole suite)."""
+    out = dq.checks_df(
+        _df(spark), not_null=["k"], unique=["k"], accepted_values={"v": ["a"]}
+    )
+    assert out.columns == ["check_name", "column_name", "violations"]
+    assert out.count() == 3
+
+
 def test_star_schema_dq_green(spark, sf_dir):
     """The reference's post-build `dbt test` analog: every declared check
     on the built star schema passes on the driver data."""

@@ -36,6 +36,31 @@ def test_incremental_folders_independent(spark, tmp_path):
     assert r.new_files == ["x.json"]  # same name, different folder
 
 
+def test_new_files_df_end_to_end_without_collect(spark, tmp_path):
+    """The DataFrame-primary path: a distributed candidate listing goes
+    discovery → anti-join → manifest commit with no driver materialization
+    of file names (only counts cross to the driver)."""
+    loader = IncrementalLoader(spark, str(tmp_path / "manifest"))
+
+    listing = spark.createDataFrame(
+        [(f"part-{i:05d}.parquet",) for i in range(500)], "file_name string"
+    )
+    new = loader.new_files_df("bulk", listing)
+    assert new.columns == ["folder_name", "file_name"]
+    assert new.count() == 500
+    loader.record_df(new)
+
+    # second discovery over the same listing: everything already recorded
+    assert loader.new_files_df("bulk", listing).count() == 0
+    # a fresh file shows up; recorded entries stay suppressed
+    more = listing.unionByName(
+        spark.createDataFrame([("part-99999.parquet",)], "file_name string")
+    )
+    again = loader.new_files_df("bulk", more)
+    assert [r.file_name for r in again.collect()] == ["part-99999.parquet"]
+    assert loader.manifest().count() == 500
+
+
 def test_manifest_schema(spark, tmp_path):
     loader = IncrementalLoader(spark, str(tmp_path / "manifest"))
     loader.run("f", ["a.parquet"], lambda fs: None)

@@ -51,6 +51,53 @@ def test_decode_stub_raises(spark):
     )
 
 
+def _ppm(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    body = bytearray()
+    for row in rgb_rows:
+        for r, g, b in row:
+            body += bytes([r, g, b])
+    return f"P6\n# test image\n{width} {height}\n255\n".encode() + bytes(body)
+
+
+def test_decode_features_with_real_ppm_codec(spark):
+    """The NON-stub path: an actual image format (binary PPM) decoded
+    end-to-end through mapInPandas by a pure-Python codec — header parse,
+    pixel math, per-channel means."""
+    img1 = _ppm(2, 2, [[(255, 0, 0), (255, 0, 0)], [(0, 0, 0), (0, 0, 0)]])
+    img2 = _ppm(1, 3, [[(10, 20, 30)], [(10, 20, 30)], [(10, 20, 30)]])
+    df = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", bytearray(img1)),
+         (2, "image/x-portable-pixmap", bytearray(img2))],
+        "media_id long, mime string, payload binary",
+    )
+    rows = {r.media_id: r for r in mm.decode_features(df, decoder="ppm").collect()}
+    assert rows[1].feature == [2.0, 2.0, 127.5, 0.0, 0.0]
+    assert rows[2].feature == [1.0, 3.0, 10.0, 20.0, 30.0]
+    assert rows[1].n_bytes == len(img1)
+
+
+def test_resize_with_real_ppm_codec(spark):
+    """Nearest-neighbor PPM resize through the same injected-codec hook:
+    output is a valid PPM at the target dims, decodable by the codec."""
+    # 4x4: left half red, right half blue
+    row = [(255, 0, 0), (255, 0, 0), (0, 0, 255), (0, 0, 255)]
+    img = _ppm(4, 4, [row] * 4)
+    df = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", bytearray(img))],
+        "media_id long, mime string, payload binary",
+    )
+    out = mm.resize_images(df, target=(2, 2), resizer="ppm").collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    resized = bytes(out.payload)
+    # decodable by the real codec, halved dims, channel means preserved
+    assert mm.ppm_decoder(resized) == [2.0, 2.0, 127.5, 0.0, 127.5]
+
+
+def test_resolve_decoder_rejects_unknown_name():
+    with pytest.raises(ValueError):
+        mm.resolve_decoder("nope")
+
+
 def test_frame_sample_plan(spark):
     df = _media(spark).filter(F.col("duration_ms").isNotNull())
     frames = mm.frame_sample_plan(df, every_ms=1000).select(
