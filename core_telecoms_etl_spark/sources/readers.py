@@ -105,8 +105,10 @@ def read_jdbc(
 ) -> DataFrame:
     """JDBC scan (reference: per-table SELECT * over psycopg2,
     plugins/postgres_extract.py:138-144). Parallelized via partition-column
-    range splits instead of a single cursor. No JDBC driver jar ships in the
-    test harness, so tests stub this; the plan construction is real."""
+    range splits instead of a single cursor. Exercised live in
+    tests/test_sources.py against embedded Derby (the JDBC engine that
+    ships on Spark's own classpath): write → partitioned read-back →
+    catalog listing."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -127,10 +129,18 @@ def read_jdbc(
     return reader.load()
 
 
-def list_jdbc_tables_query(schema: str) -> str:
+def list_jdbc_tables_query(schema: str, *, dialect: str = "postgres") -> str:
     """Catalog-discovery query (reference: information_schema listing,
     plugins/postgres_extract.py:102-113). Returned as SQL for a JDBC
-    subquery scan."""
+    subquery scan. `dialect`: "postgres"/"duckdb" use information_schema;
+    "derby" uses SYS.SYSTABLES (Derby has no information_schema)."""
+    if dialect == "derby":
+        return (
+            "(SELECT t.tablename AS table_name FROM sys.systables t "
+            "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+            f"WHERE s.schemaname = '{schema}' AND t.tabletype = 'T' "
+            "ORDER BY t.tablename) AS t"
+        )
     return (
         "(SELECT table_name FROM information_schema.tables "
         f"WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE' "
