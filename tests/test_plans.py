@@ -118,3 +118,64 @@ def test_sql_api_pushes_segment_filter_into_scan(spark, sf_dir):
     plan = _formatted(queries()["sql_api"](spark, sf_dir))
     pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
     assert any("BUILDING" in l for l in pushed), pushed
+
+
+def test_vector_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
+    """The brute-force ANN plan: query side broadcast (corpus never
+    shuffles for scoring), no CartesianProduct, and exactly the one
+    shuffle the per-query top-k window needs."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["vector_topk"](spark, sf_dir))
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    assert "BroadcastExchange" in plan, plan
+    assert _n_exchanges(plan) == 1, plan  # only the window's hash exchange
+
+
+def test_near_dedup_single_exchange_per_side_no_cartesian(spark, sf_dir):
+    """Exact-jaccard near-dup: the inverted-index self-join must be an
+    equi-join on the hashed shingle (shuffle), never a nested-loop, and
+    the shuffled columns must be hashes/ids — no document bodies."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["near_dedup"](spark, sf_dir))
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    # an equi-join on the hashed shingle; at tiny sf Catalyst may pick the
+    # broadcast variant, at scale it's the shuffle variant — either way it
+    # must be a HASH equi-join, never nested-loop
+    assert (
+        _n_ops(plan, "SortMergeJoin")
+        + _n_ops(plan, "ShuffledHashJoin")
+        + _n_ops(plan, "BroadcastHashJoin")
+        >= 1
+    ), plan
+    ex_lines = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert ex_lines and all("text" not in l for l in ex_lines), ex_lines
+
+
+def test_minhash_banded_join_is_equi_join(spark, sf_dir):
+    """MinHash+LSH: candidate pairs must come from the (band, bucket)
+    equi-join — sub-quadratic by construction — not an all-pairs plan."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["minhash_near_dup"](spark, sf_dir))
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert (
+        _n_ops(plan, "SortMergeJoin")
+        + _n_ops(plan, "ShuffledHashJoin")
+        + _n_ops(plan, "BroadcastHashJoin")
+        >= 1
+    ), plan
+
+
+def test_text_profile_single_scan(spark, sf_dir):
+    """The merged per-doc profile must stay one scan + one projection —
+    no joins, no shuffles, no Python."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["text_profile"](spark, sf_dir))
+    assert _n_ops(plan, "Scan parquet") == 1, plan
+    assert _n_exchanges(plan) == 0, plan
+    assert "EvalPython" not in plan, plan
