@@ -1,14 +1,18 @@
-"""Funnel analysis as a single-shuffle fold (capability extension).
+"""Funnel analysis in a single shuffle (capability extension).
 
 The staged formulation (stage k = min qualifying ts after stage k-1's)
 re-joins the event table once per stage and recomputes the upstream
 chain. This operator does the whole funnel in ONE shuffle: group events
-by user, sort each user's (ts, type) list, and fold it through the stage
-chain with a pure-JVM `aggregate` expression — the state is the array of
-per-stage completion timestamps, and an event advances the funnel iff it
-matches the next stage's type and is strictly later than the previous
-stage's completion. Per-user work is O(events); no re-scans, no repeated
-joins, and the single exchange is on the natural key.
+by user collecting each stage's timestamps as its own sorted array
+(`collect_list` under a type predicate — map-side combined), then chain
+t₁ = min(stage₁ ts), tᵢ = min{t ∈ stageᵢ ts : t > tᵢ₋₁} with pure-JVM
+`array_min`/`filter` expressions. Per-user work is O(events log events)
+for the sorts; no re-scans, no repeated joins, and the single exchange
+is on the natural key. (An earlier version folded one sorted
+(ts, type) array through an `aggregate` lambda — the per-stage-array
+form computes the same greedy earliest-completion chain with k small
+array scans instead of an O(events·k) fold that reallocates the state
+array per event.)
 """
 
 from __future__ import annotations
@@ -27,41 +31,35 @@ def user_funnel_times(
 ) -> DataFrame:
     """(user, stage_ts: array<timestamp>[k]) — stage_ts[i] is when the
     user completed stage i (NULL onward from the first uncompleted
-    stage)."""
-    k = len(stages)
-    stage_types = F.array(*[F.lit(s) for s in stages])
-    per_user = events.filter(
-        F.col(type_col).isin(stages)
-    ).groupBy(user_col).agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(ts_col), F.col(type_col)))
-        ).alias("__evs")
-    )
-
-    def step(acc: Column, ev: Column) -> Column:
-        # n_done = completed stages so far; advance iff ev matches the
-        # next stage and strictly follows the previous stage's completion
-        n_done = F.size(F.filter(acc, lambda t: t.isNotNull()))
-        next_type = F.element_at(stage_types, n_done + 1)
-        prev_ts = F.when(
-            n_done == 0, F.lit(None).cast("timestamp")
-        ).otherwise(F.element_at(acc, n_done))
-        advance = (
-            (n_done < k)
-            & (ev[type_col] == next_type)
-            & ((n_done == 0) | (ev[ts_col] > prev_ts))
+    stage): the greedy earliest-completion chain, each stage strictly
+    after the previous one."""
+    per_user = (
+        events.filter(F.col(type_col).isin(stages))
+        .groupBy(user_col)
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col(type_col) == s, F.col(ts_col))
+                    )
+                ).alias(f"__ts_{i}")
+                for i, s in enumerate(stages)
+            ]
         )
-        return F.when(
-            advance,
-            F.transform(
-                acc,
-                lambda t, i: F.when(i == n_done, ev[ts_col]).otherwise(t),
-            ),
-        ).otherwise(acc)
+    )
+    def _after(prev: Column):
+        # x > NULL is NULL → filter drops everything → NULL onward
+        return lambda x: x > prev
 
-    init = F.array_repeat(F.lit(None).cast("timestamp"), k)
+    stage_ts: list[Column] = []
+    for i in range(len(stages)):
+        if i == 0:
+            t = F.array_min(f"__ts_{i}")
+        else:
+            t = F.array_min(F.filter(f"__ts_{i}", _after(stage_ts[i - 1])))
+        stage_ts.append(t)
     return per_user.select(
-        user_col, F.aggregate("__evs", init, step).alias("stage_ts")
+        user_col, F.array(*stage_ts).alias("stage_ts")
     )
 
 
