@@ -285,22 +285,29 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the df table is small (vocabulary-sized) and broadcasts into the join.
     Weights rounded at 6dp to absorb any last-ulp ln() difference between
     math libraries. The df cap drops stop-tokens (standard, and keeps the
-    hot keys out of the join)."""
+    hot keys out of the join). n_docs rides in as a broadcast cross join
+    of a 1-row aggregate — ONE plan, no separate driver-side count job."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n = d.agg(F.count("*").alias("n_docs"))
     toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     ).filter(F.col("df") <= 200)
-    return tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tf_idf"),
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tf_idf"),
+        )
     )
 
 
