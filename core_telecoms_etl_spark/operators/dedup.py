@@ -143,6 +143,63 @@ def jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_common: int = 1,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Train/test contamination detection — the eval-integrity pass of a
+    training-data pipeline: (train_id, test_id, n_common) for every train
+    doc sharing ≥ min_common distinct word n-grams with a test doc.
+
+    Same inverted-index shape as `jaccard_pairs` but ACROSS two corpora:
+    the test side is tiny by construction (an eval set), so its exploded
+    postings broadcast and the 100 TB train side never shuffles — the
+    scan streams against a broadcast hash table."""
+    tr = shingle_postings(train, id_col, text_col, n)
+    te = shingle_postings(test, id_col, text_col, n)
+    if hash_shingles:
+        tr = tr.withColumn("shingle", F.xxhash64("shingle"))
+        te = te.withColumn("shingle", F.xxhash64("shingle"))
+    pairs = (
+        tr.select(F.col("doc").alias("train_id"), "shingle")
+        .join(
+            F.broadcast(te.select(F.col("doc").alias("test_id"), "shingle")),
+            "shingle",
+        )
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return pairs.filter(F.col("n_common") >= min_common)
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_common: int = 1,
+) -> DataFrame:
+    """Drop every train doc contaminated by the test set (any test doc,
+    ≥ min_common shared distinct n-grams): one broadcast-probe pass plus a
+    left-anti join on the flagged ids."""
+    flagged = (
+        contamination_pairs(
+            train, test, id_col, text_col, n=n, min_common=min_common
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, id_col, "left_anti")
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64
 ) -> DataFrame:

@@ -43,6 +43,32 @@ def deterministic_sample(
     return df.filter(hash_bucket(id_col, n, salt) < int(fraction * n))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalancing
+    primitive (downsample the over-represented language/source, keep the
+    rare one whole). A row is kept iff its stable hash bucket falls under
+    its stratum's fraction; strata not listed get `default_fraction`.
+    Same membership on every run/engine/partitioning, and the predicate
+    is an ordinary filter — no RNG state, nothing blocks pushdown."""
+    n = 1_000_000
+    bucket = hash_bucket(id_col, n, salt)
+    thr = None
+    for label, frac in fractions.items():
+        cond = F.col(stratum_col) == label
+        lit = F.lit(int(frac * n))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = thr.otherwise(F.lit(int(default_fraction * n)))
+    return df.filter(bucket < thr)
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str,

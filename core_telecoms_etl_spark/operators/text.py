@@ -193,6 +193,55 @@ def simhash_from_weights(weights_col: Column) -> Column:
     return out
 
 
+def ngram_windows(tokens_col: Column, n: int = 3) -> Column:
+    """ALL word n-gram windows (with multiplicity, unlike `shingles_of`)
+    from a MATERIALIZED token array column; empty array below n tokens.
+    Same total-expression discipline as `shingles_of`."""
+    t = tokens_col
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    parts = lambda i: [F.try_element_at(t, i + j) for j in range(n)]  # noqa: E731
+    win = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(F.size(t) >= n, win).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_components(tokens_col: Column, n: int = 3) -> dict[str, Column]:
+    """Intra-document repetition signals over word n-grams (the
+    MassiveText/Gopher-style repetitious-text filter): total windows,
+    distinct windows, and repetition ratio = 1 - distinct/total. All
+    integer-derived → bit-identical across engines."""
+    win = ngram_windows(tokens_col, n)
+    total = F.size(win).cast("long")
+    distinct = F.size(F.array_distinct(win)).cast("long")
+    ratio = F.when(
+        total > 0, 1.0 - (distinct / total)
+    ).otherwise(F.lit(0.0))
+    return {"total": total, "distinct": distinct, "ratio": ratio}
+
+
+# PII scrubbing: conservative patterns valid in both Java regex and RE2
+# (no lookaround/backrefs) so the oracle runs the identical expressions.
+# Order matters: emails first (they contain digits), then IPs (dots would
+# survive the phone charset anyway), then phone-like digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact email / IP / phone-shaped spans with typed tags — the
+    pre-training scrub pass. Pure regexp_replace chain: stays inside
+    whole-stage codegen, and the same three replacements run verbatim on
+    any RE2/PCRE engine for differential checking."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 POSITIVE_WORDS = ["good", "great", "excellent", "happy", "love", "best"]
 NEGATIVE_WORDS = ["bad", "poor", "terrible", "angry", "hate", "worst"]
 
@@ -212,3 +261,47 @@ def sentiment_polarity(col: Column | str) -> Column:
     double is bit-identical on every engine; +1 smooths neutral docs."""
     pos, neg = sentiment_counts(col)
     return (pos - neg) / (pos + neg + F.lit(1))
+
+
+def chunk_documents(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+):
+    """Token-window document chunking — the context-length pre-pass of an
+    LLM training pipeline: each doc expands into overlapping chunks of
+    `chunk_size` tokens with `overlap` tokens carried between adjacent
+    chunks (stride = chunk_size - overlap).
+
+    All JVM-side: tokenize once (materialized projection, see
+    `word_shingles` PERF note), build the start-index array with
+    `sequence`, slice per start, `posexplode` into rows. A doc with
+    ≤ chunk_size tokens yields exactly one chunk; the tail chunk may be
+    short. Returns (id, chunk_id, chunk_text, n_chunk_tokens); the
+    explode multiplies rows ≈ n_tokens/stride — size the shuffle
+    partitions for the EXPANDED row count at scale."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice("__toks", s, chunk_size)
+    )
+    return toks.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "__chunk")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+    )

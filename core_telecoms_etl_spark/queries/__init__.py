@@ -54,6 +54,11 @@ def query(name: str, oracle: str | None = None):
 # exclusively queries that are byte-identical to their r1-green versions.
 _CHECK_ORDER: tuple[str, ...] = (
     # -- changed or new this round (need fresh driver rows)
+    "text_chunks",
+    "text_repetition",
+    "pii_scrub",
+    "contamination",
+    "stratified_sample",
     "string_funcs",
     "json_funcs",
     "set_ops",

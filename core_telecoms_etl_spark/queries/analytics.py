@@ -9,7 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from core_telecoms_etl_spark.operators.sampling import dataset_split
+from core_telecoms_etl_spark.operators.sampling import (
+    dataset_split,
+    stratified_sample,
+)
 from core_telecoms_etl_spark.queries import query
 from core_telecoms_etl_spark.sources.readers import load_table
 
@@ -110,6 +113,34 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id"
     )
     return d.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "stratified_sample",
+    oracle="""SELECT lang, count(*) AS n_sampled
+              FROM documents
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 1000000
+                    < CASE lang WHEN 'en' THEN 500000
+                                WHEN 'es' THEN 250000
+                                WHEN 'de' THEN 100000
+                                ELSE 50000 END
+              GROUP BY lang""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): downsample
+    the over-represented language harder (en 50%, es 25%, de 10%, rest
+    5%) with the same stable md5-bucket membership as dataset_split — an
+    ordinary pushdown-friendly filter, no RNG. Oracle runs the identical
+    hash arithmetic."""
+    d = stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "es": 0.25, "de": 0.1},
+        default_fraction=0.05,
+    )
+    return d.groupBy("lang").agg(F.count("*").alias("n_sampled"))
 
 
 @query(

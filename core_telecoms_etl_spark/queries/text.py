@@ -312,6 +312,139 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunks",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM documents)
+               SELECT doc_id,
+                      CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+                      array_to_string(ts[s : least(s + 63, len(ts))], ' ')
+                        AS chunk_text,
+                      CAST(least(s + 63, len(ts)) - s + 1 AS BIGINT)
+                        AS n_chunk_tokens
+               FROM toks,
+                    unnest(generate_series(1, greatest(len(ts) - 16, 1), 48))
+                      AS u(s)
+               WHERE len(ts) > 0""",
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, 16-token overlap, stride
+    48) — the context-length pre-pass of an LLM pipeline, entirely
+    JVM-side: sequence → slice → posexplode (operators/text.py
+    chunk_documents)."""
+    return tx.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        chunk_size=64,
+        overlap=16,
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM documents),
+               w AS (
+                 SELECT doc_id,
+                        CASE WHEN len(ts) >= 3
+                             THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1)]
+                             ELSE [] END AS wins
+                 FROM toks)
+               SELECT doc_id,
+                      CAST(len(wins) AS BIGINT) AS n3_total,
+                      CAST(len(list_distinct(wins)) AS BIGINT) AS n3_distinct,
+                      CASE WHEN len(wins) > 0
+                           THEN 1.0 - (CAST(len(list_distinct(wins)) AS BIGINT)
+                                       / CAST(len(wins) AS BIGINT))
+                           ELSE 0.0 END AS rep_ratio
+               FROM w""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitious-text signal (MassiveText/Gopher-style filter): share
+    of repeated word 3-grams per document. Integer-derived ratio → exact
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tx.tokens("text").alias("__toks"))
+    r = tx.repetition_components(F.col("__toks"), n=3)
+    return t.select(
+        "doc_id",
+        r["total"].alias("n3_total"),
+        r["distinct"].alias("n3_distinct"),
+        r["ratio"].alias("rep_ratio"),
+    )
+
+
+def _pii_sql_text() -> str:
+    """The synthetic PII suffix, as DuckDB SQL (mirrors _pii_spark_text)."""
+    return (
+        "text || ' Reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 or +1 (555) 010-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    expr = _pii_sql_text()
+    for pat, repl in tx.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed FROM documents"
+
+
+@query("pii_scrub", oracle=_pii_scrub_oracle())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPs / phone-shaped spans → typed tags) —
+    the pre-training redaction pass. The corpus is synthetic, so each doc
+    gets a deterministic PII suffix appended BEFORE scrubbing; both
+    engines then run the identical regexp_replace chain
+    (operators/text.py PII_PATTERNS — RE2- and Java-regex-compatible by
+    construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return d.select("doc_id", tx.scrub_pii(pii_text).alias("scrubbed"))
+
+
+@query(
+    "contamination",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM documents),
+               sh AS (
+                 SELECT doc_id,
+                        list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                       || ' ' || ts[i+3] || ' ' || ts[i+4]
+                                       for i in range(1, len(ts) - 3)]) AS shingles
+                 FROM toks WHERE len(ts) >= 5),
+               ex AS (
+                 SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+               SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+                      count(*) AS n_common
+               FROM ex a JOIN ex b ON a.shingle = b.shingle
+               WHERE a.doc_id >= 25 AND b.doc_id < 25
+               GROUP BY 1, 2""",
+)
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection (eval-integrity pass): docs
+    0-24 act as the held-out eval set, the rest as training corpus; every
+    (train, test) pair sharing a distinct word 5-gram is flagged with its
+    overlap count. The tiny test side broadcasts — the train side never
+    shuffles (operators/dedup.py contamination_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") < 25)
+    train = d.filter(F.col("doc_id") >= 25)
+    return dd.contamination_pairs(
+        train, test, "doc_id", "text", n=5, min_common=1
+    ).select("train_id", "test_id", F.col("n_common").cast("long").alias("n_common"))
+
+
+@query(
     "dedup_clusters",
     oracle="""WITH RECURSIVE toks AS (
                 SELECT doc_id,

@@ -167,3 +167,49 @@ def test_large_small_star_matches_min_label_on_random_graphs(spark):
             for r in connected_components_star(edges).collect()
         }
         assert ml == ls, f"case {i}: mismatch"
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    from core_telecoms_etl_spark.operators.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over a fence"),
+            (2, "completely unrelated content about telecom billing records"),
+            (3, "the quick brown fox jumps over the lazy dog verbatim copy"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = contamination_pairs(train, test, "doc_id", "text", n=5)
+    flagged = {r.train_id for r in pairs.collect()}
+    assert flagged == {1, 3}  # doc 2 shares no 5-gram
+    clean = decontaminate(train, test, "doc_id", "text", n=5)
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from core_telecoms_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)],
+        "id long, lang string",
+    )
+    s1 = stratified_sample(df, "id", "lang", {"en": 0.5, "de": 0.1})
+    s2 = stratified_sample(df, "id", "lang", {"en": 0.5, "de": 0.1})
+    ids1 = sorted(r.id for r in s1.collect())
+    assert ids1 == sorted(r.id for r in s2.collect())  # stable membership
+    by_lang = {r.lang: r.n for r in s1.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert 0.4 < by_lang["en"] / 2000 < 0.6
+    assert 0.03 < by_lang["de"] / 1000 < 0.2
+    # growing a fraction only ADDS members (monotone buckets)
+    s3 = stratified_sample(df, "id", "lang", {"en": 0.7, "de": 0.1})
+    assert set(ids1) <= {r.id for r in s3.collect()}

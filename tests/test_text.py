@@ -108,3 +108,69 @@ def test_simhash_similar_texts_close(spark):
 def test_token_count_edge_cases(spark, text, expected):
     n = _one(spark, text).select(tx.token_count("text").alias("n")).collect()[0].n
     assert n == expected
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from core_telecoms_etl_spark.operators.text import chunk_documents
+
+    doc = " ".join(f"t{i}" for i in range(1, 114))  # 113 tokens
+    df = spark.createDataFrame([(1, doc), (2, "a b c")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=64, overlap=16)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: starts at tokens 1, 49, 97 (stride 48) — minimal cover, every
+    # token present, adjacent chunks share exactly `overlap` tokens
+    assert set(rows) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    c0, c1, c2 = rows[(1, 0)], rows[(1, 1)], rows[(1, 2)]
+    assert c0.n_chunk_tokens == 64 and c0.chunk_text.startswith("t1 t2 ")
+    assert c1.chunk_text.startswith("t49 ")
+    assert c0.chunk_text.split()[-16:] == c1.chunk_text.split()[:16]
+    assert c1.chunk_text.split()[-16:] == c2.chunk_text.split()[:16]
+    assert c2.n_chunk_tokens == 17 and c2.chunk_text.endswith(" t113")
+    covered = {t for r in (c0, c1, c2) for t in r.chunk_text.split()}
+    assert covered == {f"t{i}" for i in range(1, 114)}
+    # short doc: exactly one whole chunk
+    assert rows[(2, 0)].chunk_text == "a b c"
+
+
+def test_repetition_ratio_detects_loops(spark):
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.operators.text import (
+        repetition_components,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham eggs " * 10),      # heavy 3-gram repetition
+            (2, " ".join(f"w{i}" for i in range(30))),  # no repetition
+            (3, "too short"),                 # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    t = df.select("doc_id", tokens("text").alias("__toks"))
+    r = repetition_components(F.col("__toks"), n=3)
+    got = {
+        row.doc_id: (row.total, row.distinct, row.ratio)
+        for row in t.select("doc_id", r["total"].alias("total"),
+                            r["distinct"].alias("distinct"),
+                            r["ratio"].alias("ratio")).collect()
+    }
+    assert got[1][0] == 28 and got[1][1] == 3  # only 3 distinct rotations
+    assert got[1][2] > 0.85
+    assert got[2][2] == 0.0
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_scrub_pii_redacts_typed_spans(spark):
+    from core_telecoms_etl_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.user+x@sub.example.org, server 192.168.0.1, "
+             "call +44 (0) 20-7946 0958 now")],
+        "id long, text string",
+    )
+    out = df.select(scrub_pii("text").alias("s")).collect()[0].s
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "@" not in out and "192.168" not in out and "7946" not in out
+    assert out.startswith("mail <EMAIL>, server <IP>, call <PHONE> now")
