@@ -179,3 +179,25 @@ def test_text_profile_single_scan(spark, sf_dir):
     assert _n_ops(plan, "Scan parquet") == 1, plan
     assert _n_exchanges(plan) == 0, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination: the eval corpus broadcasts; the train side joins
+    without shuffling — only the pair-count aggregate exchanges."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["contamination"](spark, sf_dir))
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    assert _n_ops(plan, "BroadcastHashJoin") == 1, plan
+    assert _n_exchanges(plan) == 1, plan  # the groupBy only
+
+
+def test_text_chunks_is_scan_and_generate_only(spark, sf_dir):
+    """Chunking must stay scan → project → explode: no shuffle, no join,
+    no Python."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["text_chunks"](spark, sf_dir))
+    assert _n_exchanges(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
