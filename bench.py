@@ -36,6 +36,9 @@ HEADLINE = [
     "funnel",
     "vector_topk",
     "pandas_udf_scalar",
+    "text_chunks",
+    "contamination",
+    "stratified_sample",
 ]
 
 

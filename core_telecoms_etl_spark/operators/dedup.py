@@ -160,12 +160,30 @@ def contamination_pairs(
     Same inverted-index shape as `jaccard_pairs` but ACROSS two corpora:
     the test side is tiny by construction (an eval set), so its exploded
     postings broadcast and the 100 TB train side never shuffles — the
-    scan streams against a broadcast hash table."""
-    tr = shingle_postings(train, id_col, text_col, n)
-    te = shingle_postings(test, id_col, text_col, n)
-    if hash_shingles:
-        tr = tr.withColumn("shingle", F.xxhash64("shingle"))
-        te = te.withColumn("shingle", F.xxhash64("shingle"))
+    scan streams against a broadcast hash table.
+
+    Both sides cache at the shingle-ARRAY level for the same reason
+    jaccard_pairs does: InferFiltersFromGenerate otherwise pushes a
+    `size(shingles) > 0` filter below the explode and re-evaluates the
+    whole tokenize+shingle tree per row (measured 3× on the train side).
+    At cluster scale switch the train side to persist(DISK_ONLY) or a
+    checkpoint — or accept the 2-3× recompute and drop the cache."""
+
+    def _posts(df: DataFrame) -> DataFrame:
+        sh = _shingled(df, id_col, text_col, n)
+        if hash_shingles:
+            sh = sh.select(
+                "doc",
+                F.transform(
+                    F.col("shingles"), lambda s: F.xxhash64(s)
+                ).alias("shingles"),
+            )
+        return sh.cache().select(
+            "doc", F.explode("shingles").alias("shingle")
+        )
+
+    tr = _posts(train)
+    te = _posts(test)
     pairs = (
         tr.select(F.col("doc").alias("train_id"), "shingle")
         .join(
