@@ -59,6 +59,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "pii_scrub",
     "contamination",
     "stratified_sample",
+    "stream_stream_join",
     "string_funcs",
     "json_funcs",
     "set_ops",

@@ -158,6 +158,32 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""SELECT c.user_id, c.event_id AS click_id,
+                     p.event_id AS purchase_id,
+                     (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0
+                       AS lag_sec,
+                     p.value AS purchase_value
+              FROM events c JOIN events p
+                ON p.user_id = c.user_id
+               AND epoch_us(p.ts) >= epoch_us(c.ts)
+               AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000
+              WHERE c.event_type = 'click'
+                AND p.event_type = 'purchase'""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase attribution
+    within 30 minutes). Both sides watermarked + explicit time-range join
+    condition ⇒ bounded state store; finite one-batch source ⇒ emitted
+    pairs equal the batch interval join the oracle computes."""
+    from core_telecoms_etl_spark.streaming.events import (
+        run_stream_stream_join,
+    )
+
+    return run_stream_stream_join(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
     "stream_session",
     oracle="""WITH flagged AS (
                 SELECT user_id, ts, value,

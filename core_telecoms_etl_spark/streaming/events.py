@@ -189,6 +189,93 @@ def run_stream_stateful(
     return spark.table(query_name)
 
 
+def run_stream_stream_join(
+    spark: SparkSession,
+    path: str,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon_seconds: int = 1800,
+    watermark: str = "1 hour",
+    query_name: str = "stream_stream_join_out",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each `right_type`
+    event to every `left_type` event by the same user within
+    `horizon_seconds` before it (the classic click→purchase attribution
+    shape).
+
+    Both sides are watermarked and the join condition carries an explicit
+    event-time range, so the state store only retains left rows younger
+    than watermark + horizon — bounded state, the 100 TB requirement for
+    stream-stream joins (an unbounded-state join would OOM the state
+    store). Inner join ⇒ matches emit as found; on a finite one-batch
+    source the emitted pairs equal the batch interval join, which is what
+    the DuckDB oracle checks.
+    """
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base, _, fname = path.rpartition("/")
+
+    # A stream-stream join keeps FOUR state stores per shuffle partition;
+    # the store count (not data volume) dominates at local scale, so pin
+    # the streaming partition count low for this query and restore after.
+    # On a cluster, size spark.sql.shuffle.partitions to key cardinality
+    # BEFORE the first run — it is frozen into the checkpoint.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def _side(etype: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", fname)
+            .load(base)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    left = _side(left_type, "l")
+    right = _side(right_type, "r")
+    joined = left.join(
+        right,
+        F.expr(
+            f"""l_user = r_user
+                AND r_ts >= l_ts
+                AND r_ts <= l_ts + INTERVAL {horizon_seconds} SECONDS"""
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        (
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")) / 1_000_000.0
+        ).alias("lag_sec"),
+        F.col("r_value").alias("purchase_value"),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(query_name)
+
+
 def run_stream_windowed_append(
     spark: SparkSession,
     events_dir: str,

@@ -116,6 +116,47 @@ def test_stateful_totals_match_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join (click→purchase within
+    30 min) emits exactly the pairs the equivalent batch interval join
+    produces, and restores the session shuffle-partition conf it pins."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+    from core_telecoms_etl_spark.streaming.events import (
+        run_stream_stream_join,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in run_stream_stream_join(
+            spark, f"{sf_dir}/events.parquet", query_name="t_ssj"
+        ).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.u, r.cid, r.pid)
+        for r in c.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_watermark_append_emits_closed_windows_and_drops_late(
     spark, tmp_path
 ):
