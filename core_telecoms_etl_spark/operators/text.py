@@ -263,6 +263,44 @@ def sentiment_polarity(col: Column | str) -> Column:
     return (pos - neg) / (pos + neg + F.lit(1))
 
 
+def quality_quantile_filter(
+    df,
+    score_col,
+    quantile: float = 0.25,
+    *,
+    exact: bool = True,
+):
+    """Drop rows below the `quantile`-th percentile of `score_col` — the
+    corpus-relative quality cut of a training-data pipeline ("keep the
+    top 75%"), as opposed to the absolute-threshold filter callers can
+    already write themselves.
+
+    The threshold is computed with `percentile` (exact, linearly
+    interpolated) and broadcast back as a scalar cross join, so the data
+    pass is an ordinary pushdown-able filter. Two passes over the data —
+    unavoidable for a corpus-relative cut. `exact=True` keeps memory
+    proportional to DISTINCT score values (fine for ratio-valued scores);
+    at 100 TB with high-cardinality scores switch `exact=False` →
+    `approx_percentile` (t-digest, mergeable, bounded memory, rows-only
+    vs an oracle).
+
+    Boundary safety for exact-oracle comparison: an interpolated
+    threshold lies strictly between two ADJACENT sorted data values, so
+    no row can sit between this engine's threshold and another engine's
+    ulp-different one — `score >= thr` membership matches bit-exactly.
+    """
+    c = F.col(score_col) if isinstance(score_col, str) else score_col
+    fn = "percentile" if exact else "approx_percentile"
+    thr = df.select(
+        F.expr(f"{fn}({score_col}, {quantile!r})").alias("__thr")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(c >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def chunk_documents(
     df,
     *,

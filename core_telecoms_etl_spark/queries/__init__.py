@@ -60,6 +60,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "contamination",
     "stratified_sample",
     "stream_stream_join",
+    "deterministic_shuffle",
+    "sequence_pack",
+    "quality_filter",
     "string_funcs",
     "json_funcs",
     "set_ops",

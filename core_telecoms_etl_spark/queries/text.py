@@ -495,3 +495,95 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
     )
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+# shared DuckDB fragments for the global-order queries: group + order key
+# of the deterministic total order (mirrors operators/packing.py)
+_GRP64 = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 64"
+)
+_ORD = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "deterministic_shuffle",
+    oracle=f"""SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY {_GRP64}, {_ORD}, doc_id)
+                      - 1 AS BIGINT) AS shuffle_pos
+               FROM documents""",
+)
+def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable pseudo-random global training order: every doc gets a
+    0-based position along md5(id) order via the two-level prefix sum
+    (operators/packing.py — no single-partition global window). The
+    oracle computes the identical positions with a plain global window
+    over the same ORDER BY."""
+    from core_telecoms_etl_spark.operators.packing import (
+        deterministic_shuffle,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", n_groups=64)
+
+
+@query(
+    "sequence_pack",
+    oracle=f"""WITH t AS (
+                 SELECT doc_id,
+                        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                        {_GRP64} AS grp, {_ORD} AS ord
+                 FROM documents),
+               c AS (
+                 SELECT doc_id, n_tokens,
+                        sum(n_tokens) OVER (ORDER BY grp, ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS start
+                 FROM t)
+               SELECT doc_id, n_tokens,
+                      CAST(floor(start / 512) AS BIGINT) AS seq_id,
+                      CAST(start % 512 AS BIGINT) AS seq_offset
+               FROM c""",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat packing: docs laid head-to-tail along the
+    deterministic shuffle order, cut every 512 tokens; each doc reports
+    the training sequence holding its first token and its offset there.
+    Two-level prefix sum over token counts (operators/packing.py)."""
+    from core_telecoms_etl_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tokens", budget=512, n_groups=64
+    )
+
+
+_QUALITY = f"""(CAST(len(list_distinct({_TOKS})) AS BIGINT)
+      / CAST(len({_TOKS}) AS BIGINT)) * 0.4
+    + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+       / CAST(length(text) AS BIGINT)) * 0.4
+    + least(({_MARK(_STOP)} / CAST(len({_TOKS}) AS BIGINT)) * 4.0, 1.0)
+      * 0.2"""
+
+
+@query(
+    "quality_filter",
+    oracle=f"""WITH s AS (
+                 SELECT doc_id, {_QUALITY} AS quality_score
+                 FROM documents)
+               SELECT doc_id, quality_score FROM s
+               WHERE quality_score >=
+                 (SELECT quantile_cont(quality_score, 0.25) FROM s)""",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality cut: keep docs at or above the 25th
+    percentile of the quality score (operators/text.py
+    quality_quantile_filter — exact percentile threshold broadcast back
+    as a scalar filter; the interpolated threshold can never fall within
+    an ulp of a data value, so membership matches the oracle exactly)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score("text").alias("quality_score")
+    )
+    return tx.quality_quantile_filter(d, "quality_score", 0.25)

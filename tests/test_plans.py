@@ -201,3 +201,32 @@ def test_text_chunks_is_scan_and_generate_only(spark, sf_dir):
     assert _n_exchanges(plan) == 0, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_global_order_ops_avoid_full_data_single_partition(spark, sf_dir):
+    """deterministic_shuffle / sequence_pack: the N-row window must run
+    partitioned by the hash group; the only SinglePartition stage is the
+    G-row offsets table, which sits strictly downstream of the group
+    aggregation. The offsets join back must broadcast."""
+    from core_telecoms_etl_spark.queries import queries
+
+    for name in ("deterministic_shuffle", "sequence_pack"):
+        plan = _formatted(queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert _n_ops(plan, "BroadcastHashJoin") == 1, plan
+        # exactly one single-partition exchange (the G-row prefix sum),
+        # and the data-sized exchanges hash-partition on the group key
+        assert plan.count("Arguments: SinglePartition") == 1, plan
+        assert "hashpartitioning(__grp" in plan, plan
+
+
+def test_quality_filter_threshold_broadcasts(spark, sf_dir):
+    """The percentile threshold joins back as a broadcast scalar — the
+    corpus scan must never shuffle for the comparison."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["quality_filter"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 1, plan
+    # the only shuffle is the single-partition percentile aggregation
+    assert _n_exchanges(plan) <= 2, plan
