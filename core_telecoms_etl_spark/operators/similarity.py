@@ -380,3 +380,62 @@ def kmeans_centroids(
             ).alias("centroid")
         )
     return cents
+
+
+def quantize_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric int8-style quantization of an embedding column: per-vector
+    scale = max|vᵢ|/levels, qᵢ = floor(vᵢ/scale + 0.5) ∈ [-levels, levels].
+    Emits (id, scale, qvec, max_abs_err) — the 4×-smaller representation
+    an ANN index stores; `max_abs_err` is the per-vector reconstruction
+    bound |vᵢ - qᵢ·scale|.
+
+    Embarrassingly parallel single projection — no shuffle, no Python.
+    Rounding is spelled floor(x + 0.5) rather than round() because
+    engines disagree on round-half semantics; floor is unambiguous
+    everywhere, which keeps the quantized codes engine-reproducible (the
+    property that matters when re-building an index elsewhere). Zero
+    vectors quantize to all-zero codes with scale 0."""
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
+    df = df.select(
+        id_col,
+        *[c for c in df.columns if c not in (id_col, vec_col)],
+        v.alias("__v"),
+        (F.array_max(F.transform(v, F.abs)) / float(levels)).alias("scale"),
+    )
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("__v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"),
+        )
+    )
+    err = F.when(
+        F.col("scale") == 0.0,
+        F.array_max(F.transform(F.col("__v"), F.abs)),
+    ).otherwise(
+        F.array_max(
+            F.zip_with(
+                F.col("__v"),
+                qvec,
+                lambda x, q: F.abs(x - q * F.col("scale")),
+            )
+        )
+    )
+    return df.select(
+        id_col,
+        *[c for c in df.columns if c not in (id_col, "__v", "scale")],
+        "scale",
+        qvec.alias("qvec"),
+        err.alias("max_abs_err"),
+    )

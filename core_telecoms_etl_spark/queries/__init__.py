@@ -63,6 +63,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "deterministic_shuffle",
     "sequence_pack",
     "quality_filter",
+    "vector_quantize",
     "string_funcs",
     "json_funcs",
     "set_ops",

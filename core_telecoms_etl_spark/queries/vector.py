@@ -160,3 +160,44 @@ def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(e, q, k=10, n_bits=16, max_hamming=6).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "vector_quantize",
+    oracle="""WITH t AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS v,
+                       list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) / 127.0
+                         AS scale
+                FROM embeddings)
+              SELECT vec_id, label, scale,
+                     array_to_string(CASE WHEN scale = 0
+                          THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(v,
+                            x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                     END, ',') AS qvec_csv,
+                     CASE WHEN scale = 0
+                          THEN list_max(list_transform(v, x -> abs(x)))
+                          ELSE list_max(list_transform(v,
+                            x -> abs(x - floor(x / scale + 0.5) * scale)))
+                     END AS max_abs_err
+              FROM t""",
+)
+def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/similarity.py):
+    per-vector scale, integer codes via engine-unambiguous
+    floor(x + 0.5) rounding, and the reconstruction error bound. Single
+    scan, no shuffle, no Python. The code array is projected to a CSV
+    string for the value compare (the harness can't sort list columns);
+    the operator itself returns the real array<long>."""
+    q = sim.quantize_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.concat_ws(",", F.col("qvec")).alias("qvec_csv"),
+        "max_abs_err",
+    )

@@ -134,3 +134,43 @@ def test_kmeans_centroids_deterministic(spark, sf_dir):
     ca = {r.centroid_id: r.centroid for r in a}
     cb = {r.centroid_id: r.centroid for r in b}
     assert ca == cb
+
+
+def test_quantize_vectors_codes_and_error_bound(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.operators.similarity import (
+        quantize_vectors,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [127.0, -127.0, 63.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in quantize_vectors(d, "embedding", "vec_id").collect()
+    }
+    for r in rows.values():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+    # zero vector → scale 0, all-zero codes, zero error
+    assert rows[2].scale == 0.0 and rows[2].qvec == [0, 0, 0]
+    assert rows[2].max_abs_err == 0.0
+    # reconstruction error bounded by scale/2 (+ float slack)
+    for vid in (1, 3):
+        r = rows[vid]
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+    # exact check: scale = 2/127 for vec 1, codes floor(v/scale + .5)
+    s = 2.0 / 127.0
+    assert math.isclose(rows[1].scale, s)
+    assert rows[1].qvec == [
+        math.floor(1.0 / s + 0.5),
+        math.floor(-2.0 / s + 0.5),
+        math.floor(0.5 / s + 0.5),
+    ]
