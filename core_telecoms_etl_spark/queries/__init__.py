@@ -64,6 +64,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "sequence_pack",
     "quality_filter",
     "vector_quantize",
+    "profile_table",
     "string_funcs",
     "json_funcs",
     "set_ops",

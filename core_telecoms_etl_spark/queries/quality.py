@@ -117,3 +117,55 @@ def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return not_null.unionByName(uniq).unionByName(accepted)
+
+
+@query(
+    "profile_table",
+    oracle="""WITH base AS (SELECT * FROM lineitem)
+              SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                     count(*) - count(l_quantity) AS n_nulls,
+                     count(DISTINCT l_quantity) AS n_distinct,
+                     CAST(min(l_quantity) AS DOUBLE) AS min_num,
+                     CAST(max(l_quantity) AS DOUBLE) AS max_num,
+                     CAST(NULL AS VARCHAR) AS min_str,
+                     CAST(NULL AS VARCHAR) AS max_str
+              FROM base
+              UNION ALL
+              SELECT 'l_extendedprice', count(*),
+                     count(*) - count(l_extendedprice),
+                     count(DISTINCT l_extendedprice),
+                     CAST(min(l_extendedprice) AS DOUBLE),
+                     CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL
+              FROM base
+              UNION ALL
+              SELECT 'l_orderkey', count(*),
+                     count(*) - count(l_orderkey),
+                     count(DISTINCT l_orderkey),
+                     CAST(min(l_orderkey) AS DOUBLE),
+                     CAST(max(l_orderkey) AS DOUBLE), NULL, NULL
+              FROM base
+              UNION ALL
+              SELECT 'l_returnflag', count(*),
+                     count(*) - count(l_returnflag),
+                     count(DISTINCT l_returnflag), NULL, NULL,
+                     min(l_returnflag), max(l_returnflag)
+              FROM base
+              UNION ALL
+              SELECT 'l_linestatus', count(*),
+                     count(*) - count(l_linestatus),
+                     count(DISTINCT l_linestatus), NULL, NULL,
+                     min(l_linestatus), max(l_linestatus)
+              FROM base""",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-profile-style per-column statistics (operators/dq.py
+    profile_columns): null counts, exact distinct counts, typed extrema
+    for five lineitem columns — one aggregation pass over one scan (the
+    oracle's five UNION ALL scans compute the same relation)."""
+    from core_telecoms_etl_spark.operators.dq import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        numeric_cols=("l_quantity", "l_extendedprice", "l_orderkey"),
+        string_cols=("l_returnflag", "l_linestatus"),
+    )

@@ -77,3 +77,27 @@ def test_star_schema_dq_green(spark, sf_dir):
     for model, checks in results.items():
         for c in checks:
             assert c.passed, f"{model}.{c.column} {c.check}: {c.violations}"
+
+
+def test_profile_columns_one_pass_stats(spark):
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.operators.dq import profile_columns
+
+    d = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (4, 4.0, "a")],
+        "id long, x double, s string",
+    )
+    rows = {
+        r.column: r
+        for r in profile_columns(
+            d, numeric_cols=("id", "x"), string_cols=("s",)
+        ).collect()
+    }
+    assert rows["id"].n_rows == 4 and rows["id"].n_nulls == 0
+    assert rows["id"].n_distinct == 4
+    assert rows["id"].min_num == 1.0 and rows["id"].max_num == 4.0
+    assert rows["x"].n_nulls == 1 and rows["x"].n_distinct == 2
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_str == "a" and rows["s"].max_str == "b"
+    assert rows["s"].min_num is None and rows["id"].min_str is None
