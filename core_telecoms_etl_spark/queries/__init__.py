@@ -65,6 +65,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "quality_filter",
     "vector_quantize",
     "profile_table",
+    "order_count_distribution",
+    "scalar_subquery_filter",
     "string_funcs",
     "json_funcs",
     "set_ops",

@@ -853,3 +853,64 @@ def string_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nations"
         )
     )
+
+
+@query(
+    "order_count_distribution",
+    oracle="""SELECT n_orders, count(*) AS n_customers
+              FROM (SELECT c.c_custkey,
+                           count(o.o_orderkey) AS n_orders
+                    FROM customer c
+                    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    GROUP BY c.c_custkey)
+              GROUP BY n_orders""",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape — aggregate of an aggregate: per-customer order
+    counts (outer join keeps zero-order customers), then the histogram of
+    those counts. First agg shuffles on custkey; the second input is
+    already tiny (one row per customer) and AQE coalesces it."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "scalar_subquery_filter",
+    oracle="""SELECT l.l_partkey,
+                     count(*) AS n_small_orders,
+                     round(sum(l.l_extendedprice), 2) AS small_revenue
+              FROM lineitem l
+              JOIN (SELECT l_partkey,
+                           0.5 * avg(l_quantity) AS half_avg_qty
+                    FROM lineitem GROUP BY l_partkey) a
+                ON l.l_partkey = a.l_partkey
+              WHERE l.l_quantity < a.half_avg_qty
+              GROUP BY l.l_partkey""",
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape — correlated scalar subquery (rows under half the
+    part's average quantity), decorrelated to aggregate-then-join: the
+    per-part average is computed once (partial+final hash agg) and joined
+    back on the SAME key, so under bucketing or after the first shuffle
+    the join is co-located — never a per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(avgs, li.l_partkey == avgs.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small_orders"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
