@@ -105,13 +105,16 @@ _CHECK_ORDER: tuple[str, ...] = (
     "vector_topk_lsh",
     # -- events / streaming / multimodal (r1-unchecked family)
     "events_tumbling",
-    "stream_tumbling",
     "sessionize",
     "multimodal_meta",
     "stream_stateful",
     "stream_static_join",
     "stream_session",
-    # -- strongest r1-green representatives (re-confirmation)
+    # -- strongest r1-green representatives (re-confirmation), plus
+    # stream_tumbling (same oracle, same agg as the in-window
+    # events_tumbling — the streaming path itself is covered in-window by
+    # stream_static_join/stream_stateful/stream_session/stream_stream_join)
+    "stream_tumbling",
     "funnel",
     "cohort_retention",
     "dataset_split",
