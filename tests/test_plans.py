@@ -230,3 +230,24 @@ def test_quality_filter_threshold_broadcasts(spark, sf_dir):
     assert _n_ops(plan, "BroadcastNestedLoopJoin") == 1, plan
     # the only shuffle is the single-partition percentile aggregation
     assert _n_exchanges(plan) <= 2, plan
+
+
+def test_partitioned_write_gets_partition_pruning(spark, sf_dir, tmp_path):
+    """A write partitioned on a low-cardinality column must yield scans
+    whose partition filters prune at planning time — the at-scale payoff
+    the writers module promises."""
+    from core_telecoms_etl_spark.sources.writers import write_parquet
+
+    out = str(tmp_path / "orders_by_status")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_parquet(
+        orders, out, mode="overwrite", partition_by=("o_orderstatus",)
+    )
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    plan = _formatted(back)
+    assert "PartitionFilters" in plan, plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in pf, plan
+    # pruning is real: only the selected partition's rows are read
+    n_o = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert back.count() == n_o
