@@ -67,6 +67,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "profile_table",
     "order_count_distribution",
     "scalar_subquery_filter",
+    "training_pipeline",
     "string_funcs",
     "json_funcs",
     "set_ops",
@@ -81,7 +82,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "array_funcs",
     "pandas_udf_scalar",
     "grouped_map_zscore",
-    "string_funcs_extended",
     # -- star schema (r1-unchecked)
     "star_fact_complaints",
     # -- temporal (r1-unchecked family)
@@ -110,11 +110,14 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stream_stateful",
     "stream_static_join",
     "stream_session",
-    # -- strongest r1-green representatives (re-confirmation), plus
-    # stream_tumbling (same oracle, same agg as the in-window
-    # events_tumbling — the streaming path itself is covered in-window by
-    # stream_static_join/stream_stateful/stream_session/stream_stream_join)
+    # -- strongest r1-green representatives (re-confirmation), plus two
+    # family-redundant demotions that keep every family in the 50-window:
+    # stream_tumbling (same oracle + agg as in-window events_tumbling;
+    # streaming itself covered by stream_static_join/stream_stateful/
+    # stream_session/stream_stream_join) and string_funcs_extended (the
+    # string family is covered by the in-window string_funcs)
     "stream_tumbling",
+    "string_funcs_extended",
     "funnel",
     "cohort_retention",
     "dataset_split",

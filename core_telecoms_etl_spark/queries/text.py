@@ -587,3 +587,101 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tx.quality_score("text").alias("quality_score")
     )
     return tx.quality_quantile_filter(d, "quality_score", 0.25)
+
+
+_5GRAM = (
+    "list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]"
+    " || ' ' || ts[i+3] || ' ' || ts[i+4]"
+    " for i in range(1, len(ts) - 3)])"
+)
+
+
+@query(
+    "training_pipeline",
+    oracle=f"""WITH s AS (
+                 SELECT doc_id, text, {_QUALITY} AS q FROM documents),
+               kept AS (
+                 SELECT doc_id, text FROM s
+                 WHERE q >= (SELECT quantile_cont(q, 0.25) FROM s)),
+               reps AS (
+                 SELECT min(doc_id) AS doc_id
+                 FROM kept GROUP BY sha256(text)),
+               uniq AS (
+                 SELECT k.doc_id, k.text
+                 FROM kept k JOIN reps r ON k.doc_id = r.doc_id),
+               ttr AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM uniq
+                 WHERE doc_id >= 25),
+               tte AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM documents
+                 WHERE doc_id < 25),
+               ext AS (
+                 SELECT doc_id, unnest({_5GRAM}) AS shingle
+                 FROM ttr WHERE len(ts) >= 5),
+               exe AS (
+                 SELECT DISTINCT unnest({_5GRAM}) AS shingle
+                 FROM tte WHERE len(ts) >= 5),
+               contam AS (
+                 SELECT DISTINCT t.doc_id
+                 FROM ext t JOIN exe e ON t.shingle = e.shingle),
+               clean AS (
+                 SELECT u.doc_id, u.text FROM uniq u
+                 WHERE u.doc_id >= 25
+                   AND u.doc_id NOT IN (SELECT doc_id FROM contam)),
+               train AS (
+                 SELECT doc_id, text FROM clean
+                 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT)
+                       % 1000000 < 800000),
+               t AS (
+                 SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                        {_GRP64} AS grp, {_ORD} AS ord
+                 FROM train),
+               c AS (
+                 SELECT doc_id, n_tokens,
+                        sum(n_tokens) OVER (ORDER BY grp, ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS start
+                 FROM t)
+               SELECT doc_id, n_tokens,
+                      CAST(floor(start / 512) AS BIGINT) AS seq_id,
+                      CAST(start % 512 AS BIGINT) AS seq_offset
+               FROM c""",
+)
+def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM training-data pipeline as ONE composed Catalyst
+    plan: corpus-relative quality cut (25th-percentile threshold) →
+    exact dedup (keep lowest id per sha256) → train/eval decontamination
+    (any shared distinct word-5-gram with the doc_id<25 eval set; eval
+    postings broadcast) → deterministic 80% train split → GPT-style
+    sequence packing at budget 512. Every stage is the same operator the
+    standalone queries declare — this query proves they compose."""
+    from core_telecoms_etl_spark.operators.packing import pack_sequences
+    from core_telecoms_etl_spark.operators.sampling import dataset_split
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", tx.quality_score("text").alias("q")
+    )
+    kept = tx.quality_quantile_filter(scored, "q", 0.25).select(
+        "doc_id", "text"
+    )
+    reps = dd.exact_dedup(kept, "text", "doc_id").select("doc_id")
+    uniq = kept.join(reps, "doc_id")
+    clean = dd.decontaminate(
+        uniq.filter(F.col("doc_id") >= 25),
+        d.filter(F.col("doc_id") < 25),
+        "doc_id",
+        "text",
+        n=5,
+        min_common=1,
+    )
+    train = dataset_split(clean, "doc_id").filter(
+        F.col("split") == "train"
+    )
+    counted = train.select(
+        "doc_id", tx.token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        counted, "doc_id", "n_tokens", budget=512, n_groups=64
+    )
