@@ -39,6 +39,7 @@ HEADLINE = [
     "text_chunks",
     "contamination",
     "stratified_sample",
+    "training_pipeline",
 ]
 
 
@@ -71,6 +72,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
+        # several operators cache intermediate arrays (documented in
+        # operators/dedup.py); drop them when moving to the next query so
+        # queries can't pollute each other's storage memory, but keep them
+        # across a query's own re-runs (min-of-3 = steady-state timing)
+        spark.catalog.clearCache()
         for _ in range(n_runs):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
