@@ -1,0 +1,96 @@
+"""Scale probe: time selected operators on sf0.1 documents at 1× and on
+an 8× self-replicated union (disjoint id spaces), printing the ratio —
+the cheap local evidence for whether an operator's cost curve would
+survive a real scale-up. See BASELINE.md "Scale probe" for readings.
+
+Usage: python tools/scale_probe.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+REPLICAS = 8
+ID_STRIDE = 10_000_000
+
+
+def replicate(d: DataFrame, id_col: str) -> DataFrame:
+    out = d
+    for i in range(1, REPLICAS):
+        out = out.unionByName(
+            d.withColumn(id_col, F.col(id_col) + i * ID_STRIDE)
+        )
+    return out
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn().write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from core_telecoms_etl_spark import get_spark
+    from core_telecoms_etl_spark.operators import dedup as dd
+    from core_telecoms_etl_spark.operators import text as tx
+    from core_telecoms_etl_spark.operators.packing import (
+        deterministic_shuffle,
+        pack_sequences,
+    )
+
+    spark = get_spark("scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs8 = replicate(docs, "doc_id")
+
+    def contamination(d: DataFrame):
+        return lambda: dd.contamination_pairs(
+            d.filter(F.col("doc_id") >= 25),
+            docs.filter(F.col("doc_id") < 25),
+            "doc_id",
+            "text",
+            n=5,
+        )
+
+    def quality(d: DataFrame):
+        scored = d.select(
+            "doc_id", tx.quality_score("text").alias("q")
+        )
+        return lambda: tx.quality_quantile_filter(scored, "q", 0.25)
+
+    def shuffle(d: DataFrame):
+        ids = d.select("doc_id")
+        return lambda: deterministic_shuffle(ids, "doc_id")
+
+    def pack(d: DataFrame):
+        counted = d.select(
+            "doc_id", tx.token_count("text").alias("n_tokens")
+        )
+        return lambda: pack_sequences(counted, "doc_id", "n_tokens")
+
+    for name, mk in [
+        ("contamination", contamination),
+        ("quality_filter", quality),
+        ("deterministic_shuffle", shuffle),
+        ("sequence_pack", pack),
+    ]:
+        # untimed warmup strips one-time codegen/compile cost so the
+        # printed ratio isolates the data-size scaling
+        spark.catalog.clearCache()
+        timed(mk(docs))
+        spark.catalog.clearCache()
+        t1 = timed(mk(docs))
+        spark.catalog.clearCache()
+        t8 = timed(mk(docs8))
+        print(f"{name}: 1x={t1}s 8x={t8}s ratio={round(t8 / t1, 1)}x")
+
+
+if __name__ == "__main__":
+    main()
