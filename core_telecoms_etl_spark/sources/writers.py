@@ -65,3 +65,26 @@ def write_table(
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(name)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partition_by: Sequence[str] | None = None,
+    normalize: bool = True,
+) -> None:
+    """JSON-Lines export sink — the interchange format trainer-side data
+    loaders consume. Spark's json writer IS jsonl (one object per line,
+    one file per partition); gzip by default since text JSONL is ~10×
+    parquet. Columns normalize like every other sink so the exported
+    keys are stable lower_snake_case."""
+    out = normalize_column_names(df) if normalize else df
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

@@ -203,3 +203,28 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
         spark, url, list_jdbc_tables_query("APP", dialect="derby"), options=drv
     )
     assert [r[0] for r in tables.collect()] == ["T1"]
+
+
+def test_write_jsonl_round_trip(spark, sf_dir, tmp_path):
+    """JSONL export: line-per-record, normalized keys, reads back equal."""
+    import gzip
+    import json
+    from pathlib import Path
+
+    from core_telecoms_etl_spark.sources.writers import write_jsonl
+
+    d = spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "n_nationkey AS `N NationKey`", "n_name"
+    )
+    out = str(tmp_path / "export")
+    write_jsonl(d, out)
+    files = list(Path(out).glob("*.json.gz"))
+    assert files, "expected gzip jsonl part files"
+    recs = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            recs += [json.loads(line) for line in fh if line.strip()]
+    assert len(recs) == d.count()
+    assert all("n_nationkey" in r for r in recs)  # normalized key
+    back = spark.read.json(out)
+    assert back.count() == d.count()
