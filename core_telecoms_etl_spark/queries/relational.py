@@ -914,3 +914,22 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
         )
     )
+
+
+@query("approx_quantiles")  # sketch-based → engine-specific, rows-only
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path `percentile_agg` documents: t-digest
+    `approx_percentile` — mergeable sketch, bounded memory, no per-group
+    value collection. Rows-only driver check by design (sketch results
+    are engine-specific); accuracy vs exact percentiles is floored in
+    `tests/test_relational.py`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10_000
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias(
+            "p50_price"
+        ),
+        F.expr(f"approx_percentile(l_extendedprice, 0.99, {acc})").alias(
+            "p99_price"
+        ),
+    )
