@@ -110,6 +110,11 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stream_stateful",
     "stream_static_join",
     "stream_session",
+    # -- new after the r2 window froze (driver checks the first 50):
+    # replica-verified this round, first in line for the r3 window
+    "revenue_topk_shipping",
+    "local_supplier_volume",
+    "returned_item_report",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

@@ -933,3 +933,146 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic warehouse report shapes (TPC-H Q3 / Q5 / Q10 adapted to the test
+# schema) — the big-big shuffle-join patterns the reference's dbt marts
+# (facts/*.sql) would grow into at warehouse scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_topk_shipping",
+    oracle="""SELECT l_orderkey, o_orderdate,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM customer
+                JOIN orders   ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND l_shipdate  > TIMESTAMP '1998-01-01'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY revenue DESC, l_orderkey
+              LIMIT 10""",
+)
+def revenue_topk_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape — selective dim filter, big-big join, grouped revenue,
+    top-k. customer is broadcast (filter applied before the exchange);
+    lineitem⋈orders is the single shuffle, and the final ORDER+LIMIT is a
+    TakeOrderedAndProject, not a global sort. Revenue rounded at the
+    4-decimal price×discount grid; l_orderkey breaks revenue ties."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM customer
+                JOIN orders   ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01'
+              GROUP BY n_name""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape — six-table join whose distinguishing feature is the
+    cross-dimension equality (customer's nation must equal the line
+    supplier's nation). One shuffle (lineitem⋈orders); customer, supplier,
+    nation, region all broadcast, with the region filter pruning nation
+    and supplier rows before they reach the probe side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "returned_item_report",
+    oracle="""SELECT c_custkey, c_name, n_name,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM customer
+                JOIN orders   ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN nation   ON c_nationkey = n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1996-04-01'
+                AND l_returnflag = 'R'
+              GROUP BY c_custkey, c_name, n_name
+              ORDER BY revenue DESC, c_custkey
+              LIMIT 20""",
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape — returned-revenue per customer over a quarter,
+    top 20. The returnflag + date predicates push to the scans; grouping
+    is on the customer grain so the agg keys are high-cardinality — the
+    shape AQE coalesces after the shuffle at small SF and salting handles
+    if one customer dominates (operators/joins.py:67)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -251,3 +251,28 @@ def test_partitioned_write_gets_partition_pruning(spark, sf_dir, tmp_path):
     # pruning is real: only the selected partition's rows are read
     n_o = orders.filter(F.col("o_orderstatus") == "O").count()
     assert back.count() == n_o
+
+
+def test_tpch_report_shapes_no_cartesian_topk_pushed(spark, sf_dir):
+    """The Q3/Q5/Q10 report shapes: dims broadcast, selective predicates
+    pushed into the parquet scans, ORDER+LIMIT as TakeOrderedAndProject
+    (never a global sort), and no nested-loop/cartesian fallback."""
+    from core_telecoms_etl_spark.queries import queries
+
+    q = queries()
+    for name in ("revenue_topk_shipping", "returned_item_report"):
+        plan = _formatted(q[name](spark, sf_dir))
+        assert _n_ops(plan, "CartesianProduct") == 0, (name, plan)
+        assert _n_ops(plan, "BroadcastNestedLoopJoin") == 0, (name, plan)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+        assert any("IsNotNull" in l or "GreaterThan" in l or "EqualTo" in l
+                   for l in pushed), (name, pushed)
+
+    plan = _formatted(q["local_supplier_volume"](spark, sf_dir))
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    # the cross-dimension c_nationkey = s_nationkey condition must ride the
+    # supplier hash join, not degrade to a post-join filter over a cartesian
+    assert "BroadcastHashJoin" in plan, plan
