@@ -115,6 +115,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "revenue_topk_shipping",
     "local_supplier_volume",
     "returned_item_report",
+    "bigram_surprisal",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

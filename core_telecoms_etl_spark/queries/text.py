@@ -685,3 +685,76 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         counted, "doc_id", "n_tokens", budget=512, n_groups=64
     )
+
+
+@query(
+    "bigram_surprisal",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM documents),
+               bg AS (
+                 SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram,
+                        ts[i] AS w1
+                 FROM toks,
+                      unnest(generate_series(1, len(ts) - 1)) AS u(i)
+                 WHERE len(ts) >= 2),
+               bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+               uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+               v AS (SELECT count(*) AS vocab FROM uc)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      round(avg(-ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vocab))
+                                / 0.6931471805599453), 6) AS surprisal
+               FROM bg JOIN bc USING (bigram) JOIN uc USING (w1) CROSS JOIN v
+               GROUP BY doc_id""",
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality score: per-document mean bigram surprisal
+    under a bigram LM trained on the corpus itself — boilerplate / repeated
+    text scores low, incoherent token soup scores high. The standard cheap
+    LM filter for training-data curation where a neural perplexity model
+    is too expensive for a first pass.
+
+    One exploded bigram relation feeds both count tables (Catalyst reuses
+    the scan); the stats joins shuffle on the bigram/unigram keys — vocab-
+    sized relations, NOT broadcast by hand since at 100 TB a bigram vocab
+    outgrows a broadcast; AQE picks broadcast when small. Laplace-smoothed
+    P(w2|w1) = (c+1)/(c1+V): without smoothing a self-trained MLE gives
+    every singleton bigram P=1 ⇒ surprisal 0, erasing exactly the rare-
+    context signal the filter exists for. V (start-word vocab) rides in as
+    a broadcast 1-row aggregate. Mean surprisal rounded at 6dp to absorb
+    summation-order ulps."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tx.tokens("text").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, size(ts) - 1),"
+                "         slice(ts, 2, size(ts) - 1),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = uc.agg(F.count("*").alias("vocab"))
+    return (
+        bg.join(bc, "bigram")
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c2") + 1).cast("double")
+                        / (F.col("c1") + F.col("vocab"))
+                    )
+                    / F.lit(0.6931471805599453)
+                ),
+                6,
+            ).alias("surprisal"),
+        )
+    )

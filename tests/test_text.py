@@ -174,3 +174,31 @@ def test_scrub_pii_redacts_typed_spans(spark):
     assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
     assert "@" not in out and "192.168" not in out and "7946" not in out
     assert out.startswith("mail <EMAIL>, server <IP>, call <PHONE> now")
+
+
+def test_bigram_surprisal_ranks_boilerplate_below_novel(spark, tmp_path):
+    """A document that repeats one phrase must score lower mean bigram
+    surprisal than one whose bigrams are each unique in the corpus."""
+    from core_telecoms_etl_spark.queries.text import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "quick brown foxes vault over lazy sleeping hounds"),
+            (3, "spam spam spam ham spam spam eggs spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tmp_path / "sf"
+    docs.write.parquet(str(out / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in bigram_surprisal(spark, str(out)).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_bigrams == 7
+    # boilerplate (1) < boilerplate with odd continuations (3) < novel (2);
+    # Laplace smoothing keeps singleton bigrams above zero, so novelty in
+    # a rare context outranks text the corpus has seen ten times
+    assert rows[1].surprisal < rows[3].surprisal < rows[2].surprisal
+    assert rows[2].surprisal > 0.0
