@@ -116,6 +116,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "local_supplier_volume",
     "returned_item_report",
     "bigram_surprisal",
+    "salted_groupby",
+    "salted_skew_join",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

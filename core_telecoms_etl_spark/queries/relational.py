@@ -1076,3 +1076,69 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation paths (SURVEY.md §2.15 / §4.2) surfaced as checked
+# queries: the salted plans must be value-identical to the plain SQL.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_groupby",
+    oracle="""SELECT l_returnflag, count(*) AS n,
+                     round(sum(l_extendedprice), 2) AS sum_price
+              FROM lineitem GROUP BY l_returnflag""",
+)
+def salted_groupby_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key aggregation via two-phase salting (operators/joins.py:67):
+    l_returnflag has 3 values — at 100 TB each is a pathological hot key —
+    so the partial agg runs on (key, salt) over 16 deterministic salts and
+    a vocabulary-sized final agg merges the partials. The oracle is the
+    PLAIN group-by: salting must not change a single value. Price sum
+    snapped at the money grid."""
+    from core_telecoms_etl_spark.operators.joins import salted_groupby
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_groupby(
+        li,
+        ["l_returnflag"],
+        salt_from="l_orderkey",
+        n_salts=16,
+        sums=["l_extendedprice"],
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+    )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""SELECT o_orderpriority, count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority""",
+)
+def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join via key salting (operators/joins.py:44): the
+    fact side salts on one of its own columns, the other side replicates
+    16×, and the join key becomes (l_orderkey, salt) — a single hot order
+    spreads over 16 reducers. Value-identical to the plain join by
+    construction; the oracle is the unsalted SQL."""
+    from core_telecoms_etl_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(
+        li, orders, "l_orderkey", salt_from="l_partkey", n_salts=16
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
