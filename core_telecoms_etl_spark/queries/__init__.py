@@ -118,6 +118,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "bigram_surprisal",
     "salted_groupby",
     "salted_skew_join",
+    "heavy_hitters",
+    "hll_rollup",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

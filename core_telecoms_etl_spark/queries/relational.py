@@ -1142,3 +1142,64 @@ def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@query("hll_rollup")  # sketch estimates → engine-specific, rows-only
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: build
+    one HLL sketch per (month, day) partition, then merge day sketches to
+    month grain with `hll_union_agg` WITHOUT rescanning the fact table.
+    In production the daily sketch table persists and every re-aggregation
+    (week/month/quarter, any dimension subset) is sketch-merge cheap.
+    Rows-only driver check (HLL estimates are engine-specific); accuracy
+    vs exact countDistinct is floored in tests/test_relational.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+        .withColumn("day", F.date_trunc("day", "o_orderdate"))
+        .groupBy("month", "day")
+        .agg(
+            F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_customers"
+            ),
+            F.sum("n").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "heavy_hitters",
+    oracle="""SELECT l_partkey AS item, count(*) AS n
+              FROM lineitem GROUP BY l_partkey
+              ORDER BY n DESC, item LIMIT 10""",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via `approx_top_k` (Apache DataSketches
+    frequent-items under the hood): one pass, mergeable, bounded memory.
+    With maxItemsTracked ≥ the distinct-key count the counts are EXACT, so
+    at test SF this oracle-checks against the plain GROUP BY top-k; past
+    the tracked bound (true 100 TB key explosions) the same plan degrades
+    gracefully to guaranteed-error estimates. The sketch's own tie-break
+    at the k boundary is arbitrary, so over-fetch (k=100) and apply the
+    deterministic (count desc, item) cut ourselves — sketch emission
+    order is not a contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    topk = li.agg(
+        F.expr("approx_top_k(l_partkey, 100, 100000)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return (
+        topk.select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("n"),
+        )
+        .orderBy(F.desc("n"), "item")
+        .limit(10)
+    )

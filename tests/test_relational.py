@@ -18,3 +18,43 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     )
     for r in joined:
         assert abs(r.approx - r.exact) / r.exact < 0.01, r
+
+
+def test_hll_rollup_merge_matches_exact_within_tolerance(spark, sf_dir):
+    """Day-sketch → month-merge HLL estimates stay within 2% of the exact
+    per-month distinct-customer counts (well inside the ~1.6% standard
+    error of the default lgConfigK=12 sketch)."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.relational import hll_rollup
+
+    approx = {r.month: r.approx_customers for r in hll_rollup(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r.month: r.e
+        for r in orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+        .groupBy("month")
+        .agg(F.countDistinct("o_custkey").alias("e"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for m, e in exact.items():
+        assert abs(approx[m] - e) / e < 0.02, (m, approx[m], e)
+
+
+def test_heavy_hitters_sketch_is_exact_under_tracked_bound(spark, sf_dir):
+    """With maxItemsTracked above the distinct-key count, approx_top_k
+    counts equal the exact GROUP BY counts for every returned item."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.relational import heavy_hitters
+
+    got = heavy_hitters(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_partkey: r.n
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(got) == 10
+    for r in got:
+        assert exact[r.item] == r.n, r
