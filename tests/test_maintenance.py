@@ -59,3 +59,49 @@ def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
         == spark.read.parquet(src).count()
         == 3000
     )
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering bounds every output file to a small rectangle of
+    (orderkey, partkey) space: parquet min/max stats prune a majority of
+    row groups for point predicates on EITHER column, where a linear sort
+    prunes only its own sort key. Also a pure rewrite: row set unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from core_telecoms_etl_spark.sources.maintenance import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "z")
+    write_zordered(li, zdir, cols=("l_orderkey", "l_partkey"), n_files=16)
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)
+
+    def matching_fraction(col, probes):
+        files = sorted(glob.glob(zdir + "/*.parquet"))
+        hits = total = 0
+        for v in probes:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.row_group(rg).num_columns):
+                        c = md.row_group(rg).column(ci)
+                        if c.path_in_schema == col:
+                            total += 1
+                            if c.statistics.min <= v <= c.statistics.max:
+                                hits += 1
+        return hits / total
+
+    lo_o, hi_o = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    lo_p, hi_p = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    probes_o = [lo_o + (hi_o - lo_o) * q // 10 for q in (1, 5, 9)]
+    probes_p = [lo_p + (hi_p - lo_p) * q // 10 for q in (1, 5, 9)]
+    # both dimensions prune: a point predicate touches well under the 100%
+    # of row groups an unsorted/wrong-sorted layout would scan
+    assert matching_fraction("l_orderkey", probes_o) < 0.6
+    assert matching_fraction("l_partkey", probes_p) < 0.6
