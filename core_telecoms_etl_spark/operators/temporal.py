@@ -34,14 +34,27 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` for the same ``on`` key (left-join semantics:
-    left rows with no prior right row keep NULLs).
+    """For each left row, attach one right row for the same ``on`` key
+    (left-join semantics: unmatched left rows keep NULLs), pandas
+    ``merge_asof`` parity at shuffle-engine scale:
 
-    Single shuffle on ``on``; per-partition ordered scan. Ties at equal
-    timestamps resolve right-before-left so a right row at exactly
-    ``left.ts`` IS matched (ASOF >= semantics, matching DuckDB)."""
+    - ``backward`` (default): latest right with ``right.ts <= left.ts``
+    - ``forward``: earliest right with ``right.ts >= left.ts``
+    - ``nearest``: whichever of the two is closer (ties → backward,
+      matching pandas)
+    - ``tolerance``: maximum |left.ts - right.ts| (in the ts column's
+      units; seconds for timestamps) — farther matches become NULLs.
+
+    Single shuffle on ``on`` for every direction; per-partition ordered
+    scans (nearest adds a second sort over the SAME partitioning — no
+    extra Exchange). Ties at equal timestamps resolve right-before-left
+    so a right row at exactly ``left.ts`` IS matched (ASOF inclusive
+    semantics, matching DuckDB)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c != on]
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.select(
@@ -54,25 +67,60 @@ def asof_join(
     r_types = dict(rt.dtypes)
     for c in right_cols:
         lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(r_types[f"__r_{c}"]))
-    both = lt.unionByName(rt, allowMissingColumns=True)
+    both = lt.unionByName(rt, allowMissingColumns=True).withColumn(
+        # matched-ts carrier (numeric so deltas work for any ts type)
+        "__rts",
+        F.when(F.col("__side") == 0, F.col("__ts").cast("double")),
+    )
     # right rows sort before left rows at the same __ts (side 0 < 1)
-    w = (
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    windows = {"backward": [("b", w_back)], "forward": [("f", w_fwd)]}.get(
+        direction, [("b", w_back), ("f", w_fwd)]
+    )
     carried = both.select(
         "*",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m{tag}_{c}")
+            for tag, w in windows
             for c in right_cols
+        ],
+        *[
+            F.last("__rts", ignorenulls=True).over(w).alias(f"__mts_{tag}")
+            for tag, w in windows
         ],
     )
     out = carried.filter(F.col("__side") == 1)
+    ts_d = F.col("__ts").cast("double")
+    if direction == "nearest":
+        d_b = ts_d - F.col("__mts_b")
+        d_f = F.col("__mts_f") - ts_d
+        use_b = F.col("__mts_f").isNull() | (
+            F.col("__mts_b").isNotNull() & (d_b <= d_f)
+        )
+        picked = [
+            F.when(use_b, F.col(f"__mb_{c}")).otherwise(F.col(f"__mf_{c}"))
+            for c in right_cols
+        ]
+        delta = F.when(use_b, d_b).otherwise(d_f)
+    else:
+        tag = "b" if direction == "backward" else "f"
+        picked = [F.col(f"__m{tag}_{c}") for c in right_cols]
+        delta = F.abs(ts_d - F.col(f"__mts_{tag}"))
     keep = list(left.columns)
-    for c in right_cols:
+    for c, col in zip(right_cols, picked):
+        if tolerance is not None:
+            col = F.when(delta <= F.lit(float(tolerance)), col)
         name = c if c not in left.columns else f"{c}{suffix}"
-        out = out.withColumn(name, F.col(f"__m_{c}"))
+        out = out.withColumn(name, col)
         keep.append(name)
     return out.select(*keep)
 

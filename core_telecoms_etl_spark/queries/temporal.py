@@ -205,3 +205,38 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.sum("value").over(w), 2).alias("value_1h"),
     )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""SELECT p.event_id, p.user_id, p.ts,
+                     c.event_id AS next_click_id, c.ts AS next_click_ts
+              FROM (FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts <= c.ts""",
+)
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's EARLIEST click
+    at-or-after it (post-purchase behavior). Same union-tag single-shuffle
+    plan as backward — only the ordered scan direction flips
+    (operators/temporal.py asof_join(direction="forward"))."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("next_click_id"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=["next_click_id", "ts"],
+        suffix="_click",
+        direction="forward",
+    ).withColumnRenamed("ts_click", "next_click_ts")
+    return out.select(
+        "event_id", "user_id", "ts", "next_click_id", "next_click_ts"
+    )

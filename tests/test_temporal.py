@@ -92,3 +92,61 @@ def test_range_join_binned_left_keeps_zero_match_rows(spark):
     by_left = {r.l_event_id: r.r_event_id for r in out}
     assert by_left == {1: 50, 2: None}
     assert len(out) == 2  # no duplicate rows from the bin fan-out
+
+
+def test_asof_join_directions_match_pandas_merge_asof(spark):
+    """Property check vs pandas merge_asof on deterministic pseudo-random
+    data: backward / forward / nearest, with and without tolerance, must
+    agree row-for-row (including the ties-at-equal-ts and no-match
+    cases)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 400, 300
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, n_l),
+            "ts": rng.randint(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, n_r),
+            "ts": rng.randint(0, 1000, n_r).astype("int64"),
+            "v": rng.randint(0, 10**6, n_r).astype("int64"),
+        }
+    )
+    # merge_asof requires unique (k, ts) on the right for exact parity of
+    # WHICH row matches (the value at a duplicate ts is engine-arbitrary)
+    right_pd = right_pd.drop_duplicates(["k", "ts"])
+    left_df = spark.createDataFrame(left_pd)
+    right_df = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 50):
+            expect = pd.merge_asof(
+                left_pd.sort_values("ts", kind="stable"),
+                right_pd.sort_values("ts", kind="stable"),
+                on="ts",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+            ).set_index("lid")["v"]
+            got = asof_join(
+                left_df,
+                right_df,
+                on="k",
+                right_cols=["v"],
+                direction=direction,
+                tolerance=tol,
+            ).collect()
+            assert len(got) == n_l, direction
+            for r in got:
+                e = expect.loc[r.lid]
+                g = r.v
+                if pd.isna(e):
+                    assert g is None, (direction, tol, r)
+                else:
+                    assert g == e, (direction, tol, r, e)
