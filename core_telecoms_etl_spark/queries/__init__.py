@@ -121,6 +121,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "heavy_hitters",
     "hll_rollup",
     "asof_join_forward",
+    "window_rank_funcs",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

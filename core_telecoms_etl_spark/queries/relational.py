@@ -1203,3 +1203,32 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "item")
         .limit(10)
     )
+
+
+@query(
+    "window_rank_funcs",
+    oracle="""SELECT c_custkey, c_mktsegment,
+                     ntile(4)       OVER w AS balance_quartile,
+                     percent_rank() OVER w AS pct_rank,
+                     cume_dist()    OVER w AS cum_dist
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey)""",
+)
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family (ntile / percent_rank /
+    cume_dist) — completes W1 beyond rank/dense_rank/row_number. All three
+    are integer-arithmetic-derived ((rank-1)/(n-1) etc.), so the doubles
+    hash-match across engines with no rounding; c_custkey breaks balance
+    ties for a total order."""
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

@@ -329,3 +329,69 @@ def run_stream_windowed_append(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    version_col: str,
+    schema: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming CDC-apply: maintain a keyed table under `target_dir` by
+    MERGE-upserting every micro-batch (`foreachBatch` + operators/scd.py
+    upsert — updates win over target, highest version wins inside a
+    batch).
+
+    Plain parquet has no transactional row updates, so each batch writes
+    the merged relation to a staging folder and atomically renames over
+    the target (the same logical op is MERGE INTO on Delta/Iceberg — this
+    runner is the portable fallback). With a checkpoint dir the apply is
+    exactly-once across restarts: re-delivered batches re-merge
+    idempotently (same keys, same versions ⇒ same survivors)."""
+    import os
+    import shutil
+
+    from core_telecoms_etl_spark.operators.scd import upsert
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if os.path.isdir(target_dir):
+            merged = upsert(
+                s.read.parquet(target_dir),
+                batch,
+                key_cols=key_cols,
+                version_col=version_col,
+            )
+        else:
+            merged = upsert(
+                batch.limit(0), batch, key_cols=key_cols,
+                version_col=version_col,
+            )
+        staging = f"{target_dir}__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{target_dir}__old_{batch_id}"
+        if os.path.isdir(target_dir):
+            os.rename(target_dir, old)
+        os.rename(staging, target_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    reader = spark.readStream.format("parquet")
+    if schema:
+        reader = reader.schema(schema)
+    stream = reader.option("maxFilesPerTrigger", 1).load(src_dir)
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
