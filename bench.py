@@ -40,6 +40,8 @@ HEADLINE = [
     "contamination",
     "stratified_sample",
     "training_pipeline",
+    "bigram_surprisal",
+    "revenue_topk_shipping",
 ]
 
 
