@@ -122,6 +122,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "hll_rollup",
     "asof_join_forward",
     "window_rank_funcs",
+    "unpivot_metrics",
+    "null_safe_join",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

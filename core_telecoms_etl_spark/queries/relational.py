@@ -1232,3 +1232,71 @@ def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""WITH w AS (SELECT l_returnflag,
+                                CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                                round(sum(l_extendedprice), 2) AS sum_price,
+                                CAST(count(*) AS DOUBLE) AS n_items
+                         FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+              UNION ALL
+              SELECT l_returnflag, 'sum_price', sum_price FROM w
+              UNION ALL
+              SELECT l_returnflag, 'n_items', n_items FROM w""",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape via the native `unpivot` (ANSI UNPIVOT /
+    pandas melt): the inverse of pivot_agg, used to feed metric-per-row
+    sinks (monitoring tables, sparse ML features). Runs AFTER the
+    aggregation so the reshape is over a vocabulary-sized relation —
+    reshaping the fact table itself would triple the scan rows for no
+    information. Values share one DOUBLE type (unpivot requires a common
+    value type); sums snapped at their grids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        "l_returnflag",
+        ["sum_qty", "sum_price", "n_items"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "null_safe_join",
+    oracle="""WITH t AS (SELECT nullif(l_returnflag, 'N') AS flag, l_quantity
+                         FROM lineitem),
+                   d AS (SELECT DISTINCT flag FROM t)
+              SELECT d.flag, count(*) AS n,
+                     CAST(sum(t.l_quantity) AS BIGINT) AS total_qty
+              FROM t JOIN d ON t.flag IS NOT DISTINCT FROM d.flag
+              GROUP BY d.flag""",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of silently dropping — the semantics dimension
+    lookups need when the key is legitimately absent (here NULLs are
+    derived deterministically via nullif). Catalyst plans `<=>` as a hash
+    join on the null-safe key, NOT a nested loop, so the dim still
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.expr("nullif(l_returnflag, 'N')").alias("flag"), "l_quantity"
+    )
+    d = t.select(F.col("flag").alias("flag_d")).distinct()
+    return (
+        t.join(F.broadcast(d), t.flag.eqNullSafe(d.flag_d))
+        .groupBy("flag_d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+        .withColumnRenamed("flag_d", "flag")
+    )
