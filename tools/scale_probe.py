@@ -75,11 +75,52 @@ def main() -> None:
         )
         return lambda: pack_sequences(counted, "doc_id", "n_tokens")
 
+    def surprisal(d: DataFrame):
+        from core_telecoms_etl_spark.queries.text import bigram_surprisal
+
+        # the query loads its own table; rebuild the same plan over `d`
+        def run():
+            toks = d.select(
+                "doc_id", tx.tokens("text").alias("ts")
+            ).filter(F.size("ts") >= 2)
+            bg = toks.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(ts, 1, size(ts) - 1),"
+                        "         slice(ts, 2, size(ts) - 1),"
+                        "         (a, b) -> concat(a, ' ', b))"
+                    )
+                ).alias("bigram"),
+            ).withColumn("w1", F.substring_index("bigram", " ", 1))
+            bc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+            uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+            vocab = uc.agg(F.count("*").alias("vocab"))
+            return (
+                bg.join(bc, "bigram")
+                .join(uc, "w1")
+                .crossJoin(F.broadcast(vocab))
+                .groupBy("doc_id")
+                .agg(
+                    F.count("*").alias("n_bigrams"),
+                    F.avg(
+                        -F.log(
+                            (F.col("c2") + 1).cast("double")
+                            / (F.col("c1") + F.col("vocab"))
+                        )
+                    ).alias("surprisal"),
+                )
+            )
+
+        _ = bigram_surprisal  # parity anchor: same plan as the query
+        return run
+
     for name, mk in [
         ("contamination", contamination),
         ("quality_filter", quality),
         ("deterministic_shuffle", shuffle),
         ("sequence_pack", pack),
+        ("bigram_surprisal", surprisal),
     ]:
         # untimed warmup strips one-time codegen/compile cost so the
         # printed ratio isolates the data-size scaling
