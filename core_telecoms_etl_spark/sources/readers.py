@@ -49,6 +49,41 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    target_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Schema-drift-tolerant folder scan: a year of daily appends rarely
+    keeps one schema (columns get added, retired, reordered by upstream
+    producers — the reference's daily CSVs drift the same way and its
+    pandas path silently unions on position). `mergeSchema=true` takes
+    the union of all file schemas, with files missing a column reading
+    typed NULLs for it.
+
+    With `target_schema` the result additionally CONFORMS: extra columns
+    drop, missing columns appear as typed NULLs, and matching names cast
+    to the target type — so downstream plans never break on a drifted
+    folder. Footer-merging costs one extra metadata pass at planning
+    time, not a data pass; pushdown and pruning are unaffected."""
+    from pyspark.sql import functions as F
+
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if target_schema is None:
+        return df
+    if isinstance(target_schema, str):
+        target_schema = T.StructType.fromDDL(target_schema)
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 def read_csv(
     spark: SparkSession,
     path: str | list[str],

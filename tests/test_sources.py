@@ -228,3 +228,40 @@ def test_write_jsonl_round_trip(spark, sf_dir, tmp_path):
     assert all("n_nationkey" in r for r in recs)  # normalized key
     back = spark.read.json(out)
     assert back.count() == d.count()
+
+
+def test_read_parquet_evolving_merges_and_conforms(spark, tmp_path):
+    """A staging folder whose daily files drifted (column added, column
+    retired) reads as the union schema with typed NULL fill; with a
+    target schema the result conforms exactly — drops strays, adds
+    missing as NULLs, casts matching names."""
+    from core_telecoms_etl_spark.sources.readers import read_parquet_evolving
+
+    d = str(tmp_path / "staging")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(d + "/day=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(d + "/day=2")
+    spark.createDataFrame(
+        [(3, 7.0, "x")], "id long, score double, stray string"
+    ).write.parquet(d + "/day=3")
+
+    merged = read_parquet_evolving(
+        spark, [d + f"/day={i}" for i in (1, 2, 3)]
+    )
+    assert {"id", "name", "score", "stray"} <= set(merged.columns)
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[1].name == "a"
+    assert rows[3].name is None and rows[3].score == 7.0
+
+    conformed = read_parquet_evolving(
+        spark,
+        [d + f"/day={i}" for i in (1, 2, 3)],
+        target_schema="id long, name string, score double, added int",
+    )
+    assert conformed.columns == ["id", "name", "score", "added"]
+    got = {r.id: r for r in conformed.collect()}
+    assert got[2].score == 9.5 and got[2].added is None
+    assert "stray" not in conformed.columns
