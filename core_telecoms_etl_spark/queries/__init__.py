@@ -124,6 +124,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "window_rank_funcs",
     "unpivot_metrics",
     "null_safe_join",
+    "session_paths",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

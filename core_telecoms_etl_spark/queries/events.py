@@ -4,7 +4,7 @@ surface) + the multimodal-column metadata query (§2.13).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.operators.multimodal import binary_metadata
@@ -239,3 +239,65 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("stream_session_out")
+
+
+@query(
+    "session_paths",
+    oracle="""WITH flagged AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sess AS (
+                SELECT user_id, event_id, ts, event_type,
+                       sum(is_new) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_id
+                FROM flagged),
+              paths AS (
+                SELECT user_id, session_id,
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path
+                FROM sess GROUP BY user_id, session_id)
+              SELECT path, count(*) AS n_sessions
+              FROM paths GROUP BY path
+              ORDER BY n_sessions DESC, path LIMIT 15""",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths — which event sequences users actually take
+    (the product-analytics path report). Per-event session ids via the
+    same lag + running-sum shape as `sessionize`; the path string is an
+    order-exact aggregation: collect (ts, event_id, type) structs,
+    `array_sort` (lexicographic on the leading sort keys — deterministic
+    tie-break on event_id), project the types, join with '>'. Two
+    shuffles total (user key, then path key); the path table is
+    vocabulary-sized so the final top-k is cheap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(is_new).over(wrun))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )
