@@ -276,3 +276,14 @@ def test_tpch_report_shapes_no_cartesian_topk_pushed(spark, sf_dir):
     # the cross-dimension c_nationkey = s_nationkey condition must ride the
     # supplier hash join, not degrade to a post-join filter over a cartesian
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_window_rank_filter_pushes_group_limit(spark, sf_dir):
+    """The rank<=k filter must plan as WindowGroupLimit (per-group top-k
+    inside the sort, Spark's window top-k pushdown) — not a full window
+    materialization followed by a filter. This is the difference between
+    sorting every group completely and keeping k rows per group at 100 TB."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["window_rank"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
