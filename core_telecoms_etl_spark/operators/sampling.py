@@ -69,6 +69,73 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def sample_exact_k(
+    df: DataFrame, id_col: str, k: int, *, salt: str = ""
+) -> DataFrame:
+    """Exactly-k deterministic sample (the reservoir-sampling use case,
+    RNG-free): order by (md5(id+salt), id) and take k. The hash order is
+    uniform and independent of the physical row order, so this IS a
+    uniform sample — but stable across runs/engines/partitionings.
+    Physical plan is TakeOrderedAndProject: a size-k heap per partition
+    and a k-row merge on the driver — never a global sort, so it holds at
+    any corpus size. Change `salt` for an independent draw."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return df.orderBy(key, F.col(id_col)).limit(k)
+
+
+def domain_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Resample to a target domain mixture WITHOUT upsampling: the
+    training-data rebalancing primitive ("40% en, 20% es, ..."). Picks
+    the largest output size at which every domain can meet its target
+    share from available rows (scale = min over domains of count/weight),
+    derives each domain's keep-fraction, and applies the stable md5
+    bucket filter per domain. Domains not in `weights` are dropped.
+
+    Plan shape: one tiny per-domain count aggregate (rows = #domains) is
+    broadcast back onto the fact side, so the filter is a broadcast-join
+    + pushed predicate — no driver round-trip, no second shuffle, and the
+    assignment is deterministic across runs/engines/cluster sizes."""
+    n = 1_000_000
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_cnt"))
+    w = None
+    for label, frac in weights.items():
+        cond = F.col(domain_col) == label
+        lit = F.lit(float(frac))
+        w = F.when(cond, lit) if w is None else w.when(cond, lit)
+    per = counts.withColumn("_w", w.otherwise(F.lit(0.0))).filter(
+        F.col("_w") > 0
+    )
+    scale = per.agg(
+        F.min(F.col("_cnt") / F.col("_w")).alias("_scale")
+    )
+    thr = (
+        per.crossJoin(F.broadcast(scale))
+        .withColumn(
+            "_thr",
+            F.floor(
+                F.lit(float(n))
+                * F.least(
+                    F.lit(1.0),
+                    F.col("_w") * F.col("_scale") / F.col("_cnt"),
+                )
+            ),
+        )
+        .select(domain_col, "_thr")
+    )
+    return (
+        df.join(F.broadcast(thr), domain_col)
+        .filter(hash_bucket(id_col, n, salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str,

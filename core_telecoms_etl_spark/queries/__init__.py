@@ -125,6 +125,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "unpivot_metrics",
     "null_safe_join",
     "session_paths",
+    "exact_k_sample",
+    "domain_mixture",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

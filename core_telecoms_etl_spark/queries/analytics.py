@@ -144,6 +144,72 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_k_sample",
+    oracle="""SELECT doc_id, lang, source
+              FROM documents
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              LIMIT 100""",
+)
+def exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample without RNG state (the reservoir-sampling
+    use case): top-100 by md5(id) — TakeOrderedAndProject physically, so
+    a size-k heap per partition and a k-row driver merge, never a global
+    sort. The same 100 docs come back on every run, engine, and
+    partitioning; the oracle runs the identical hash order."""
+    from core_telecoms_etl_spark.operators.sampling import sample_exact_k
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_exact_k(d, "doc_id", 100).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "domain_mixture",
+    oracle="""WITH counts AS (
+                SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+              per AS (
+                SELECT lang, cnt,
+                       CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2
+                                 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.1
+                                 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS w
+                FROM counts
+                WHERE CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2
+                                WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.1
+                                WHEN 'zh' THEN 0.1 ELSE 0.0 END > 0),
+              sc AS (SELECT min(cnt / w) AS scale FROM per),
+              thr AS (
+                SELECT lang,
+                       CAST(floor(1000000.0 * least(1.0, w * scale / cnt))
+                            AS BIGINT) AS t
+                FROM per, sc)
+              SELECT d.lang, count(*) AS n_kept
+              FROM documents d JOIN thr ON d.lang = thr.lang
+              WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 1000000 < thr.t
+              GROUP BY d.lang""",
+)
+def domain_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target language mixture (en 40%, es/de
+    20%, fr/zh 10%) without upsampling: the output size is the largest at
+    which every domain can meet its share from available rows, each
+    domain gets a derived keep-fraction, membership is the stable md5
+    bucket. The per-domain thresholds are computed IN the plan (tiny agg
+    broadcast back onto the fact scan) — no driver round-trip. Oracle
+    mirrors the arithmetic step-for-step so thresholds match exactly."""
+    from core_telecoms_etl_spark.operators.sampling import domain_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = domain_mixture(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.4, "es": 0.2, "de": 0.2, "fr": 0.1, "zh": 0.1},
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@query(
     "scd2_history",
     oracle="""SELECT user_id, event_id, value, ts AS valid_from,
                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -94,6 +94,51 @@ def test_deterministic_sample_fraction(spark):
     assert abs(n - 2000) < 300  # within ~4σ of the binomial
 
 
+def test_sample_exact_k_is_exact_stable_and_heap_based(spark):
+    from core_telecoms_etl_spark.operators.sampling import sample_exact_k
+
+    df = spark.range(5_000)
+    s1 = sample_exact_k(df, "id", 50)
+    ids1 = {r.id for r in s1.collect()}
+    assert len(ids1) == 50
+    # same draw on a different partitioning
+    ids2 = {
+        r.id for r in sample_exact_k(df.repartition(7), "id", 50).collect()
+    }
+    assert ids1 == ids2
+    # independent draw under a different salt
+    ids3 = {r.id for r in sample_exact_k(df, "id", 50, salt="v2").collect()}
+    assert ids1 != ids3
+    # top-k heap, not a global sort
+    assert "TakeOrderedAndProject" in s1._jdf.queryExecution().executedPlan().toString()
+
+
+def test_domain_mixture_hits_target_shares(spark):
+    from core_telecoms_etl_spark.operators.sampling import domain_mixture
+
+    # 800 'a' + 150 'b' + 50 'c'; target 50/25/25 ⇒ scale = min(800/.5,
+    # 150/.25, 50/.25) = 200 ⇒ keep ≈100 a, ≈50 b, all 50 c
+    df = spark.range(1000).withColumn(
+        "dom",
+        F.when(F.col("id") < 800, "a")
+        .when(F.col("id") < 950, "b")
+        .otherwise("c"),
+    )
+    out = domain_mixture(
+        df, "id", "dom", {"a": 0.5, "b": 0.25, "c": 0.25}
+    )
+    counts = {
+        r.dom: r.n
+        for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["c"] == 50  # binding domain kept whole
+    assert abs(counts["a"] - 100) < 35  # ~4σ binomial tolerance
+    assert abs(counts["b"] - 50) < 25
+    # unlisted domains are dropped
+    out2 = domain_mixture(df, "id", "dom", {"a": 0.6, "b": 0.4})
+    assert out2.filter("dom = 'c'").isEmpty()
+
+
 def test_scd2_intervals_chain(spark):
     from datetime import datetime
 
