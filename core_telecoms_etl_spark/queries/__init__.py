@@ -127,6 +127,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "session_paths",
     "exact_k_sample",
     "domain_mixture",
+    "fuzzy_linkage",
     # -- strongest r1-green representatives (re-confirmation), plus two
     # family-redundant demotions that keep every family in the 50-window:
     # stream_tumbling (same oracle + agg as in-window events_tumbling;

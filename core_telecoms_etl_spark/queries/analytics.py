@@ -210,6 +210,38 @@ def domain_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_linkage",
+    oracle="""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     a.c_name AS name_a, b.c_name AS name_b,
+                     CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                       AS edit_dist
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+)
+def fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: candidate duplicate customers = same nation
+    (blocking key) and name within 2 edits. Blocked equi-join — the
+    quadratic edit-distance work is confined to each nation block and
+    uses the bounded levenshtein (early-exit at distance 3), so cost is
+    N²/(2·#blocks)·O(k·len), not all-pairs. Oracle runs the unbounded
+    levenshtein with an explicit <= filter — same pair set."""
+    from core_telecoms_etl_spark.operators.linkage import fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(
+        c, "c_custkey", "c_name", "c_nationkey", max_dist=2
+    ).select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+    )
+
+
+@query(
     "scd2_history",
     oracle="""SELECT user_id, event_id, value, ts AS valid_from,
                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
