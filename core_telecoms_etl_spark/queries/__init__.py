@@ -53,65 +53,14 @@ def query(name: str, oracle: str | None = None):
 # followed by the strongest cross-family representatives. The tail is
 # exclusively queries that are byte-identical to their r1-green versions.
 _CHECK_ORDER: tuple[str, ...] = (
-    # -- changed or new this round (need fresh driver rows)
-    "text_chunks",
-    "text_repetition",
-    "pii_scrub",
-    "contamination",
-    "stratified_sample",
+    # -- fixed this round (timestamp-NTZ normalization) + queries added
+    # -- after the r2 check window froze: first in line for the r4 window
     "stream_stream_join",
-    "deterministic_shuffle",
-    "sequence_pack",
-    "quality_filter",
-    "vector_quantize",
-    "profile_table",
-    "order_count_distribution",
-    "scalar_subquery_filter",
-    "training_pipeline",
-    "string_funcs",
-    "json_funcs",
-    "set_ops",
-    "dq_suite",
-    "text_profile",
-    "vector_topk",
-    "cosine_pairs",
-    # -- scalar-function tail (r1-unchecked family)
-    "date_funcs",
-    "math_funcs",
-    "null_handling",
-    "array_funcs",
-    "pandas_udf_scalar",
-    "grouped_map_zscore",
-    # -- star schema (r1-unchecked)
-    "star_fact_complaints",
-    # -- temporal (r1-unchecked family)
     "asof_join",
     "range_join",
-    "events_sliding",
-    "session_window",
     "window_range_frame",
-    # -- text / dedup (r1-unchecked family)
-    "text_exact_dedup",
-    "near_dedup",
-    "minhash_near_dup",
-    "simhash_signatures",
-    "near_dedup_layered",
-    "token_topk",
-    "tf_idf",
-    "dedup_clusters",
-    # -- vector (r1-unchecked family)
-    "embedding_norms",
-    "vector_topk_ivf",
-    "vector_topk_lsh",
-    # -- events / streaming / multimodal (r1-unchecked family)
-    "events_tumbling",
     "sessionize",
-    "multimodal_meta",
-    "stream_stateful",
-    "stream_static_join",
     "stream_session",
-    # -- new after the r2 window froze (driver checks the first 50):
-    # replica-verified this round, first in line for the r3 window
     "revenue_topk_shipping",
     "local_supplier_volume",
     "returned_item_report",
@@ -128,12 +77,53 @@ _CHECK_ORDER: tuple[str, ...] = (
     "exact_k_sample",
     "domain_mixture",
     "fuzzy_linkage",
-    # -- strongest r1-green representatives (re-confirmation), plus two
-    # family-redundant demotions that keep every family in the 50-window:
-    # stream_tumbling (same oracle + agg as in-window events_tumbling;
-    # streaming itself covered by stream_static_join/stream_stateful/
-    # stream_session/stream_stream_join) and string_funcs_extended (the
-    # string family is covered by the in-window string_funcs)
+    # -- green-in-r3 cross-family representatives (re-confirmation)
+    "training_pipeline",
+    "text_chunks",
+    "text_repetition",
+    "pii_scrub",
+    "contamination",
+    "stratified_sample",
+    "deterministic_shuffle",
+    "sequence_pack",
+    "quality_filter",
+    "vector_quantize",
+    "profile_table",
+    "scalar_subquery_filter",
+    "string_funcs",
+    "json_funcs",
+    "set_ops",
+    "dq_suite",
+    "text_profile",
+    "vector_topk",
+    "cosine_pairs",
+    "date_funcs",
+    "math_funcs",
+    "null_handling",
+    "array_funcs",
+    "pandas_udf_scalar",
+    "grouped_map_zscore",
+    "star_fact_complaints",
+    "events_sliding",
+    "session_window",
+    # -- tail: green in r1-r3 and byte-identical since, or rows-only by
+    # -- declared design (minhash/simhash/ivf/lsh recall-tested in pytest)
+    "order_count_distribution",
+    "text_exact_dedup",
+    "near_dedup",
+    "minhash_near_dup",
+    "simhash_signatures",
+    "near_dedup_layered",
+    "token_topk",
+    "tf_idf",
+    "dedup_clusters",
+    "embedding_norms",
+    "vector_topk_ivf",
+    "vector_topk_lsh",
+    "events_tumbling",
+    "multimodal_meta",
+    "stream_stateful",
+    "stream_static_join",
     "stream_tumbling",
     "string_funcs_extended",
     "funnel",

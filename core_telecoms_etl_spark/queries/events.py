@@ -118,24 +118,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast — the stream side never shuffles for it) and aggregates
     per segment, complete-mode memory sink. The standard enrichment shape
     for a Kafka feed ⋈ dimension table."""
-    from core_telecoms_etl_spark.sources.readers import (
-        ensure_session_confs,
-        load_table,
-    )
-    from core_telecoms_etl_spark.streaming.events import EVENTS_RAW_SCHEMA
+    from core_telecoms_etl_spark.sources.readers import load_table
+    from core_telecoms_etl_spark.streaming.events import events_file_stream
 
-    ensure_session_confs(spark)
     static_dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
     agg = (
         stream.join(F.broadcast(static_dim), "user_id")
         .groupBy("segment")
@@ -208,17 +198,9 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator), complete-mode memory sink — batch/stream parity for
     sessionization, checked against the same gap-CTE oracle as the batch
     `session_window` query."""
-    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
-    from core_telecoms_etl_spark.streaming.events import EVENTS_RAW_SCHEMA
+    from core_telecoms_etl_spark.streaming.events import events_file_stream
 
-    ensure_session_confs(spark)
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
     agg = (
         stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(

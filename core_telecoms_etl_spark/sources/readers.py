@@ -216,19 +216,41 @@ def ensure_session_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver test table (TESTDATA.md). The events table is
-    written with TIMESTAMP(NANOS) parquet timestamps, which Spark reads
-    (under nanosAsLong) as raw nanos longs — normalized here to a real
-    TimestampType truncated to microseconds, matching how DuckDB (and any
-    µs-resolution consumer) reads the same file."""
-    ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-ish column to session-timezone
+    TimestampType, tolerant of the on-disk encodings seen across driver
+    testdata generations:
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    - TIMESTAMP(NANOS) parquet read (under nanosAsLong) as a raw nanos
+      BIGINT named `ts` → truncated to µs TimestampType;
+    - timestamp[us] with isAdjustedToUTC=false, which Spark ≥3.5 reads as
+      TIMESTAMP_NTZ when `inferTimestampNTZ` is on → cast to TimestampType
+      (session tz is pinned to UTC, so the wall-clock values are
+      preserved exactly and match DuckDB's naive reading);
+    - plain TIMESTAMP → passthrough.
+
+    Centralizing this keeps every downstream `unix_micros`/`window`/
+    interval expression on one type regardless of which writer produced
+    the files."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            out = out.withColumn(name, F.col(name).cast("timestamp"))
+        elif name == "ts" and dtype == "bigint":
+            out = out.withColumn(
+                name, F.timestamp_micros(F.expr(f"{name} div 1000"))
+            )
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table (TESTDATA.md), with timestamp columns
+    normalized to TimestampType (see `normalize_timestamps` for the
+    on-disk encodings handled)."""
+    ensure_session_confs(spark)
+    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -22,12 +22,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# raw parquet schema: ts arrives as TIMESTAMP(NANOS) → read as nanos long
-# (spark.sql.legacy.parquet.nanosAsLong) and normalized to µs TimestampType
+# Historical raw schema: some testdata generations write ts as
+# TIMESTAMP(NANOS), which Spark (under nanosAsLong) reads as a nanos long.
+# Newer generations write timestamp[us] (→ TIMESTAMP_NTZ under
+# inferTimestampNTZ). Streams therefore infer the on-disk schema from a
+# batch footer read and normalize afterwards — see `events_file_stream`.
 EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the events parquet file/dir with `ts` normalized to
+    TimestampType regardless of the on-disk encoding (nanos-as-long,
+    TIMESTAMP_NTZ, or plain TIMESTAMP — see readers.normalize_timestamps).
+
+    The file-stream source requires an explicit schema; it is taken from a
+    batch footer read of the same path (metadata-only, no data scan), so
+    the stream always matches what is actually on disk instead of
+    hard-coding one writer generation's encoding."""
+    from core_telecoms_etl_spark.sources.readers import (
+        ensure_session_confs,
+        normalize_timestamps,
+    )
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(path).schema
+    if path.endswith(".parquet"):
+        base, _, fname = path.rpartition("/")
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(raw_schema)
+            .option("pathGlobFilter", fname)
+            .load(base)
+        )
+    else:
+        stream = (
+            spark.readStream.format("parquet").schema(raw_schema).load(path)
+        )
+    return normalize_timestamps(stream)
 
 
 def tumbling_agg(events: DataFrame, width: str = "15 minutes") -> DataFrame:
@@ -90,19 +124,7 @@ def run_stream_tumbling(
     parquet folder and return the materialized result. Complete-mode memory
     sink so the single historical batch emits every window (append mode
     would withhold windows until the watermark passes them)."""
-    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
-
-    ensure_session_confs(spark)
-    # the file-stream source wants a directory: stream the parent dir with
-    # a glob filter selecting the events file(s)
-    base, _, fname = path.rpartition("/")
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", fname)
-        .load(base)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_file_stream(spark, path)
     agg = tumbling_agg(stream, width)
     q = (
         agg.writeStream.outputMode("complete")
@@ -164,17 +186,7 @@ def run_stream_stateful(
     """Drive the stateful per-user totals through Structured Streaming over
     the events parquet (single historical micro-batch → emitted updates are
     the final totals)."""
-    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
-
-    ensure_session_confs(spark)
-    base, _, fname = path.rpartition("/")
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", fname)
-        .load(base)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_file_stream(spark, path)
     out = stateful_user_totals(stream)
     q = (
         out.writeStream.outputMode("update")
@@ -212,11 +224,6 @@ def run_stream_stream_join(
     source the emitted pairs equal the batch interval join, which is what
     the DuckDB oracle checks.
     """
-    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
-
-    ensure_session_confs(spark)
-    base, _, fname = path.rpartition("/")
-
     # A stream-stream join keeps FOUR state stores per shuffle partition;
     # the store count (not data volume) dominates at local scale, so pin
     # the streaming partition count low for this query and restore after.
@@ -226,11 +233,7 @@ def run_stream_stream_join(
 
     def _side(etype: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.format("parquet")
-            .schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", fname)
-            .load(base)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            events_file_stream(spark, path)
             .filter(F.col("event_type") == etype)
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
@@ -294,17 +297,19 @@ def run_stream_windowed_append(
     Returns the emitted (closed) windows. On a cluster the sink is a
     parquet/Delta append with checkpointing; the memory sink here is the
     local harness shape."""
-    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+    from core_telecoms_etl_spark.sources.readers import (
+        ensure_session_confs,
+        normalize_timestamps,
+    )
 
     ensure_session_confs(spark)
-    stream = (
+    raw_schema = spark.read.parquet(events_dir).schema
+    stream = normalize_timestamps(
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    ).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(F.window("ts", width), "event_type")
         .agg(
