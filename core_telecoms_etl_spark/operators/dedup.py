@@ -396,3 +396,84 @@ def layered_near_dup(
         "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard",
         "copies_a", "copies_b",
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Continuous-ingest dedup: drop new-batch docs that duplicate the
+    EXISTING corpus, without re-deduping the corpus itself — the shape a
+    training-data pipeline runs on every ingest cycle (the corpus is
+    already clean; only new-vs-old comparisons are needed).
+
+    Two cuts, both one-directional:
+    1. exact — batch docs whose sha256 digest matches any corpus doc;
+    2. near  — batch docs with distinct word n-gram Jaccard >= threshold
+       against any corpus doc (same integer-count math as jaccard_pairs).
+
+    Returns the surviving batch rows (original columns).
+
+    Scale: the batch is small relative to the corpus by construction, so
+    BOTH cuts stream the 100 TB corpus against a BROADCAST batch side —
+    the corpus is never shuffled and never self-joined. The matched-id
+    sets that come back are at most batch-sized, and the final anti-joins
+    run against the small batch relation. (Broadcasting the batch's
+    exploded postings bounds batch size at ~10M shingles per cycle;
+    beyond that, switch the near cut to a shuffled join on the hashed
+    shingle key — same counts, one corpus shuffle.)"""
+    b_digest = batch.select(
+        F.col(id_col).alias("__bid"),
+        content_sha256(text_col).alias("__digest"),
+    )
+    c_digest = corpus.select(content_sha256(text_col).alias("__digest"))
+    exact_hits = (
+        c_digest.join(F.broadcast(b_digest), "__digest")
+        .select("__bid")
+        .distinct()
+    )
+
+    def _posts(df: DataFrame, side: str) -> DataFrame:
+        sh = _shingled(df, id_col, text_col, n)
+        if hash_shingles:
+            sh = sh.select(
+                "doc",
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
+                    "shingles"
+                ),
+            )
+        return sh.select(
+            F.col("doc").alias(f"{side}_id"),
+            F.size("shingles").alias(f"n_{side}"),
+            F.explode("shingles").alias("shingle"),
+        )
+
+    near_hits = (
+        _posts(corpus, "c")
+        .join(F.broadcast(_posts(batch, "b")), "shingle")
+        .groupBy("b_id", "c_id")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_b").alias("n_b"),
+            F.first("n_c").alias("n_c"),
+        )
+        .filter(
+            F.col("n_common")
+            / (F.col("n_b") + F.col("n_c") - F.col("n_common"))
+            >= threshold
+        )
+        .select(F.col("b_id").alias("__bid"))
+        .distinct()
+    )
+    dropped = exact_hits.union(near_hits).distinct()
+    return batch.join(
+        F.broadcast(dropped),
+        batch[id_col] == dropped["__bid"],
+        "left_anti",
+    )

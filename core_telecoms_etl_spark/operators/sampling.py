@@ -159,3 +159,35 @@ def dataset_split(
             F.when(cond, label) if expr is None else expr.when(cond, label)
         )
     return df.withColumn(split_col, expr.otherwise(F.lit(None)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column | str],
+    n: int,
+    *,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep at most `n` rows per group under a deterministic priority
+    order (C4/CommonCrawl-style per-domain document caps: no single
+    domain may dominate the corpus). `order_cols` MUST end in a unique
+    tiebreaker so the kept set is stable across engines and runs.
+
+    Scale: one shuffle on `group_col`; Spark plans the rank filter as a
+    WindowGroupLimit (per-partition top-n pushed below the final sort),
+    so a 100 TB corpus never materializes more than n rows per group per
+    task. A pathologically heavy domain (one key ≫ one task) is the
+    documented limit — pre-aggregate with a salted two-phase top-n if a
+    single domain exceeds executor memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    rk = F.row_number().over(w)
+    if rank_col is None:
+        return (
+            df.withColumn("__rk", rk).filter(F.col("__rk") <= n).drop("__rk")
+        )
+    return df.withColumn(rank_col, rk.cast("long")).filter(
+        F.col(rank_col) <= n
+    )

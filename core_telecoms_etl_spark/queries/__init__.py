@@ -77,6 +77,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "exact_k_sample",
     "domain_mixture",
     "fuzzy_linkage",
+    "domain_cap",
+    "gopher_quality",
+    "corpus_incremental_dedup",
     # -- green-in-r3 cross-family representatives (re-confirmation)
     "training_pipeline",
     "text_chunks",
@@ -104,10 +107,10 @@ _CHECK_ORDER: tuple[str, ...] = (
     "pandas_udf_scalar",
     "grouped_map_zscore",
     "star_fact_complaints",
-    "events_sliding",
-    "session_window",
     # -- tail: green in r1-r3 and byte-identical since, or rows-only by
     # -- declared design (minhash/simhash/ivf/lsh recall-tested in pytest)
+    "events_sliding",
+    "session_window",
     "order_count_distribution",
     "text_exact_dedup",
     "near_dedup",

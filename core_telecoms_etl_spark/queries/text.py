@@ -758,3 +758,169 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surprisal"),
         )
     )
+
+
+_3GRAM_SH = (
+    "list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]"
+    " for i in range(1, len(ts) - 1)])"
+)
+
+
+@query(
+    "domain_cap",
+    oracle="""SELECT doc_id, source, n_chars, rk FROM (
+                SELECT doc_id, source, n_chars,
+                       CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+                FROM documents) WHERE rk <= 10""",
+)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain document cap: keep at most 10 docs per source,
+    preferring longer docs (n_chars desc, doc_id tiebreak) — the
+    anti-domination pass of corpus curation. Plans as WindowGroupLimit
+    (per-partition top-n pushed below the final rank filter)."""
+    from core_telecoms_etl_spark.operators.sampling import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return cap_per_group(
+        d.select("doc_id", "source", "n_chars"),
+        "source",
+        [F.desc("n_chars"), F.col("doc_id")],
+        10,
+        rank_col="rk",
+    )
+
+
+@query(
+    "gopher_quality",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM documents),
+               m AS (
+                 SELECT doc_id,
+                        CAST(len(ts) AS BIGINT) AS n_words,
+                        CAST(list_sum(list_transform(ts, t -> length(t)))
+                             AS BIGINT) AS wc,
+                        CAST(len(list_filter(ts,
+                             t -> regexp_matches(t, '[a-zA-Z]')))
+                             AS BIGINT) AS aw,
+                        CAST(len(list_filter(ts,
+                             t -> NOT regexp_matches(t, '[a-zA-Z0-9]')))
+                             AS BIGINT) AS sw,
+                        CAST(len(list_filter(ts,
+                             t -> list_contains({_STOP}, lower(t))))
+                             AS BIGINT) AS n_stopwords
+                 FROM toks WHERE len(ts) >= 1)
+               SELECT doc_id, n_words,
+                      wc / n_words AS mean_word_len,
+                      aw / n_words AS frac_alpha_words,
+                      sw / n_words AS frac_symbol_words,
+                      n_stopwords,
+                      (n_words >= 50 AND n_words <= 100000
+                       AND wc / n_words >= 3 AND wc / n_words <= 10
+                       AND aw / n_words >= 0.8
+                       AND sw / n_words < 0.1
+                       AND n_stopwords >= 2) AS keep
+               FROM m""",
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1):
+    word-count bounds, mean word length in [3,10], ≥80% of words contain
+    a letter, <10% symbol-only words, ≥2 English stopwords. All integer
+    counts + exact-int divisions → both engines produce bit-identical
+    doubles, so the keep flag matches exactly. Single scan, all
+    whole-stage-codegen'd higher-order functions."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tx.tokens("text").alias("ts"))
+        .filter(F.size("ts") >= 1)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in tx.EN_STOPWORDS])
+    n_words = F.size("ts").cast("long")
+    wc = F.aggregate(
+        F.transform("ts", lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    aw = F.size(F.filter("ts", lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    sw = F.size(
+        F.filter("ts", lambda t: ~t.rlike("[a-zA-Z0-9]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter("ts", lambda t: F.array_contains(stop_arr, F.lower(t)))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        wc.alias("wc"),
+        aw.alias("aw"),
+        sw.alias("sw"),
+        n_stop.alias("n_stopwords"),
+    )
+    mean_wl = F.col("wc") / F.col("n_words")
+    frac_a = F.col("aw") / F.col("n_words")
+    frac_s = F.col("sw") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        frac_a.alias("frac_alpha_words"),
+        frac_s.alias("frac_symbol_words"),
+        "n_stopwords",
+        (
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100000)
+            & (mean_wl >= 3)
+            & (mean_wl <= 10)
+            & (frac_a >= 0.8)
+            & (frac_s < 0.1)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "corpus_incremental_dedup",
+    oracle=f"""WITH batch AS (
+                 SELECT * FROM documents WHERE doc_id % 10 < 2),
+               corpus AS (
+                 SELECT * FROM documents WHERE doc_id % 10 >= 2),
+               exact_hits AS (
+                 SELECT DISTINCT b.doc_id FROM batch b
+                 JOIN corpus c ON b.text = c.text),
+               btoks AS (SELECT doc_id, {_TOKS} AS ts FROM batch),
+               ctoks AS (SELECT doc_id, {_TOKS} AS ts FROM corpus),
+               bex AS (
+                 SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n,
+                        unnest(shingles) AS shingle
+                 FROM (SELECT doc_id, {_3GRAM_SH} AS shingles
+                       FROM btoks WHERE len(ts) >= 3)),
+               cex AS (
+                 SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n,
+                        unnest(shingles) AS shingle
+                 FROM (SELECT doc_id, {_3GRAM_SH} AS shingles
+                       FROM ctoks WHERE len(ts) >= 3)),
+               near_hits AS (
+                 SELECT DISTINCT bid AS doc_id FROM (
+                   SELECT bex.doc_id AS bid, cex.doc_id AS cid,
+                          count(*) AS n_common,
+                          any_value(bex.n) AS n_b, any_value(cex.n) AS n_c
+                   FROM bex JOIN cex ON bex.shingle = cex.shingle
+                   GROUP BY bex.doc_id, cex.doc_id
+                   HAVING count(*) / (any_value(bex.n) + any_value(cex.n)
+                                      - count(*)) >= 0.8))
+               SELECT doc_id, source, n_chars FROM batch
+               WHERE doc_id NOT IN (SELECT doc_id FROM exact_hits)
+                 AND doc_id NOT IN (SELECT doc_id FROM near_hits)""",
+)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: docs with doc_id % 10 < 2 play the newly
+    ingested batch, the rest the existing (already-clean) corpus; batch
+    docs that exactly or near-duplicate (3-gram Jaccard ≥ 0.8) a corpus
+    doc are dropped. The corpus side never shuffles — both cuts stream it
+    against the broadcast batch (operators/dedup.py incremental_dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 < 2)
+    corpus = d.filter(F.col("doc_id") % 10 >= 2)
+    return dd.incremental_dedup(
+        corpus, batch, "doc_id", "text", n=3, threshold=0.8
+    ).select("doc_id", "source", "n_chars")

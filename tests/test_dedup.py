@@ -213,3 +213,44 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     # growing a fraction only ADDS members (monotone buckets)
     s3 = stratified_sample(df, "id", "lang", {"en": 0.7, "de": 0.1})
     assert set(ids1) <= {r.id for r in s3.collect()}
+
+
+def test_incremental_dedup_drops_exact_and_near(spark):
+    from core_telecoms_etl_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1
+            (10, "alpha beta gamma delta epsilon zeta"),
+            # near-dup of corpus doc 2 (one trailing token changed)
+            (11, "one two three four five six EIGHT"),
+            # genuinely new
+            (12, "completely different content right here"),
+        ],
+        "id long, text string",
+    )
+    out = incremental_dedup(corpus, batch, "id", "text", n=3, threshold=0.5)
+    assert {r.id for r in out.collect()} == {12}
+
+
+def test_incremental_dedup_keeps_batch_internal_dups(spark):
+    # the op dedups new-vs-corpus ONLY: two identical new docs both
+    # survive (intra-batch dedup is exact_dedup's job, run separately)
+    from core_telecoms_etl_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f")], "id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "x y z w v u"), (11, "x y z w v u")],
+        "id long, text string",
+    )
+    out = incremental_dedup(corpus, batch, "id", "text", n=3, threshold=0.8)
+    assert {r.id for r in out.collect()} == {10, 11}

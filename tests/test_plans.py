@@ -287,3 +287,30 @@ def test_window_rank_filter_pushes_group_limit(spark, sf_dir):
 
     plan = _formatted(queries()["window_rank"](spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_domain_cap_plans_window_group_limit(spark, sf_dir):
+    """Per-domain cap: the rank<=n filter must push down as a
+    WindowGroupLimit (per-partition top-n before the full sort+rank),
+    with the single shuffle on the domain key."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["domain_cap"](spark, sf_dir))
+    assert _n_ops(plan, "WindowGroupLimit") >= 1, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_incremental_dedup_corpus_never_shuffles_raw(spark, sf_dir):
+    """New-vs-corpus dedup: both cuts stream the corpus against broadcast
+    batch sides — no CartesianProduct, every join a broadcast hash join,
+    and no shuffle carrying document text (only the candidate-pair agg
+    and final distinct shuffle ids/counts)."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["corpus_incremental_dedup"](spark, sf_dir))
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert _n_ops(plan, "SortMergeJoin") == 0, plan
+    assert _n_ops(plan, "BroadcastHashJoin") >= 3, plan  # exact+near+anti
+    ex_lines = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert all("text" not in l for l in ex_lines), ex_lines
