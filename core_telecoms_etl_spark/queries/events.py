@@ -283,3 +283,19 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(15)
     )
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once repair: the events file is delivered twice
+    (union of two file streams — the replayed-offsets shape) and
+    dropDuplicatesWithinWatermark on event_id suppresses the redelivery
+    inside the watermark horizon, so the output equals the single-copy
+    relation the oracle reads. State is bounded by the watermark, not
+    stream lifetime (streaming/events.py run_stream_dedup)."""
+    from core_telecoms_etl_spark.streaming.events import run_stream_dedup
+
+    return run_stream_dedup(spark, f"{sf_dir}/events.parquet")
