@@ -66,24 +66,45 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
 
-    # min-of-3 per query: one-shot wall times on a busy box conflate JVM
+    # warm the Python worker pool too: the first pandas-UDF stage of a
+    # session pays worker spawn + Arrow init (~2s on a contended box),
+    # which is session setup, not plan cost — don't bill it to the first
+    # UDF query (BENCH_r04's pandas_udf_scalar outlier)
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations`
+    # would stringify them where pandas_udf can't resolve the local names
+    warm_udf = pandas_udf(lambda v: v * 1.0, "double")
+    spark.range(10_000).select(warm_udf("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # min-of-N per query: one-shot wall times on a busy box conflate JVM
     # GC / OS contention with plan cost; the min is the variance-proof
-    # estimate of what the plan actually costs.
+    # estimate of what the plan actually costs. The per-query min/median
+    # spread is recorded so a contention outlier is self-diagnosing.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
         # several operators cache intermediate arrays (documented in
         # operators/dedup.py); drop them when moving to the next query so
         # queries can't pollute each other's storage memory, but keep them
-        # across a query's own re-runs (min-of-3 = steady-state timing)
+        # across a query's own re-runs (min-of-N = steady-state timing)
         spark.catalog.clearCache()
+        runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spreads[name] = {
+            "min": round(runs[0], 3),
+            "median": round(runs[len(runs) // 2], 3),
+            "n_runs": n_runs,
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": spreads,
                 "sf": sf,
             }
         )

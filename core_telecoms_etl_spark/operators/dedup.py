@@ -98,11 +98,14 @@ def jaccard_pairs(
     # slower end-to-end). At cluster scale: persist(DISK) or checkpoint.
     sh = _shingled(df, id_col, text_col, n)
     if hash_shingles:
+        # array_distinct restores the distinct-shingle invariant if two
+        # of a doc's shingles collide in 64 bits (else n_common could
+        # exceed the true intersection for that doc's pairs)
         sh = sh.select(
             "doc",
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
-                "shingles"
-            ),
+            F.array_distinct(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            ).alias("shingles"),
         )
     sh = sh.cache()
     post = sh.select(
@@ -172,10 +175,12 @@ def contamination_pairs(
     def _posts(df: DataFrame) -> DataFrame:
         sh = _shingled(df, id_col, text_col, n)
         if hash_shingles:
+            # see jaccard_pairs: keep hashed arrays distinct so in-doc
+            # 64-bit collisions can't inflate n_common
             sh = sh.select(
                 "doc",
-                F.transform(
-                    F.col("shingles"), lambda s: F.xxhash64(s)
+                F.array_distinct(
+                    F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
                 ).alias("shingles"),
             )
         return sh.cache().select(
@@ -317,11 +322,27 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit-chunk blocking + exact Hamming
-    filter (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal; wider
-    max_hamming still prunes most of the space)."""
+    """SimHash near-dup pairs via bit-block blocking + exact Hamming
+    filter. Blocking is pigeonhole-COMPLETE by default: the 64-bit
+    signature splits into `n_blocks = max_hamming + 1` blocks, so any
+    pair within `max_hamming` differs in at most max_hamming blocks and
+    must agree on at least one — every qualifying pair is guaranteed to
+    be a candidate (no probabilistic recall), while pairs differing in
+    every block are never compared. Pass a smaller `n_blocks` to trade
+    guaranteed recall for fewer candidates."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+    # block i covers bits [starts[i], starts[i+1]) — widths differ by ≤1
+    starts = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     # signature computation is the expensive pass; the blocking self-join
     # reads it twice → cache
     sig = simhash_signatures(df, id_col, text_col).cache()
@@ -331,8 +352,10 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", s).bitwiseAND(0xFFFF)
-                    for s in (0, 16, 32, 48)
+                    F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(
+                        (1 << (starts[i + 1] - starts[i])) - 1
+                    )
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("chunk_pos", "chunk"),
@@ -357,6 +380,59 @@ def simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def refine_pairs_exact(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The verify stage of sketch-based near-dup: exact distinct-n-gram
+    Jaccard computed ONLY on candidate pairs (from MinHash-LSH or SimHash
+    blocking), keeping pairs at or above `threshold`.
+
+    `candidates` needs (doc_a, doc_b) columns; output matches
+    `jaccard_pairs`: (doc_a, doc_b, n_common, n_a, n_b, jaccard) with
+    exact integer counts over unhashed string shingles — so when the
+    candidate generator's recall is 1 at the threshold, the refined
+    result equals the full exact-jaccard pair set, at candidate-set cost
+    instead of inverted-index-self-join cost.
+
+    Scale: the candidate set is sketch-blocked (≪ n²); each side of the
+    pair joins the per-doc shingle ARRAY relation on its id (two hash
+    joins keyed on doc id), and the intersection runs per-pair as a JVM
+    array op — no explode, no posting-list shuffle."""
+    sh = _shingled(df, id_col, text_col, n)
+    sa = sh.select(
+        F.col("doc").alias("doc_a"), F.col("shingles").alias("__sh_a")
+    )
+    sb = sh.select(
+        F.col("doc").alias("doc_b"), F.col("shingles").alias("__sh_b")
+    )
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("__sh_a").cast("long").alias("n_a"),
+            F.size("__sh_b").cast("long").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def layered_near_dup(
@@ -442,11 +518,13 @@ def incremental_dedup(
     def _posts(df: DataFrame, side: str) -> DataFrame:
         sh = _shingled(df, id_col, text_col, n)
         if hash_shingles:
+            # see jaccard_pairs: keep hashed arrays distinct so in-doc
+            # 64-bit collisions can't inflate n_common
             sh = sh.select(
                 "doc",
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
-                    "shingles"
-                ),
+                F.array_distinct(
+                    F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+                ).alias("shingles"),
             )
         return sh.select(
             F.col("doc").alias(f"{side}_id"),

@@ -70,9 +70,13 @@ def deterministic_shuffle(
     keyed, w = _grouped_order(df, id_col, salt, n_groups)
     keyed = keyed.withColumn("__rn", F.count("*").over(w))
     totals = keyed.groupBy("__grp").agg(F.count("*").alias("__n"))
-    wg = Window.orderBy("__grp").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the G-row offsets prefix sum IS meant to run single-partition (G ≪ N);
+    # partition on pmod(__grp, 1) — constantly 0 but not constant-foldable —
+    # so WindowExec doesn't emit its "No Partition Defined" warning for a
+    # stage that is deliberately and harmlessly single-partition
+    wg = Window.partitionBy(F.pmod(F.col("__grp"), F.lit(1))).orderBy(
+        "__grp"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = totals.select(
         "__grp", (F.sum("__n").over(wg) - F.col("__n")).alias("__prefix")
     )
@@ -110,9 +114,13 @@ def pack_sequences(
     totals = keyed.groupBy("__grp").agg(
         F.sum(token_count_col).alias("__t")
     )
-    wg = Window.orderBy("__grp").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the G-row offsets prefix sum IS meant to run single-partition (G ≪ N);
+    # partition on pmod(__grp, 1) — constantly 0 but not constant-foldable —
+    # so WindowExec doesn't emit its "No Partition Defined" warning for a
+    # stage that is deliberately and harmlessly single-partition
+    wg = Window.partitionBy(F.pmod(F.col("__grp"), F.lit(1))).orderBy(
+        "__grp"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = totals.select(
         "__grp", (F.sum("__t").over(wg) - F.col("__t")).alias("__prefix")
     )

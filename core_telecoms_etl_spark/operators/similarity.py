@@ -252,17 +252,12 @@ def ivf_topk(
     )
 
 
-def random_hyperplane_sketch(
-    df: DataFrame,
-    *,
-    vec_col: str = "embedding",
-    n_bits: int = 16,
-    seed: int = 42,
-) -> DataFrame:
-    """Sign-bit LSH sketch: bit_i = sign(v · h_i) for pseudo-random
-    hyperplanes derived from xxhash64(dim, bit, seed) — fully
-    deterministic, no stored projection matrix. Adds `sketch` (long)."""
+def _sketch_expr(vec_col: str, n_bits: int, seed: int) -> Column:
+    """Sign-bit LSH sketch expression: bit_i = sign(v · h_i) for
+    pseudo-random hyperplanes derived from xxhash64(dim, bit, seed) —
+    fully deterministic, no stored projection matrix."""
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
     def bit(i: int) -> Column:
         # h_i[d] in {-1,+1} from the hash parity of (d, i, seed)
         proj = F.aggregate(
@@ -284,7 +279,18 @@ def random_hyperplane_sketch(
     sketch = bit(0)
     for i in range(1, n_bits):
         sketch = sketch + bit(i)
-    return df.withColumn("sketch", sketch)
+    return sketch
+
+
+def random_hyperplane_sketch(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds the sign-bit LSH `sketch` (long) column — see `_sketch_expr`."""
+    return df.withColumn("sketch", _sketch_expr(vec_col, n_bits, seed))
 
 
 def lsh_topk(
@@ -296,27 +302,53 @@ def lsh_topk(
     k: int = 10,
     n_bits: int = 16,
     max_hamming: int = 6,
+    n_tables: int = 1,
 ) -> DataFrame:
     """LSH-prefiltered top-k: score only candidates whose sign-bit sketch
     is within `max_hamming` of the query's. The Hamming filter is a cheap
     bit_count on longs; the expensive cosine runs on the surviving
-    fraction only."""
-    c = random_hyperplane_sketch(corpus, vec_col=vec_col, n_bits=n_bits).select(
+    fraction only.
+
+    `n_tables > 1` is the standard E2LSH-style recall lever: L independent
+    sketch tables (different hyperplane seeds), a pair is a candidate if
+    ANY table passes the Hamming filter. Recall of one table is
+    1-(1-p)^1; of L tables 1-(1-p)^L — each extra table trades extra
+    scan-side sketch bits (L longs per row, still no shuffle) for
+    exponentially fewer missed neighbors. The candidate union is computed
+    per-row with a bitwise OR-reduce over the per-table filters, not a
+    union of L joins, so the corpus is still read once."""
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm2_expr(vec_col).alias("c_n2"),
-        F.col("sketch").alias("c_sketch"),
+        *[
+            _sketch_expr(vec_col, n_bits, 42 + t).alias(f"c_sketch_{t}")
+            for t in range(n_tables)
+        ],
     )
-    q = random_hyperplane_sketch(queries, vec_col=vec_col, n_bits=n_bits).select(
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm2_expr(vec_col).alias("q_n2"),
-        F.col("sketch").alias("q_sketch"),
+        *[
+            _sketch_expr(vec_col, n_bits, 42 + t).alias(f"q_sketch_{t}")
+            for t in range(n_tables)
+        ],
     )
-    cand = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).filter(
-        F.bit_count(F.col("c_sketch").bitwiseXOR(F.col("q_sketch")))
-        <= max_hamming
-    )
+    any_table_close = None
+    for t in range(n_tables):
+        close = (
+            F.bit_count(
+                F.col(f"c_sketch_{t}").bitwiseXOR(F.col(f"q_sketch_{t}"))
+            )
+            <= max_hamming
+        )
+        any_table_close = (
+            close if any_table_close is None else (any_table_close | close)
+        )
+    cand = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).filter(any_table_close)
     scored = cand.withColumn(
         "cosine",
         cosine_from_norms(

@@ -343,17 +343,41 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct")  # HLL sketch differs per engine → rows-only check
+@query(
+    "approx_count_distinct",
+    oracle="""SELECT l_returnflag,
+                     count(DISTINCT l_partkey) AS exact_parts,
+                     count(*) AS n_rows,
+                     CAST(1 AS BIGINT) AS est_within_5pct
+              FROM lineitem GROUP BY l_returnflag""",
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (capability A5). At 100 TB this
     replaces exact distinct wherever a ~2% error is tolerable: no
-    distinct-expand shuffle, constant memory per group."""
+    distinct-expand shuffle, constant memory per group. The HLL estimate
+    itself is engine-specific, so the driver-checked projection is the
+    deterministic tolerance flag: |approx − exact| / exact ≤ 5% (rsd
+    0.02 ⇒ 2.5σ margin; measured 0.95% on testdata). The exact count
+    rides along to anchor the comparison."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            )
+            .cast("long")
+            .alias("est_within_5pct"),
         )
     )
 
@@ -916,22 +940,52 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles")  # sketch-based → engine-specific, rows-only
+@query(
+    "approx_quantiles",
+    oracle="""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(1 AS BIGINT) AS p50_in_band,
+                     CAST(1 AS BIGINT) AS p99_in_band
+              FROM lineitem GROUP BY l_returnflag""",
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB quantile path `percentile_agg` documents: t-digest
-    `approx_percentile` — mergeable sketch, bounded memory, no per-group
-    value collection. Rows-only driver check by design (sketch results
-    are engine-specific); accuracy vs exact percentiles is floored in
-    `tests/test_relational.py`."""
+    """The 100 TB quantile path: `approx_percentile` — mergeable sketch,
+    bounded memory, no per-group value collection. The sketch values are
+    engine-specific, so the driver-checked projection is the
+    deterministic rank-band flag: the approx p50 must land between the
+    exact 0.48 and 0.52 quantiles (p99 between 0.985/0.995). At accuracy
+    10⁴ the sketch's rank error is ≤ n/10⁴ ≈ 2 rows per group — the
+    ±0.02 rank band is ~400× that. Exact sketch-vs-exact deltas are
+    additionally floored in `tests/test_relational.py`."""
     li = load_table(spark, sf_dir, "lineitem")
     acc = 10_000
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
         F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias(
-            "p50_price"
+            "__a50"
         ),
         F.expr(f"approx_percentile(l_extendedprice, 0.99, {acc})").alias(
-            "p99_price"
+            "__a99"
         ),
+        F.expr("percentile(l_extendedprice, 0.48)").alias("__lo50"),
+        F.expr("percentile(l_extendedprice, 0.52)").alias("__hi50"),
+        F.expr("percentile(l_extendedprice, 0.985)").alias("__lo99"),
+        F.expr("percentile(l_extendedprice, 0.995)").alias("__hi99"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            (F.col("__a50") >= F.col("__lo50"))
+            & (F.col("__a50") <= F.col("__hi50"))
+        )
+        .cast("long")
+        .alias("p50_in_band"),
+        (
+            (F.col("__a99") >= F.col("__lo99"))
+            & (F.col("__a99") <= F.col("__hi99"))
+        )
+        .cast("long")
+        .alias("p99_in_band"),
     )
 
 
@@ -1144,15 +1198,25 @@ def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_rollup")  # sketch estimates → engine-specific, rows-only
+@query(
+    "hll_rollup",
+    oracle="""SELECT date_trunc('month', o_orderdate) AS month,
+                     count(*) AS n_orders,
+                     count(DISTINCT o_custkey) AS exact_customers,
+                     CAST(1 AS BIGINT) AS est_within_5pct
+              FROM orders GROUP BY 1""",
+)
 def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: build
     one HLL sketch per (month, day) partition, then merge day sketches to
     month grain with `hll_union_agg` WITHOUT rescanning the fact table.
     In production the daily sketch table persists and every re-aggregation
     (week/month/quarter, any dimension subset) is sketch-merge cheap.
-    Rows-only driver check (HLL estimates are engine-specific); accuracy
-    vs exact countDistinct is floored in tests/test_relational.py."""
+    The estimate is engine-specific, so the driver-checked projection is
+    the deterministic tolerance flag vs an exact month-grain distinct
+    (lgConfigK=12 ⇒ ~1.6% rsd; measured 0% on testdata — sparse-mode HLL
+    is exact at these cardinalities). Estimate accuracy is additionally
+    floored in tests/test_relational.py."""
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
@@ -1163,15 +1227,26 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
-    return (
-        daily.groupBy("month")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
-                "approx_customers"
-            ),
-            F.sum("n").alias("n_orders"),
+    merged = daily.groupBy("month").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__approx"),
+        F.sum("n").alias("n_orders"),
+    )
+    exact = (
+        orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+        .groupBy("month")
+        .agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    )
+    return merged.join(exact, "month").select(
+        "month",
+        "n_orders",
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.05
         )
-        .orderBy("month")
+        .cast("long")
+        .alias("est_within_5pct"),
     )
 
 

@@ -112,9 +112,10 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "near_dedup",
-    oracle="""WITH toks AS (
+# Exact 3-gram-Jaccard ≥ 0.8 pair set — the shared oracle for the exact
+# inverted-index path AND the sketch-blocked paths (minhash/simhash
+# candidates + exact refine): all three compute the same relation.
+_EXACT_JACCARD_08_ORACLE = """WITH toks AS (
                 SELECT doc_id,
                        list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
                 FROM documents),
@@ -135,8 +136,10 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 GROUP BY a.doc_id, b.doc_id)
               SELECT doc_a, doc_b, n_common, n_a, n_b,
                      n_common / (n_a + n_b - n_common) AS jaccard
-              FROM pairs WHERE n_common / (n_a + n_b - n_common) >= 0.8""",
-)
+              FROM pairs WHERE n_common / (n_a + n_b - n_common) >= 0.8"""
+
+
+@query("near_dedup", oracle=_EXACT_JACCARD_08_ORACLE)
 def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — exact 3-gram Jaccard near-dup pairs via inverted-index
     self-join (the scale path caps posting-list length; uncapped here so
@@ -158,28 +161,47 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_near_dup")  # engine-specific hash family → rows-only check
+@query("minhash_near_dup", oracle=_EXACT_JACCARD_08_ORACLE)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 at scale — MinHash(k=64)+LSH(16 bands) candidate pairs with
-    estimated jaccard ≥ 0.7. Sub-quadratic: pairs only form inside
-    (band, bucket) groups. Verified against exact jaccard in pytest."""
-    return dd.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
+    """X2 at scale — the full LSH-then-verify near-dup pipeline:
+    MinHash(k=64)+LSH(16 bands) candidate pairs (sub-quadratic: pairs
+    only form inside (band, bucket) groups; est_jaccard ≥ 0.5 pre-cut),
+    then exact distinct-3-gram Jaccard ≥ 0.8 computed ONLY on candidates
+    (operators/dedup.py refine_pairs_exact). With the banding's recall at
+    this threshold (16 bands × 4 rows: P[miss | j=0.8] ≈ 2e-4 per pair;
+    every testdata pair sits at j ≥ 0.9) the refined output EQUALS the
+    exact all-pairs relation — checked against the same oracle as
+    `near_dedup`, at candidate-set cost instead of full posting-join
+    cost. Candidate recall is independently floored in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_pairs(
+        docs,
         "doc_id",
         "text",
         n=3,
         k=64,
         bands=16,
-        est_threshold=0.7,
-    ).orderBy("doc_a", "doc_b")
+        est_threshold=0.5,
+    )
+    return dd.refine_pairs_exact(
+        docs, cands, "doc_id", "text", n=3, threshold=0.8
+    )
 
 
-@query("simhash_signatures")  # engine-specific hash → rows-only check
+@query("simhash_signatures", oracle=_EXACT_JACCARD_08_ORACLE)
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 signatures + chunk-blocked near-dup pairs (hamming ≤ 8)."""
-    return dd.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
-    ).orderBy("doc_a", "doc_b")
+    """SimHash-64 blocked near-dup, verify stage included: candidates are
+    pairs within hamming ≤ 8 under pigeonhole-complete 9-block blocking
+    (every pair at hamming ≤ 8 is GUARANTEED a candidate —
+    operators/dedup.py simhash_pairs), refined to exact distinct-3-gram
+    Jaccard ≥ 0.8. All testdata pairs at j ≥ 0.8 sit at hamming ≤ 7
+    (asserted in pytest), so the output equals the exact pair relation
+    and shares `near_dedup`'s oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return dd.refine_pairs_exact(
+        docs, cands, "doc_id", "text", n=3, threshold=0.8
+    )
 
 
 @query(
@@ -917,10 +939,14 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingested batch, the rest the existing (already-clean) corpus; batch
     docs that exactly or near-duplicate (3-gram Jaccard ≥ 0.8) a corpus
     doc are dropped. The corpus side never shuffles — both cuts stream it
-    against the broadcast batch (operators/dedup.py incremental_dedup)."""
+    against the broadcast batch (operators/dedup.py incremental_dedup).
+    hash_shingles=False here so the near cut joins exact string shingles
+    — the oracle-checked configuration; hashing to 8-byte longs is the
+    scale default, exact up to 64-bit collisions."""
     d = load_table(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 10 < 2)
     corpus = d.filter(F.col("doc_id") % 10 >= 2)
     return dd.incremental_dedup(
-        corpus, batch, "doc_id", "text", n=3, threshold=0.8
+        corpus, batch, "doc_id", "text", n=3, threshold=0.8,
+        hash_shingles=False,
     ).select("doc_id", "source", "n_chars")

@@ -216,17 +216,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
 
-def normalize_timestamps(df: DataFrame) -> DataFrame:
-    """Normalize every timestamp-ish column to session-timezone
-    TimestampType, tolerant of the on-disk encodings seen across driver
-    testdata generations:
+def normalize_timestamps(
+    df: DataFrame, *, nanos_bigint_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Normalize timestamp-ish columns to session-timezone TimestampType,
+    tolerant of the on-disk encodings seen across driver testdata
+    generations:
 
-    - TIMESTAMP(NANOS) parquet read (under nanosAsLong) as a raw nanos
-      BIGINT named `ts` → truncated to µs TimestampType;
     - timestamp[us] with isAdjustedToUTC=false, which Spark ≥3.5 reads as
       TIMESTAMP_NTZ when `inferTimestampNTZ` is on → cast to TimestampType
       (session tz is pinned to UTC, so the wall-clock values are
       preserved exactly and match DuckDB's naive reading);
+    - columns listed in `nanos_bigint_cols` that arrive as BIGINT — a
+      TIMESTAMP(NANOS) parquet column read raw under `nanosAsLong` —
+      → truncated to µs TimestampType. This rewrite is OPT-IN per column:
+      keying on a column name alone would silently corrupt any table
+      whose `ts` is epoch-seconds or a plain integer, so only callers
+      that know the column's provenance (the events table/stream) name
+      it;
     - plain TIMESTAMP → passthrough.
 
     Centralizing this keeps every downstream `unix_micros`/`window`/
@@ -238,11 +245,16 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     for name, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             out = out.withColumn(name, F.col(name).cast("timestamp"))
-        elif name == "ts" and dtype == "bigint":
+        elif name in nanos_bigint_cols and dtype == "bigint":
             out = out.withColumn(
                 name, F.timestamp_micros(F.expr(f"{name} div 1000"))
             )
     return out
+
+
+# testdata columns written as TIMESTAMP(NANOS) parquet (read as raw
+# BIGINT under nanosAsLong) — the only sanctioned nanos-bigint rewrites
+NANOS_BIGINT_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -250,7 +262,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized to TimestampType (see `normalize_timestamps` for the
     on-disk encodings handled)."""
     ensure_session_confs(spark)
-    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return normalize_timestamps(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+        nanos_bigint_cols=NANOS_BIGINT_COLS.get(name, ()),
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -61,7 +61,7 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
         stream = (
             spark.readStream.format("parquet").schema(raw_schema).load(path)
         )
-    return normalize_timestamps(stream)
+    return normalize_timestamps(stream, nanos_bigint_cols=("ts",))
 
 
 def tumbling_agg(events: DataFrame, width: str = "15 minutes") -> DataFrame:
@@ -308,7 +308,8 @@ def run_stream_windowed_append(
         spark.readStream.format("parquet")
         .schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(events_dir)
+        .load(events_dir),
+        nanos_bigint_cols=("ts",),
     ).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(F.window("ts", width), "event_type")

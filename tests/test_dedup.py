@@ -88,6 +88,85 @@ def test_simhash_signature_deterministic(spark):
     assert {r.doc_id: r.simhash for r in a} == {r.doc_id: r.simhash for r in b}
 
 
+def test_simhash_blocking_is_pigeonhole_complete(spark, sf_dir):
+    """With n_blocks = max_hamming + 1 (the default), EVERY pair within
+    max_hamming must surface as a candidate — pigeonhole, not luck.
+    Checked against a brute-force all-pairs Hamming computation on real
+    documents."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sig = dd.simhash_signatures(docs, "doc_id", "text")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")
+    )
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 8)
+        .collect()
+    }
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in dd.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=8
+        ).collect()
+    }
+    assert blocked == brute, (
+        f"missed {brute - blocked}, extra {blocked - brute}"
+    )
+
+
+def test_refine_pairs_exact_matches_jaccard_pairs(spark, sf_dir):
+    """Sketch-candidates + exact refine must equal the full exact
+    inverted-index result whenever the candidate set covers the true
+    pairs — here fed with an all-pairs candidate set so coverage is
+    total by construction."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    ids = docs.select(F.col("doc_id").alias("doc_a"))
+    cand = ids.join(
+        docs.select(F.col("doc_id").alias("doc_b")),
+        F.col("doc_a") < F.col("doc_b"),
+    )
+    refined = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+        for r in dd.refine_pairs_exact(
+            docs, cand, "doc_id", "text", n=3, threshold=0.6
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+        for r in dd.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6, hash_shingles=False
+        ).collect()
+    }
+    assert refined == full
+
+
+def test_minhash_candidates_cover_exact_pairs(spark, sf_dir):
+    """Recall floor for the LSH-then-verify pipeline the
+    minhash_near_dup query runs: at 16 bands × 4 rows, every exact pair
+    at jaccard ≥ 0.8 in the testdata must be an LSH candidate at
+    est ≥ 0.5 (P[miss] ≈ 2e-4 per pair at j = 0.8, and the hash family
+    is fixed — this is deterministic, not flaky)."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dd.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, hash_shingles=False
+    ).select("doc_a", "doc_b")
+    cands = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=64, bands=16, est_threshold=0.5
+    ).select("doc_a", "doc_b")
+    missed = exact.join(cands, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+
+
 def test_jaccard_max_shingle_freq_prunes(spark):
     # with a cap of 1, every shared shingle is pruned → no pairs survive
     pairs = dd.jaccard_pairs(

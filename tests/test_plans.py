@@ -130,6 +130,10 @@ def test_vector_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
     assert _n_ops(plan, "CartesianProduct") == 0, plan
     assert "BroadcastExchange" in plan, plan
     assert _n_exchanges(plan) == 1, plan  # only the window's hash exchange
+    # the rank<=k filter must push down as WindowGroupLimit: each map
+    # task keeps only ~k rows per query BEFORE the exchange, so the
+    # shuffle never materializes the N×Q scored relation
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_near_dedup_single_exchange_per_side_no_cartesian(spark, sf_dir):
@@ -205,18 +209,21 @@ def test_text_chunks_is_scan_and_generate_only(spark, sf_dir):
 
 def test_global_order_ops_avoid_full_data_single_partition(spark, sf_dir):
     """deterministic_shuffle / sequence_pack: the N-row window must run
-    partitioned by the hash group; the only SinglePartition stage is the
-    G-row offsets table, which sits strictly downstream of the group
-    aggregation. The offsets join back must broadcast."""
+    partitioned by the hash group; only the G-row offsets prefix sum may
+    collapse to one effective partition (it hashes on the constant
+    pmod(__grp, 1) key — deliberately single-bucket, G ≪ N rows — rather
+    than an empty partition spec, so WindowExec's single-partition
+    warning keeps its signal value). The offsets join back must
+    broadcast."""
     from core_telecoms_etl_spark.queries import queries
 
     for name in ("deterministic_shuffle", "sequence_pack"):
         plan = _formatted(queries()[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, plan
         assert _n_ops(plan, "BroadcastHashJoin") == 1, plan
-        # exactly one single-partition exchange (the G-row prefix sum),
-        # and the data-sized exchanges hash-partition on the group key
-        assert plan.count("Arguments: SinglePartition") == 1, plan
+        # no empty-partition-spec window anywhere: every exchange is a
+        # hash partitioning, and the data-sized ones key on the group
+        assert plan.count("Arguments: SinglePartition") == 0, plan
         assert "hashpartitioning(__grp" in plan, plan
 
 

@@ -23,13 +23,24 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
 def test_hll_rollup_merge_matches_exact_within_tolerance(spark, sf_dir):
     """Day-sketch → month-merge HLL estimates stay within 2% of the exact
     per-month distinct-customer counts (well inside the ~1.6% standard
-    error of the default lgConfigK=12 sketch)."""
+    error of the default lgConfigK=12 sketch) — tighter than the 5% flag
+    the hll_rollup query projects for its oracle row. The merge pipeline
+    here mirrors the query's internals on the raw estimate."""
     from pyspark.sql import functions as F
 
-    from core_telecoms_etl_spark.queries.relational import hll_rollup
-
-    approx = {r.month: r.approx_customers for r in hll_rollup(spark, sf_dir).collect()}
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+        .withColumn("day", F.date_trunc("day", "o_orderdate"))
+        .groupBy("month", "day")
+        .agg(F.expr("hll_sketch_agg(o_custkey)").alias("sk"))
+    )
+    approx = {
+        r.month: r.a
+        for r in daily.groupBy("month")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("a"))
+        .collect()
+    }
     exact = {
         r.month: r.e
         for r in orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
@@ -40,6 +51,16 @@ def test_hll_rollup_merge_matches_exact_within_tolerance(spark, sf_dir):
     assert set(approx) == set(exact)
     for m, e in exact.items():
         assert abs(approx[m] - e) / e < 0.02, (m, approx[m], e)
+
+
+def test_hll_rollup_query_flags_all_within_tolerance(spark, sf_dir):
+    """Every month row of the declared query must carry a raised
+    est_within_5pct flag — the deterministic projection its oracle
+    asserts."""
+    from core_telecoms_etl_spark.queries.relational import hll_rollup
+
+    rows = hll_rollup(spark, sf_dir).collect()
+    assert rows and all(r.est_within_5pct == 1 for r in rows)
 
 
 def test_heavy_hitters_sketch_is_exact_under_tracked_bound(spark, sf_dir):

@@ -100,6 +100,32 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
 
 
+def test_multi_table_lsh_recall_at_least_single(spark, sf_dir):
+    """L independent sketch tables (union of candidates) must not lose
+    recall vs one table — the 1-(1-p)^L recall lever the
+    vector_topk_lsh query's 0.8 floor relies on. Both deterministic, so
+    exact comparison."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(e, q, k=10).collect()
+    }
+
+    def recall(n_tables):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.lsh_topk(
+                e, q, k=10, n_bits=16, max_hamming=6, n_tables=n_tables
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.8, f"multi-table recall below the query floor: {r4}"
+
+
 def test_kmeans_ivf_recall_at_least_naive(spark, sf_dir):
     """Deterministic Lloyd refinement must not hurt recall vs the naive
     lowest-id quantizer at the same n_probe (both fully deterministic, so

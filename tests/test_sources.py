@@ -67,6 +67,29 @@ def test_jdbc_catalog_query_shape():
     assert "information_schema.tables" in q and "ORDER BY table_name" in q
 
 
+def test_jdbc_catalog_query_postgres_dialect_executes():
+    """The postgres-dialect catalog SQL must be valid ANSI
+    information_schema SQL (the reference's discovery path,
+    plugins/postgres_extract.py:102-113). No live Postgres in the
+    sandbox, so execute the exact inner query against DuckDB's
+    information_schema — same catalog dialect family — and check it
+    lists precisely the base tables of the target schema, excluding
+    views and other schemas."""
+    import duckdb
+
+    q = readers.list_jdbc_tables_query("main", dialect="postgres")
+    assert q.startswith("(") and q.endswith(") AS t")
+    inner = q[1 : -len(") AS t")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t_bravo (x int)")
+    con.execute("CREATE TABLE t_alpha (x int)")
+    con.execute("CREATE VIEW v_skip AS SELECT * FROM t_alpha")
+    con.execute("CREATE SCHEMA other")
+    con.execute("CREATE TABLE other.t_other (x int)")
+    got = [r[0] for r in con.execute(inner).fetchall()]
+    assert got == ["t_alpha", "t_bravo"], got
+
+
 def test_observe_counts_free_with_action(spark, sf_dir):
     from core_telecoms_etl_spark.operators.metrics import observe_counts
     from core_telecoms_etl_spark.sources.readers import load_table

@@ -305,6 +305,23 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert {r.value for r in rows if r.event_id == 1} == {1.0}
 
 
+def test_event_id_unique_in_testdata(spark, sf_dir):
+    """Guard for the stream_dedup oracle's standing assumption: the
+    oracle reads the raw events table, which is only equal to the
+    deduped double-delivery if event_id has no natural duplicates (a
+    natural dup would make dropDuplicatesWithinWatermark keep an
+    arbitrary row and diverge). Fails loudly if a future testdata
+    generation breaks that."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n, d = ev.select(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("d"),
+    ).first()
+    assert n == d, f"events.event_id has {n - d} duplicate ids"
+
+
 def test_stream_upsert_foreachbatch_converges_to_batch_merge(spark, tmp_path):
     """foreachBatch CDC-apply: streaming a change feed one file per
     micro-batch into a keyed parquet table must converge to exactly the
