@@ -223,28 +223,59 @@ def decontaminate(
     return train.join(flagged, id_col, "left_anti")
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a CPU-dense per-row stage across the cluster's cores.
+
+    Spark sizes scan splits by BYTES (`maxPartitionBytes`), not by
+    downstream compute: a 10 MB text file arrives as ONE split, and a
+    signature stage hanging off it (k×shingles xxhash64 folds per row)
+    runs serially no matter how many cores are idle — measured 10× on
+    the sf0.1 scale probe. One round-robin repartition of the raw rows
+    (narrow payload, cheap vs the compute it unlocks) restores
+    parallelism. Skipped when the input already has at least
+    defaultParallelism partitions — the true-at-scale case, where the
+    data arrives in thousands of splits and the shuffle would be pure
+    waste."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64
 ) -> DataFrame:
     """(id, sig: array<bigint>[k]) MinHash signature: sig[i] = min over
-    shingles of xxhash64(xxhash64(shingle), seed=i). One pass, no shuffle.
+    shingles of xxhash64(xxhash64(shingle), seed=i).
 
     The shingle string is hashed ONCE to a long, then each of the k seeds
     mixes that 8-byte long — k× cheaper than re-hashing the multi-word
     string per seed, with the same min-wise LSH property (the outer hash
-    family stays pairwise-independent-ish over distinct base hashes)."""
-    sh = _shingled(df, id_col, text_col, n)
-    hashed = sh.select(
-        "doc",
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("__h"),
+    family stays pairwise-independent-ish over distinct base hashes).
+
+    Plan shape: explode the hashed shingles and take the k mins as ONE
+    hash aggregation with k codegen'd min(xxhash64(h, seed_i)) columns,
+    folded back into the signature array. The obvious per-row form —
+    transform(sequence(0, k-1), i -> array_min(transform(h, ...))) —
+    computes identical values but runs as interpreted higher-order
+    functions allocating k intermediate arrays per row: measured 12×
+    slower at sf0.1 (6.6s → 0.55s for the signature stage). The
+    aggregation's shuffle carries k longs per doc partial — at 100 TB
+    that is ~512 bytes/doc with map-side combine, cheaper than the
+    memory churn it replaces."""
+    sh = _shingled(_ensure_parallelism(df), id_col, text_col, n)
+    posts = sh.select(
+        "doc", F.explode("shingles").alias("__s")
+    ).withColumn("__h", F.xxhash64("__s"))
+    mins = posts.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
+            for i in range(k)
+        ]
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("__h"), lambda h: F.xxhash64(h, i))
-        ),
+    return mins.select(
+        "doc", F.array(*[f"__m{i}" for i in range(k)]).alias("sig")
     )
-    return hashed.select("doc", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -306,18 +337,24 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: bigint). Near-dups are signatures within small
-    Hamming distance; candidate blocking at scale = group by 4×16-bit
-    chunks (any chunk equal ⇒ hamming ≤ 48 candidate).
+    Hamming distance; see `simhash_pairs` for the pigeonhole blocking.
 
     Two-stage: the weight-vector aggregate is materialized as a column,
     then the 63 sign-bit reads reference it cheaply (inlining the
-    aggregate into each read would explode codegen)."""
+    aggregate into each read would explode codegen). Unlike
+    `minhash_signature`, the per-row fold BEATS an explode + 63-column
+    hash aggregation here (measured 1.5s vs 2.4s at sf0.1): the fold
+    allocates one 63-int array per token with no grouping machinery,
+    while the agg pays 2.5M-row hash-agg bookkeeping — the HOF rewrite
+    only pays off when the inner op multiplies allocations k-fold."""
     from core_telecoms_etl_spark.operators.text import (
         simhash_from_weights,
         simhash_weights,
     )
 
-    w = df.select(F.col(id_col), simhash_weights(text_col).alias("__w"))
+    w = _ensure_parallelism(df).select(
+        F.col(id_col), simhash_weights(text_col).alias("__w")
+    )
     return w.select(id_col, simhash_from_weights(F.col("__w")).alias("simhash"))
 
 
@@ -406,7 +443,7 @@ def refine_pairs_exact(
     pair joins the per-doc shingle ARRAY relation on its id (two hash
     joins keyed on doc id), and the intersection runs per-pair as a JVM
     array op — no explode, no posting-list shuffle."""
-    sh = _shingled(df, id_col, text_col, n)
+    sh = _shingled(_ensure_parallelism(df), id_col, text_col, n)
     sa = sh.select(
         F.col("doc").alias("doc_a"), F.col("shingles").alias("__sh_a")
     )
