@@ -414,6 +414,118 @@ def kmeans_centroids(
     return cents
 
 
+def cluster_assign_topn(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_assign: int = 1,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """(id, centroid_id) with each vector assigned to its `n_assign`
+    nearest centroids (kmeans-refined deterministic quantizer).
+    Multi-assignment is the blocking-recall lever: a pair is compared if
+    the two vectors share ANY assigned cluster, so n_assign > 1 plays
+    the same role as LSH's multiple tables."""
+    cents = (
+        kmeans_centroids(
+            df, id_col=id_col, vec_col=vec_col, k=n_clusters,
+            iters=kmeans_iters,
+        )
+        if kmeans_iters > 0
+        else _centroids(df, id_col, vec_col, n_clusters)
+    )
+    cn = cents.withColumn("cent_n2", norm2_expr("centroid"))
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), norm2_expr(vec_col).alias("__vn2")
+    ).join(F.broadcast(cn)).withColumn(
+        "__s",
+        cosine_from_norms(
+            dot_expr(vec_col, "centroid"), F.col("__vn2"), F.col("cent_n2")
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__s").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_assign)
+        .select(id_col, "centroid_id")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_assign: int = 2,
+    threshold: float = 0.4,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style embedding near-dup removal (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space,
+    compare cosine ONLY within shared clusters, connect pairs at or
+    above `threshold` into duplicate components, keep the lowest id per
+    component. Returns the KEPT rows of `df`, all columns.
+
+    Scale shape: the all-pairs O(n²) scoring collapses to Σ(cluster
+    size²) — with balanced clusters, n²/C — and the comparisons run as
+    an equi-join on centroid_id, never a cartesian. Everything is
+    deterministic (RNG-free kmeans, id tie-breaks), so the kept set is
+    reproducible across runs and cluster sizes. Blocking recall is data
+    dependent (uniform synthetic embeddings are the worst case —
+    measured floors live in the declared query + pytest); raise
+    `n_assign` or `n_clusters`' probe ratio to buy recall."""
+    assign = cluster_assign_topn(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        n_assign=n_assign,
+        kmeans_iters=kmeans_iters,
+    )
+    a = assign.select(F.col(id_col).alias("id_a"), "centroid_id")
+    b = assign.select(F.col(id_col).alias("id_b"), "centroid_id")
+    cand = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm2_expr(vec_col).alias("__na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm2_expr(vec_col).alias("__nb"),
+    )
+    edges = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "__cos",
+            cosine_from_norms(
+                dot_expr("__va", "__vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    from core_telecoms_etl_spark.operators.graph import connected_components
+
+    comps = connected_components(edges, src="id_a", dst="id_b")
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def quantize_vectors(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -69,6 +69,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "simhash_signatures",
     "vector_topk_ivf",
     "vector_topk_lsh",
+    "semantic_dedup",
     # -- r5 operator changes flow into these (array_distinct after
     # -- shingle hashing; hash_shingles=False in the incremental query;
     # -- offsets-window partition spec in packing)

@@ -127,6 +127,34 @@ def read_json(
     return reader.json(paths)
 
 
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC columnar scan — the other columnar warehouse interchange
+    format (Hive/Trino ecosystems). Spark ships the reader natively;
+    predicate pushdown and column pruning work as for parquet, so a
+    user migrating an ORC lake keeps the same query surface."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.orc(*paths)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    whole_text: bool = False,
+    line_col: str = "value",
+) -> DataFrame:
+    """Raw text scan: one row per line (or per FILE with
+    `whole_text=True` — the shape for ingesting a directory of raw
+    documents into the `documents`-style table). Lines arrive in the
+    single string column `line_col`; downstream structure is the
+    engine's text operators, not the reader."""
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.text(paths, wholetext=whole_text)
+    if line_col != "value":
+        df = df.withColumnRenamed("value", line_col)
+    return df
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -150,6 +150,36 @@ def test_kmeans_ivf_recall_at_least_naive(spark, sf_dir):
     assert recall(3) >= recall(0)
 
 
+def test_semantic_dedup_drops_exact_embedding_copies(spark, sf_dir):
+    """A vector duplicated verbatim (cosine 1.0) must lose all but its
+    lowest-id copy; vectors with no near neighbor survive untouched."""
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    clone = e.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    data = e.unionByName(clone)
+    kept = sim.semantic_dedup(
+        data, n_clusters=8, n_assign=2, threshold=0.95, kmeans_iters=2
+    )
+    ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # identical copies co-cluster by construction (same vector, same
+    # nearest centroids), so the clones are guaranteed candidates
+    assert {1000, 1001, 1002}.isdisjoint(ids)
+    assert {0, 1, 2} <= ids
+    assert len(ids) == 100
+
+
+def test_semantic_dedup_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(150)
+    run = lambda: {  # noqa: E731
+        r.vec_id
+        for r in sim.semantic_dedup(
+            e, n_clusters=8, n_assign=2, threshold=0.4, kmeans_iters=2
+        ).select("vec_id").collect()
+    }
+    assert run() == run()
+
+
 def test_kmeans_centroids_deterministic(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(200)
     a = sim.kmeans_centroids(e, k=8, iters=2).collect()

@@ -62,6 +62,39 @@ def test_multi_file_folder_scan_is_union_all(spark, tmp_path):
     assert sorted(r.a for r in df.collect()) == [1, 2]
 
 
+def test_orc_round_trip_preserves_schema_and_rows(spark, sf_dir, tmp_path):
+    """ORC is a first-class columnar source: write a slice of lineitem
+    as ORC, read it back, and confirm schema + values survive and
+    predicates reach the ORC scan."""
+    out = str(tmp_path / "li_orc")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(500)
+    li.write.mode("overwrite").orc(out)
+    back = readers.read_orc(spark, out)
+    assert back.schema == li.schema
+    assert back.count() == 500
+    plan = back.filter(F.col("l_quantity") > 25)._jdf.queryExecution().toString()
+    assert "orc" in plan.lower()
+
+
+def test_read_text_lines_and_whole_files(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = readers.read_text(spark, str(d), line_col="text")
+    assert sorted(r.text for r in lines.collect()) == [
+        "line one",
+        "line two",
+        "solo",
+    ]
+    whole = readers.read_text(spark, str(d), whole_text=True)
+    assert whole.count() == 2
+    assert {r.value.strip() for r in whole.collect()} == {
+        "line one\nline two",
+        "solo",
+    }
+
+
 def test_jdbc_catalog_query_shape():
     q = readers.list_jdbc_tables_query("public")
     assert "information_schema.tables" in q and "ORDER BY table_name" in q
