@@ -43,6 +43,24 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    partition_by: Sequence[str] | None = None,
+    normalize: bool = True,
+) -> None:
+    """ORC sink — symmetric with `readers.read_orc` for Hive/Trino
+    interchange; same name-normalization and partition-folder semantics
+    as `write_parquet`."""
+    out = normalize_column_names(df) if normalize else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_table(
     df: DataFrame,
     name: str,

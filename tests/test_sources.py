@@ -68,7 +68,7 @@ def test_orc_round_trip_preserves_schema_and_rows(spark, sf_dir, tmp_path):
     predicates reach the ORC scan."""
     out = str(tmp_path / "li_orc")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(500)
-    li.write.mode("overwrite").orc(out)
+    writers.write_orc(li, out, mode="overwrite")
     back = readers.read_orc(spark, out)
     assert back.schema == li.schema
     assert back.count() == 500
