@@ -8,11 +8,16 @@ harness (row-count + schema + order-insensitive value-hash at sf0.01).
 Determinism rules used throughout (so Spark and DuckDB hash-match):
 - Row-level arithmetic is left UNROUNDED: both engines run the same IEEE
   ops on the same parquet doubles, producing bit-identical results.
-- Aggregated sums ARE rounded, at the decimal grid of the true value
-  (source money columns sit on an exact 2-decimal grid; products of two
-  such columns on a 4-decimal grid). The accumulated float error from
-  engine-specific summation order (≪ half a grid step) is snapped away,
-  and grid values never sit on a round-half boundary.
+- Aggregated sums on the 2-decimal money grid ARE rounded at that grid:
+  the accumulated float error from engine-specific summation order
+  (≪ half a grid step, 0.005) is snapped away, and grid values never
+  sit on a round-half boundary.
+- Sums on the 4-DECIMAL grid (price × discount products) are computed
+  in EXACT decimal (factors cast to their 2-decimal grids) and cast to
+  double: at coarse group grain the sums reach ~1e9, where double
+  summation error crosses the 4-decimal half-grid (5e-5) and the snap
+  flips — measured at sf0.1 (multi_join). Decimal arithmetic is
+  engine-exact at any magnitude.
 - Derived ratios (avg = rounded-sum / count) are computed from the
   snapped sums so both engines divide bit-identical doubles.
 - Integer-typed computed columns are cast to BIGINT on both sides.
@@ -70,6 +75,17 @@ _CHECK_ORDER: tuple[str, ...] = (
     "vector_topk_ivf",
     "vector_topk_lsh",
     "semantic_dedup",
+    "theta_sketch_setops",
+    # -- r5: discounted-revenue sums switched to exact decimal (the
+    # -- float-boundary snap failure at coarse-group magnitudes)
+    "multi_join",
+    "groupby_agg",
+    "sql_api",
+    "filter_agg_scalar",
+    "revenue_topk_shipping",
+    "local_supplier_volume",
+    "returned_item_report",
+    "salted_skew_join",
     # -- r5 operator changes flow into these (array_distinct after
     # -- shingle hashing; hash_shingles=False in the incremental query;
     # -- offsets-window partition spec in packing)
@@ -104,6 +120,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "exact_k_sample",
     "stratified_sample",
     "quality_filter",
+    # ---- the 50-query window boundary falls here; every entry from
+    # ---- here down was green in a prior driver window and is
+    # ---- byte-stable since
     "bigram_surprisal",
     "fuzzy_linkage",
     "profile_table",
@@ -111,15 +130,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "pandas_udf_scalar",
     "grouped_map_zscore",
     "salted_groupby",
-    "salted_skew_join",
     "heavy_hitters",
-    "revenue_topk_shipping",
     "star_fact_complaints",
-    # ---- 50-query window boundary (everything below was green in a
-    # ---- prior driver window and is byte-stable since)
     "window_range_frame",
-    "local_supplier_volume",
-    "returned_item_report",
     "asof_join_forward",
     "window_rank_funcs",
     "unpivot_metrics",
@@ -147,11 +160,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "upsert",
     "window_rank_extended",
     "parquet_scan",
-    "multi_join",
-    "groupby_agg",
     "top_k",
     "dedup_latest_by_key",
-    "sql_api",
     "csv_scan",
     "json_scan",
     "rename_map",
@@ -173,7 +183,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "percentile_agg",
     "exists_subquery",
     "scalar_subquery",
-    "filter_agg_scalar",
     "exists_group_agg",
     "window_value_funcs",
     "stats_agg",

@@ -131,7 +131,7 @@ def inner_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multi_join",
-    oracle="""SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    oracle="""SELECT r_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
                      count(*) AS n_items
               FROM lineitem
                 JOIN orders   ON l_orderkey = o_orderkey
@@ -143,8 +143,13 @@ def inner_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table join chain (ref's 3-table star, facts/*.sql:12-17, widened).
     customer/nation/region broadcast; only lineitem⋈orders is a shuffle
-    join, on the natural key both sides. Revenue rounded at the 4-decimal
-    grid of the price×discount product (see queries/__init__ rules)."""
+    join, on the natural key both sides. Revenue is summed in EXACT
+    decimal (factors cast to their 2-decimal grids, product on the
+    4-decimal grid) rather than float-summed-then-rounded: at region
+    grain the per-group sums reach ~1e9 where double summation error
+    crosses the half-grid snap (measured: one grid-step divergence vs
+    the oracle at sf0.1) — decimal arithmetic is engine-exact at any
+    scale. Same treatment in every coarse-grained revenue query."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -157,9 +162,10 @@ def multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -292,7 +298,7 @@ def count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""SELECT l_returnflag, l_linestatus,
                      round(sum(l_quantity), 2)                        AS sum_qty,
                      round(sum(l_extendedprice), 2)                   AS sum_base_price,
-                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
                      round(sum(l_quantity), 2) / count(*)             AS avg_qty,
                      round(sum(l_extendedprice), 2) / count(*)        AS avg_price,
                      count(*)                                         AS count_order
@@ -313,9 +319,10 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            ).cast("double").alias("sum_disc_price"),
             (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
             (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
@@ -655,7 +662,7 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_api",
     oracle="""SELECT o_orderkey, o_orderdate,
-                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
                        AS revenue
               FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -672,7 +679,7 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """SELECT o_orderkey, o_orderdate,
-                  round(sum(l_extendedprice * (1 - l_discount)), 4)
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
                     AS revenue
            FROM customer JOIN orders ON c_custkey = o_custkey
            JOIN lineitem ON l_orderkey = o_orderkey
@@ -729,7 +736,9 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter_agg_scalar",
-    oracle="""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    oracle="""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                              CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                       AS revenue,
                      count(*) AS n_items
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -740,7 +749,9 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_agg_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6 shape: tight conjunctive range predicate straight into a
     scalar aggregate — everything pushes to the scan, zero joins, one
-    tiny final row; the canonical fully-pushed-down plan."""
+    tiny final row; the canonical fully-pushed-down plan. Revenue summed
+    in exact decimal (factors cast to their 2-decimal grids) — see the
+    multi_join note on float-boundary snap failures at large sums."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -749,9 +760,12 @@ def filter_agg_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
-        ).alias("revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(12,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -999,7 +1013,7 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_topk_shipping",
     oracle="""SELECT l_orderkey, o_orderdate,
-                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
               FROM customer
                 JOIN orders   ON c_custkey = o_custkey
                 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1030,9 +1044,10 @@ def revenue_topk_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -1041,7 +1056,7 @@ def revenue_topk_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "local_supplier_volume",
-    oracle="""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    oracle="""SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
               FROM customer
                 JOIN orders   ON c_custkey = o_custkey
                 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1080,9 +1095,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -1090,7 +1106,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "returned_item_report",
     oracle="""SELECT c_custkey, c_name, n_name,
-                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
               FROM customer
                 JOIN orders   ON c_custkey = o_custkey
                 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1123,9 +1139,10 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -1171,7 +1188,7 @@ def salted_groupby_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "salted_skew_join",
     oracle="""SELECT o_orderpriority, count(*) AS n,
-                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderpriority""",
 )
@@ -1192,9 +1209,10 @@ def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            ).cast("double").alias("revenue"),
     )
 
 
@@ -1247,6 +1265,108 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("est_within_5pct"),
+    )
+
+
+@query(
+    "theta_sketch_setops",
+    oracle="""WITH per_cust AS (
+                SELECT o_custkey,
+                       max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+                       max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS b
+                FROM orders GROUP BY o_custkey)
+              SELECT sum(a) AS n_a_exact,
+                     sum(b) AS n_b_exact,
+                     sum(CASE WHEN a = 1 OR  b = 1 THEN 1 ELSE 0 END) AS n_union_exact,
+                     sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n_intersect_exact,
+                     sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n_diff_exact,
+                     CAST(1 AS BIGINT) AS a_ok,
+                     CAST(1 AS BIGINT) AS b_ok,
+                     CAST(1 AS BIGINT) AS union_ok,
+                     CAST(1 AS BIGINT) AS intersect_ok,
+                     CAST(1 AS BIGINT) AS diff_ok
+              FROM per_cust""",
+)
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch DISTINCT set operations — the audience-overlap
+    pattern HLL cannot express (HLL unions but never intersects): one
+    scan builds a theta sketch per segment (customers with F-status vs
+    O-status orders), then union/intersection/difference cardinalities
+    come from sketch algebra with NO re-scan and mergeable state. At
+    100 TB the per-segment sketches persist like the HLL rollup's and
+    any segment combination is answerable in milliseconds.
+
+    Driver-checked projection: exact set cardinalities (one groupBy
+    pass) plus tolerance flags on each estimate — 5% for the direct
+    sets; the A∖B flag is bounded relative to |A| (theta difference
+    error scales with the operand sketches, not the result: measured
+    0.3% of |A| at sf0.1 where the result-relative error is 9%).
+    Estimates are EXACT below the sketch's nominal-entries threshold
+    (sf ≤ 0.01 here), in estimation mode ~1% (sf0.1)."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'F' "
+            "THEN o_custkey END)"
+        ).alias("ska"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'O' "
+            "THEN o_custkey END)"
+        ).alias("skb"),
+    ).select(
+        F.expr("theta_sketch_estimate(ska)").alias("__ea"),
+        F.expr("theta_sketch_estimate(skb)").alias("__eb"),
+        F.expr("theta_sketch_estimate(theta_union(ska, skb))").alias("__eu"),
+        F.expr("theta_sketch_estimate(theta_intersection(ska, skb))").alias(
+            "__ei"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(ska, skb))").alias(
+            "__ed"
+        ),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+        ).alias("b"),
+    )
+    ex = per.agg(
+        F.sum("a").alias("n_a_exact"),
+        F.sum("b").alias("n_b_exact"),
+        F.sum(
+            F.when((F.col("a") == 1) | (F.col("b") == 1), 1).otherwise(0)
+        ).alias("n_union_exact"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
+        ).alias("n_intersect_exact"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
+        ).alias("n_diff_exact"),
+    )
+
+    def ok(est: str, exact: str) -> F.Column:
+        return (
+            (F.abs(F.col(est) - F.col(exact)) / F.col(exact)) <= 0.05
+        ).cast("long")
+
+    return sk.crossJoin(ex).select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_intersect_exact",
+        "n_diff_exact",
+        ok("__ea", "n_a_exact").alias("a_ok"),
+        ok("__eb", "n_b_exact").alias("b_ok"),
+        ok("__eu", "n_union_exact").alias("union_ok"),
+        ok("__ei", "n_intersect_exact").alias("intersect_ok"),
+        (
+            (F.abs(F.col("__ed") - F.col("n_diff_exact")) / F.col("n_a_exact"))
+            <= 0.05
+        )
+        .cast("long")
+        .alias("diff_ok"),
     )
 
 

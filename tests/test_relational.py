@@ -63,6 +63,24 @@ def test_hll_rollup_query_flags_all_within_tolerance(spark, sf_dir):
     assert rows and all(r.est_within_5pct == 1 for r in rows)
 
 
+def test_theta_setops_flags_raised(spark, sf_dir):
+    """Theta-sketch union/intersection/difference estimates must clear
+    their declared tolerance flags (exact below nominal entries at test
+    scale), with consistent exact set arithmetic."""
+    from core_telecoms_etl_spark.queries.relational import (
+        theta_sketch_setops,
+    )
+
+    r = theta_sketch_setops(spark, sf_dir).first()
+    assert (
+        r.a_ok == r.b_ok == r.union_ok == r.intersect_ok == r.diff_ok == 1
+    )
+    assert r.n_union_exact == (
+        r.n_a_exact + r.n_b_exact - r.n_intersect_exact
+    )
+    assert r.n_diff_exact == r.n_a_exact - r.n_intersect_exact
+
+
 def test_heavy_hitters_sketch_is_exact_under_tracked_bound(spark, sf_dir):
     """With maxItemsTracked above the distinct-key count, approx_top_k
     counts equal the exact GROUP BY counts for every returned item."""
