@@ -169,6 +169,17 @@ def test_semantic_dedup_drops_exact_embedding_copies(spark, sf_dir):
     assert len(ids) == 100
 
 
+def test_semantic_dedup_no_pairs_keeps_everything(spark, sf_dir):
+    """With a threshold above every pairwise cosine, the duplicate edge
+    set is empty and every row survives (the connected-components loop
+    must converge immediately on an empty graph)."""
+    e = load_table(spark, sf_dir, "embeddings").limit(60)
+    kept = sim.semantic_dedup(
+        e, n_clusters=4, n_assign=2, threshold=0.9999, kmeans_iters=1
+    )
+    assert kept.count() == 60
+
+
 def test_semantic_dedup_deterministic(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(150)
     run = lambda: {  # noqa: E731
