@@ -48,6 +48,14 @@ def get_spark(
         # has 128 GiB). On a cluster these come from spark-submit instead.
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g")
+        ).config(
+            # Splits are sized by bytes, so the 128 MB default hands a
+            # 1–20 MB local test file to ONE core and every scan-rooted
+            # stage runs serial (measured 2× on funnel's event scan).
+            # Right-size for megabyte-scale local data; cluster submits
+            # set 128–256 MB per SCALING.md "Config deltas".
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
         )
     if extra_conf:
         for k, v in extra_conf.items():
