@@ -242,6 +242,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    # and scan splits: the 128 MB default serializes scans of megabyte
+    # test files onto one core (see session.py) — only adjust when the
+    # session still has the stock default, so tuned clusters are untouched
+    if spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ) in ("134217728", "134217728b"):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
 
 
 def normalize_timestamps(
