@@ -76,6 +76,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "vector_topk_lsh",
     "semantic_dedup",
     "theta_sketch_setops",
+    "kll_quantile_rollup",
     # -- r5: discounted-revenue sums switched to exact decimal (the
     # -- float-boundary snap failure at coarse-group magnitudes)
     "multi_join",

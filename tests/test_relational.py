@@ -81,6 +81,19 @@ def test_theta_setops_flags_raised(spark, sf_dir):
     assert r.n_diff_exact == r.n_a_exact - r.n_intersect_exact
 
 
+def test_kll_rollup_flags_raised(spark, sf_dir):
+    """Month-sketch → status-merge KLL quantiles must land inside the
+    declared exact rank bands at the test scale."""
+    from core_telecoms_etl_spark.queries.relational import (
+        kll_quantile_rollup,
+    )
+
+    rows = kll_quantile_rollup(spark, sf_dir).collect()
+    assert rows and all(
+        r.p50_in_band == 1 and r.p90_in_band == 1 for r in rows
+    )
+
+
 def test_heavy_hitters_sketch_is_exact_under_tracked_bound(spark, sf_dir):
     """With maxItemsTracked above the distinct-key count, approx_top_k
     counts equal the exact GROUP BY counts for every returned item."""
