@@ -107,6 +107,12 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    # Per-query min/median spreads are diagnostics, not the headline
+    # metric — they go to stderr so the stdout JSON stays compact
+    # (BENCH_r05: the driver's bounded tail capture truncated a long
+    # stdout line mid-JSON, losing the machine-readable result).
+    print(json.dumps({"query_stats": spreads}), file=sys.stderr)
+    # The machine-readable result: the FINAL, LONE stdout line.
     print(
         json.dumps(
             {
@@ -114,10 +120,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "query_stats": spreads,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

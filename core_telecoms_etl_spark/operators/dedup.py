@@ -235,9 +235,24 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     parallelism. Skipped when the input already has at least
     defaultParallelism partitions — the true-at-scale case, where the
     data arrives in thousands of splits and the shuffle would be pure
-    waste."""
+    waste.
+
+    Partition-count probe: `len(df.inputFiles())` (a metadata listing
+    already cached by the scan) rather than `df.rdd.getNumPartitions()`,
+    which forces a full physical-plan→RDD conversion on the driver per
+    call and raises on streaming inputs. File count lower-bounds the
+    split count, so at scale (thousands of files) the repartition is
+    correctly skipped; locally (one file per table) it correctly fires.
+    Non-file inputs (in-memory test frames) report zero files and get
+    the spread, which is the cheap safe default for them."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -390,7 +405,11 @@ def simhash_pairs(
             F.array(
                 *[
                     F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(
-                        (1 << (starts[i + 1] - starts[i])) - 1
+                        # a full-width block (n_blocks=1) needs the
+                        # all-ones long: (1 << 64) - 1 overflows LongType
+                        -1
+                        if starts[i + 1] - starts[i] == 64
+                        else (1 << (starts[i + 1] - starts[i])) - 1
                     )
                     for i in range(n_blocks)
                 ]

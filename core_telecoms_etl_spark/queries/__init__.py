@@ -59,107 +59,32 @@ def query(name: str, oracle: str | None = None):
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # -- never driver-sampled before r5 (VERDICT r4 #2)
-    "stream_dedup",
-    "stream_tumbling",
-    "string_funcs_extended",
-    # -- streaming read path refactored in r4, re-verify (ADVICE r4)
-    "stream_static_join",
-    "stream_stateful",
-    # -- r5 rework: rows-only → deterministic-projection oracles
-    "approx_count_distinct",
-    "approx_quantiles",
-    "hll_rollup",
+    # -- r6 changes: theta oracle BIGINT cast (the r5 red row);
+    # -- groupby_agg/multi_join revenue sums moved to the unscaled
+    # -- integer grid (bit-identical, ~40% faster)
+    "theta_sketch_setops",
+    "groupby_agg",
+    "multi_join",
+    # -- r6: dedup.py touched (_ensure_parallelism partition probe;
+    # -- simhash full-width block mask) — these flow through it
     "minhash_near_dup",
     "simhash_signatures",
-    "vector_topk_ivf",
-    "vector_topk_lsh",
-    "semantic_dedup",
-    "theta_sketch_setops",
-    "kll_quantile_rollup",
-    # -- r5: discounted-revenue sums switched to exact decimal (the
-    # -- float-boundary snap failure at coarse-group magnitudes)
-    "multi_join",
-    "groupby_agg",
-    "sql_api",
-    "filter_agg_scalar",
-    "revenue_topk_shipping",
-    "local_supplier_volume",
-    "returned_item_report",
-    "salted_skew_join",
-    # -- r5 operator changes flow into these (array_distinct after
-    # -- shingle hashing; hash_shingles=False in the incremental query;
-    # -- offsets-window partition spec in packing)
-    "near_dedup",
-    "near_dedup_layered",
-    "dedup_clusters",
-    "corpus_incremental_dedup",
-    "contamination",
-    "training_pipeline",
-    "deterministic_shuffle",
-    "sequence_pack",
-    # -- events/timestamp path touched by the normalize_timestamps
-    # -- opt-in scoping (same behavior asserted locally; re-confirm)
-    "sessionize",
+    # -- r6: streaming read path's ensure_session_confs call scoped
+    # -- (nanos opt-in) — re-confirm the whole events/stream family
+    "stream_dedup",
+    "stream_tumbling",
+    "stream_static_join",
+    "stream_stateful",
     "stream_session",
     "stream_stream_join",
     "events_tumbling",
-    "asof_join",
-    "range_join",
-    # -- cross-family representatives filling out the 50-window
-    "vector_topk",
-    "cosine_pairs",
-    "embedding_norms",
-    "vector_quantize",
-    "text_exact_dedup",
-    "text_profile",
-    "text_chunks",
-    "pii_scrub",
-    "gopher_quality",
-    "domain_cap",
-    "domain_mixture",
-    "exact_k_sample",
-    "stratified_sample",
-    "quality_filter",
-    # ---- the 50-query window boundary falls here; every entry from
-    # ---- here down was green in a prior driver window and is
-    # ---- byte-stable since
-    "bigram_surprisal",
-    "fuzzy_linkage",
-    "profile_table",
-    "dq_suite",
-    "pandas_udf_scalar",
-    "grouped_map_zscore",
-    "salted_groupby",
-    "heavy_hitters",
-    "star_fact_complaints",
-    "window_range_frame",
-    "asof_join_forward",
-    "window_rank_funcs",
-    "unpivot_metrics",
-    "null_safe_join",
-    "session_paths",
-    "text_repetition",
-    "scalar_subquery_filter",
-    "string_funcs",
-    "json_funcs",
-    "set_ops",
-    "date_funcs",
-    "math_funcs",
-    "null_handling",
-    "array_funcs",
+    "sessionize",
     "events_sliding",
     "session_window",
-    "order_count_distribution",
-    "token_topk",
-    "tf_idf",
-    "multimodal_meta",
-    "funnel",
-    "cohort_retention",
-    "dataset_split",
-    "scd2_history",
-    "upsert",
-    "window_rank_extended",
+    # -- missed the r5 window by one slot (last green r4)
+    "quality_filter",
+    # -- staleness rotation (VERDICT r5 #2): the block whose only green
+    # -- is r1 — re-verify so no query's last green is >3 rounds old
     "parquet_scan",
     "top_k",
     "dedup_latest_by_key",
@@ -189,6 +114,81 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stats_agg",
     "histogram_agg",
     "string_agg",
+    # -- next-stalest (last green r2/r3)
+    "multimodal_meta",
+    "star_fact_complaints",
+    "funnel",
+    "token_topk",
+    "tf_idf",
+    # ---- the 50-query window boundary falls here; every entry from
+    # ---- here down was green in a prior driver window (r4 or r5)
+    # ---- and is byte-stable since
+    "string_funcs_extended",
+    "approx_count_distinct",
+    "approx_quantiles",
+    "hll_rollup",
+    "vector_topk_ivf",
+    "vector_topk_lsh",
+    "semantic_dedup",
+    "kll_quantile_rollup",
+    "sql_api",
+    "filter_agg_scalar",
+    "revenue_topk_shipping",
+    "local_supplier_volume",
+    "returned_item_report",
+    "salted_skew_join",
+    "near_dedup",
+    "near_dedup_layered",
+    "dedup_clusters",
+    "corpus_incremental_dedup",
+    "contamination",
+    "training_pipeline",
+    "deterministic_shuffle",
+    "sequence_pack",
+    "asof_join",
+    "range_join",
+    "vector_topk",
+    "cosine_pairs",
+    "embedding_norms",
+    "vector_quantize",
+    "text_exact_dedup",
+    "text_profile",
+    "text_chunks",
+    "pii_scrub",
+    "gopher_quality",
+    "domain_cap",
+    "domain_mixture",
+    "exact_k_sample",
+    "stratified_sample",
+    "bigram_surprisal",
+    "fuzzy_linkage",
+    "profile_table",
+    "dq_suite",
+    "pandas_udf_scalar",
+    "grouped_map_zscore",
+    "salted_groupby",
+    "heavy_hitters",
+    "window_range_frame",
+    "asof_join_forward",
+    "window_rank_funcs",
+    "unpivot_metrics",
+    "null_safe_join",
+    "session_paths",
+    "text_repetition",
+    "scalar_subquery_filter",
+    "string_funcs",
+    "json_funcs",
+    "set_ops",
+    "date_funcs",
+    "math_funcs",
+    "null_handling",
+    "array_funcs",
+    "order_count_distribution",
+    "cohort_retention",
+    "dataset_split",
+    "scd2_history",
+    "upsert",
+    "window_rank_extended",
 )
 
 

@@ -227,28 +227,51 @@ def read_rows(
     return spark.createDataFrame(rows)
 
 
-def ensure_session_confs(spark: SparkSession) -> None:
+def ensure_session_confs(
+    spark: SparkSession, *, nanos_as_long: bool = False
+) -> None:
     """Runtime-settable confs the engine's semantics depend on, applied
     defensively for sessions not built by `get_spark` (e.g. the driver
-    harness): UTC timestamps (oracle comparability), nanos-parquet
-    readability, case-insensitive resolution."""
+    harness): UTC timestamps (oracle comparability), case-insensitive
+    resolution.
+
+    `nanos_as_long=True` additionally enables
+    `spark.sql.legacy.parquet.nanosAsLong` — OPT-IN only, because the
+    conf silently retypes EVERY TIMESTAMP(NANOS) parquet column in the
+    session to raw BIGINT. With it off, Spark fails loudly
+    (PARQUET_TYPE_ILLEGAL) on nanos columns — the safe default on a real
+    lake. Only callers that know their data's provenance and rewrite the
+    longs back (the harness-testdata loaders, via `normalize_timestamps`
+    + `NANOS_BIGINT_COLS`) pass True."""
     import os
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos_as_long:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.caseSensitive", "false")
+    # Local-mode right-sizing ONLY: on a cluster session that simply kept
+    # the stock defaults, forcing 1 MB splits would explode a 100 TB scan
+    # into ~10^8 tasks, and pinning shuffle partitions to the driver's
+    # core count would defeat AQE's coalescing from a larger initial
+    # number — cluster tuning belongs to spark-submit (SCALING.md
+    # "Config deltas"), not a defensive helper.
+    if not spark.sparkContext.master.startswith("local"):
+        return
     # right-size shuffles for sessions that kept the 200 default (local
-    # harness sessions); on a managed cluster this is already tuned + AQE
+    # harness sessions)
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     # and scan splits: the 128 MB default serializes scans of megabyte
     # test files onto one core (see session.py) — only adjust when the
-    # session still has the stock default, so tuned clusters are untouched
+    # session still has the stock default, so tuned sessions are untouched
     if spark.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728b"
     ) in ("134217728", "134217728b"):
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
 
 
 def normalize_timestamps(
@@ -295,8 +318,10 @@ NANOS_BIGINT_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table (TESTDATA.md), with timestamp columns
     normalized to TimestampType (see `normalize_timestamps` for the
-    on-disk encodings handled)."""
-    ensure_session_confs(spark)
+    on-disk encodings handled). The nanos opt-in is sanctioned here
+    because this loader owns the testdata provenance (NANOS_BIGINT_COLS)
+    and rewrites the raw longs back to timestamps."""
+    ensure_session_confs(spark, nanos_as_long=True)
     return normalize_timestamps(
         spark.read.parquet(f"{sf_dir}/{name}.parquet"),
         nanos_bigint_cols=NANOS_BIGINT_COLS.get(name, ()),

@@ -47,7 +47,9 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
         normalize_timestamps,
     )
 
-    ensure_session_confs(spark)
+    # nanos opt-in: this reader targets the harness events table, whose
+    # TIMESTAMP(NANOS) `ts` is rewritten back via normalize_timestamps
+    ensure_session_confs(spark, nanos_as_long=True)
     raw_schema = spark.read.parquet(path).schema
     if path.endswith(".parquet"):
         base, _, fname = path.rpartition("/")
@@ -302,7 +304,9 @@ def run_stream_windowed_append(
         normalize_timestamps,
     )
 
-    ensure_session_confs(spark)
+    # nanos opt-in: events_dir is the harness events table (nanos `ts`,
+    # rewritten back to timestamp below via normalize_timestamps)
+    ensure_session_confs(spark, nanos_as_long=True)
     raw_schema = spark.read.parquet(events_dir).schema
     stream = normalize_timestamps(
         spark.readStream.format("parquet")

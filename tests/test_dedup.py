@@ -120,6 +120,20 @@ def test_simhash_blocking_is_pigeonhole_complete(spark, sf_dir):
     )
 
 
+def test_simhash_single_full_width_block(spark):
+    """n_blocks=1 (reachable via max_hamming=0 + the documented default
+    n_blocks = max_hamming + 1) builds ONE 64-bit-wide block; its
+    all-ones mask must be the -1 long, not (1 << 64) - 1, which
+    overflows LongType and crashed at plan-build time (ADVICE r5).
+    Exact duplicates share the full signature, so they — and only
+    pairs with hamming <= max_hamming — must surface."""
+    pairs = dd.simhash_pairs(
+        _docs(spark), "doc_id", "text", max_hamming=0
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got == {(0, 3): 0}
+
+
 def test_refine_pairs_exact_matches_jaccard_pairs(spark, sf_dir):
     """Sketch-candidates + exact refine must equal the full exact
     inverted-index result whenever the candidate set covers the true

@@ -321,3 +321,181 @@ def test_read_parquet_evolving_merges_and_conforms(spark, tmp_path):
     got = {r.id: r for r in conformed.collect()}
     assert got[2].score == 9.5 and got[2].added is None
     assert "stray" not in conformed.columns
+
+
+def test_jdbc_catalog_query_against_live_postgres():
+    """Run the postgres-dialect catalog SQL against a REAL throwaway
+    PostgreSQL server (the reference's actual source system, RDS
+    Postgres — plugins/postgres_extract.py:93-144), not just the DuckDB
+    information_schema stand-in above. The server binaries ship in the
+    sandbox; no Postgres JDBC driver jar is on Spark's classpath, so the
+    Spark-side `read_jdbc` leg stays Derby-verified (below) and this
+    test closes the dialect gap: the exact discovery SQL the engine
+    would push through JDBC executes on live Postgres and lists
+    precisely the base tables of the target schema — views, foreign
+    schemas excluded."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    initdb = shutil.which("initdb") or "/usr/local/bin/initdb"
+    pg_ctl = shutil.which("pg_ctl") or "/usr/local/bin/pg_ctl"
+    psql = shutil.which("psql")
+    if not (os.path.exists(initdb) and os.path.exists(pg_ctl) and psql):
+        import pytest
+
+        pytest.skip("postgres server binaries not available")
+
+    # pytest's tmp_path sits under a root-only 0700 dir the unprivileged
+    # postgres user can't traverse; use a world-traversable tempdir
+    base = tempfile.mkdtemp(prefix="pgtest_")
+    os.chmod(base, 0o755)
+    pgdir = os.path.join(base, "pg")
+    os.makedirs(pgdir)
+
+    def as_pg(cmd: str) -> subprocess.CompletedProcess:
+        # postgres refuses to run as root; drop to nobody (cwd=/ so the
+        # unprivileged shell can chdir)
+        return subprocess.run(
+            ["su", "nobody", "-s", "/bin/bash", "-c", cmd],
+            cwd="/",
+            capture_output=True,
+            text=True,
+        )
+
+    if os.geteuid() == 0:
+        shutil.chown(pgdir, user="nobody")
+        run = as_pg
+    else:
+        run = lambda cmd: subprocess.run(  # noqa: E731
+            ["bash", "-c", cmd], cwd="/", capture_output=True, text=True
+        )
+
+    r = run(f"{initdb} -D {pgdir}/data -A trust -U pguser")
+    assert r.returncode == 0, r.stderr
+    r = run(
+        f"{pg_ctl} -D {pgdir}/data -w -l {pgdir}/log start "
+        f"-o '-c listen_addresses= -c unix_socket_directories={pgdir}'"
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    try:
+        setup = (
+            "CREATE TABLE t_bravo (x int); "
+            "CREATE TABLE t_alpha (x int); "
+            "CREATE VIEW v_skip AS SELECT * FROM t_alpha; "
+            "CREATE SCHEMA other; "
+            "CREATE TABLE other.t_other (x int);"
+        )
+        r = subprocess.run(
+            [psql, "-h", pgdir, "-U", "pguser", "-d", "postgres",
+             "-v", "ON_ERROR_STOP=1", "-c", setup],
+            cwd="/", capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+
+        q = readers.list_jdbc_tables_query("public", dialect="postgres")
+        inner = q[1 : -len(") AS t")]
+        r = subprocess.run(
+            [psql, "-h", pgdir, "-U", "pguser", "-d", "postgres",
+             "-tA", "-c", inner],
+            cwd="/", capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        got = [ln for ln in r.stdout.splitlines() if ln]
+        assert got == ["t_alpha", "t_bravo"], got
+    finally:
+        run(f"{pg_ctl} -D {pgdir}/data -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _write_nanos_parquet(path: str) -> None:
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "id": [1, 2],
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 12, 0, 0), dt.datetime(2024, 1, 2)],
+                type=pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def test_nanos_parquet_fails_loudly_without_opt_in(spark, tmp_path):
+    """Production-safe default: with `nanosAsLong` off, a genuine
+    TIMESTAMP(NANOS) parquet column fails LOUDLY (PARQUET_TYPE_ILLEGAL)
+    instead of silently retyping to long — the engine no longer sets the
+    conf session-wide (get_spark) or in the defensive conf helper; only
+    the harness-testdata loaders opt in, because they own the provenance
+    and rewrite the raw longs back via normalize_timestamps."""
+    from pyspark.errors import AnalysisException
+
+    p = str(tmp_path / "nanos.parquet")
+    _write_nanos_parquet(p)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # the defensive helper must NOT flip it back on by default
+        readers.ensure_session_confs(spark)
+        assert (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+        )
+        try:
+            spark.read.parquet(p).collect()
+            raise AssertionError("expected PARQUET_TYPE_ILLEGAL")
+        except AnalysisException as e:
+            assert "NANOS" in str(e) or "PARQUET_TYPE_ILLEGAL" in str(e)
+        # the sanctioned opt-in reads it as raw longs for the rewrite
+        readers.ensure_session_confs(spark, nanos_as_long=True)
+        df = spark.read.parquet(p)
+        assert dict(df.dtypes)["ts"] == "bigint"
+        out = readers.normalize_timestamps(df, nanos_bigint_cols=("ts",))
+        assert dict(out.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def test_ensure_session_confs_leaves_cluster_sessions_untuned():
+    """The local-mode right-sizing (1 MB scan splits, core-count shuffle
+    partitions) must NOT leak onto cluster sessions: at 100 TB, 1 MB
+    splits are ~10^8 scheduler tasks. Gate is the master URL — a
+    non-local fake session gets semantics confs only."""
+
+    class _Conf:
+        def __init__(self):
+            self.store: dict[str, str] = {}
+
+        def set(self, k, v):
+            self.store[k] = v
+
+        def get(self, k, d=None):
+            return self.store.get(k, d)
+
+    class _Ctx:
+        master = "spark://cluster-master:7077"
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _Ctx()
+
+    readers.ensure_session_confs(_Fake())
+    assert _Fake.conf.store["spark.sql.session.timeZone"] == "UTC"
+    assert "spark.sql.files.maxPartitionBytes" not in _Fake.conf.store
+    assert "spark.sql.shuffle.partitions" not in _Fake.conf.store
+    assert "spark.sql.legacy.parquet.nanosAsLong" not in _Fake.conf.store
+
+    class _LocalCtx:
+        master = "local[4]"
+
+    class _FakeLocal:
+        conf = _Conf()
+        sparkContext = _LocalCtx()
+
+    readers.ensure_session_confs(_FakeLocal())
+    assert "spark.sql.files.maxPartitionBytes" in _FakeLocal.conf.store
