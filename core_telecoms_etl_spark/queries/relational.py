@@ -1397,9 +1397,14 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass) plus tolerance flags on each estimate — 5% for the direct
     sets; the A∖B flag is bounded relative to |A| (theta difference
     error scales with the operand sketches, not the result: measured
-    0.3% of |A| at sf0.1 where the result-relative error is 9%).
-    Estimates are EXACT below the sketch's nominal-entries threshold
-    (sf ≤ 0.01 here), in estimation mode ~1% (sf0.1)."""
+    0.3% of |A| at sf0.1 where the result-relative error is 9%, and
+    0.03% of |A| in deep estimation mode at 10× — see BASELINE.md
+    "Sketch estimation-mode probe"). Estimates are EXACT below the
+    sketch's nominal-entries threshold (sf ≤ 0.01 here), ~1% at sf0.1,
+    and ~4.3% deep into estimation mode at the default lgNomEntries=12
+    (145k distinct keys) — at cluster scale build the sketches with
+    lgNomEntries ≥ 14 (measured 1.16%; 16 → 0.09%) so the 5% tolerance
+    keeps margin."""
     o = load_table(spark, sf_dir, "orders")
     sk = o.agg(
         F.expr(
