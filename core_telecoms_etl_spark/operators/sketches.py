@@ -1,0 +1,113 @@
+"""Count-min sketch as a first-class DataFrame state table.
+
+Spark ships `count_min_sketch` as an opaque binary aggregate with no SQL
+point-query function, so the engine builds the sketch from relational
+primitives instead: the counter matrix IS a (depth × width)-row
+DataFrame — readable, persistable, and mergeable with plain operators.
+
+Why this matters at 100 TB: exact per-key counting (`groupBy(key)`)
+shuffles and stores state proportional to the DISTINCT KEY SPACE —
+unbounded for tokens/URLs/user-agents. The CMS counter table is FIXED
+SIZE (depth·width rows, e.g. 4×8192) no matter how many distinct keys
+stream through: the heavy-hitter pattern over an unbounded vocabulary.
+Guarantees (Cormode & Muthukrishnan 2005): estimates NEVER
+under-count, and over-count ≤ e·N/width with probability 1−e^-depth.
+
+- build: one explode(depth) + hash-bucket groupBy — a single shuffle of
+  depth·width partial counters (map-side combine collapses almost all
+  rows before the exchange).
+- merge: element-wise sum of counter tables (`cms_merge`) — daily
+  sketches roll up to monthly without rescanning, like the HLL/KLL/theta
+  rollups (`queries/relational.py`).
+- query: min over depth of the probed cells — a broadcast join against
+  the tiny counter table, never a rescan of the data.
+
+Determinism: xxhash64 with the row index as an extra hashed column
+derives the depth hash functions — no RNG anywhere, so counters are
+bit-stable across retries/engines given the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, seed: Column, width: int) -> Column:
+    # xxhash64 over (key, seed) == a seeded hash family; pmod keeps the
+    # bucket non-negative
+    return F.pmod(F.xxhash64(key, seed), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 8192,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(seed, bucket, count) counter matrix over `df[key_col]`.
+
+    Missing (seed, bucket) cells are zero by convention — `cms_estimate`
+    coalesces them — so the table never materializes empty cells."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    return (
+        df.select(F.col(key_col).alias("__key"), w.alias("__w"))
+        .select(F.explode(seeds).alias("seed"), "__key", "__w")
+        .select(
+            "seed",
+            _bucket(F.col("__key"), F.col("seed"), width).alias("bucket"),
+            "__w",
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("__w").alias("count"))
+    )
+
+
+def cms_merge(*counters: DataFrame) -> DataFrame:
+    """Element-wise sum of counter tables built with the SAME
+    depth/width — the mergeable-state property: union then one tiny
+    groupBy over ≤ depth·width rows."""
+    if not counters:
+        raise ValueError("cms_merge needs at least one counter table")
+    out = counters[0]
+    for c in counters[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("seed", "bucket").agg(F.sum("count").alias("count"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query estimates for every row of `keys[key_col]`: min over
+    the depth probed cells. The counter table is broadcast (≤ depth·width
+    rows by construction); the probe is a broadcast hash join, no
+    shuffle of the key side."""
+    depth_rows = counters.select("seed").distinct()
+    probes = (
+        keys.select(F.col(key_col))
+        .crossJoin(F.broadcast(depth_rows))
+        .select(
+            key_col,
+            "seed",
+            _bucket(F.col(key_col), F.col("seed"), width).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias(est_col))
+    )

@@ -975,3 +975,67 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, batch, "doc_id", "text", n=3, threshold=0.8,
         hash_shingles=False,
     ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""WITH toks AS (
+                 SELECT unnest({_TOKS}) AS token FROM documents),
+               exact AS (
+                 SELECT token, count(*) AS n_exact
+                 FROM toks GROUP BY token
+                 ORDER BY n_exact DESC, token LIMIT 20)
+               SELECT token, n_exact,
+                      CAST(1 AS BIGINT) AS never_undercounts,
+                      CAST(1 AS BIGINT) AS within_error_bound
+               FROM exact""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter counts from a count-min sketch built with relational
+    primitives (`operators/sketches.py`): the counter matrix is a FIXED
+    depth×width=4×8192-row state table no matter how many distinct
+    tokens stream through — the bounded-state alternative to
+    `token_topk`'s exact groupBy when the key space itself doesn't fit
+    (URLs/user-agents/n-grams at 100 TB), and it merges across
+    days/shards without rescan (`cms_merge`).
+
+    Driver-checked projection: the exact top-20 token counts (one
+    groupBy pass — the in-plan baseline) plus two flags per token
+    checked against the sketch estimate: `never_undercounts`
+    (CMS structural guarantee, always true) and `within_error_bound`
+    (overcount ≤ e·N/width, the Cormode–Muthukrishnan bound at
+    probability 1−e^-depth; deterministic here because hashing is
+    seeded xxhash64, no RNG — measured green at sf0.001/0.01/0.1)."""
+    from math import e as _e
+
+    from core_telecoms_etl_spark.operators import sketches as sk
+
+    depth, width = 4, 8192
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens("text")).alias("token"))
+    counters = sk.cms_build(toks, "token", depth=depth, width=width)
+    top20 = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(20)
+    )
+    est = sk.cms_estimate(counters, top20, "token", width=width)
+    total = toks.agg(F.count("*").alias("__N"))
+    return (
+        top20.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_exact",
+            (F.col("cms_est") >= F.col("n_exact"))
+            .cast("long")
+            .alias("never_undercounts"),
+            (
+                (F.col("cms_est") - F.col("n_exact")).cast("double")
+                <= F.lit(_e) * F.col("__N") / F.lit(width)
+            )
+            .cast("long")
+            .alias("within_error_bound"),
+        )
+    )

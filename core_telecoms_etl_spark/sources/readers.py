@@ -211,6 +211,97 @@ def list_jdbc_tables_query(schema: str, *, dialect: str = "postgres") -> str:
     )
 
 
+def jdbc_columns_query(schema: str, table: str) -> str:
+    """Column-metadata discovery for one table (ANSI
+    information_schema.columns — valid on Postgres, the reference's
+    source system, plugins/postgres_extract.py:93-144, which leaves the
+    type mapping implicit in pandas; the engine makes it explicit so
+    DDL-from-JDBC is deterministic). Returned as SQL for a JDBC subquery
+    scan or a direct client execute."""
+    return (
+        "(SELECT column_name, data_type, is_nullable, "
+        "numeric_precision, numeric_scale "
+        "FROM information_schema.columns "
+        f"WHERE table_schema = '{schema}' AND table_name = '{table}' "
+        "ORDER BY ordinal_position) AS c"
+    )
+
+
+# Postgres information_schema `data_type` → Spark type. The subset the
+# reference's warehouse loader distinguishes (plugins/snowflake_load.py
+# type branches) plus the common remainder; unlisted types fall back to
+# string, loudly loggable by the caller. NUMERIC maps through
+# precision/scale in pg_column_to_spark (bounded at Spark's DECIMAL(38)).
+_PG_TO_SPARK: dict[str, T.DataType] = {
+    "smallint": T.ShortType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "real": T.FloatType(),
+    "double precision": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp without time zone": T.TimestampNTZType(),
+    "timestamp with time zone": T.TimestampType(),
+    "text": T.StringType(),
+    "character varying": T.StringType(),
+    "character": T.StringType(),
+    "uuid": T.StringType(),
+    "json": T.StringType(),
+    "jsonb": T.StringType(),
+    "bytea": T.BinaryType(),
+}
+
+
+def pg_column_to_spark(
+    data_type: str,
+    *,
+    numeric_precision: int | None = None,
+    numeric_scale: int | None = None,
+) -> T.DataType:
+    """Map one Postgres information_schema.columns row to a Spark type.
+
+    `numeric`/`decimal` honors declared (precision, scale), capped at
+    Spark's DECIMAL(38,37); an unconstrained NUMERIC (precision NULL —
+    Postgres allows it, Spark has no unbounded decimal) maps to
+    DECIMAL(38,18), the same wide default Spark's own JDBC dialects use.
+    `ARRAY` data_type rows map to string (the JDBC scan itself would
+    need pg-specific array parsing; callers needing structure parse
+    downstream) — every mapping is total, so DDL-from-JDBC never
+    crashes on an exotic column."""
+    dt = data_type.strip().lower()
+    if dt in ("numeric", "decimal"):
+        if numeric_precision is None:
+            return T.DecimalType(38, 18)
+        p = min(int(numeric_precision), 38)
+        s = min(int(numeric_scale or 0), 37, p)
+        return T.DecimalType(p, s)
+    return _PG_TO_SPARK.get(dt, T.StringType())
+
+
+def pg_schema_from_columns(
+    rows: Iterable[tuple],
+) -> T.StructType:
+    """Build the Spark StructType for (column_name, data_type,
+    is_nullable, numeric_precision, numeric_scale) rows as returned by
+    `jdbc_columns_query` — the explicit DDL-from-JDBC the reference
+    leaves to pandas inference. Verified against a live Postgres server
+    in tests/test_sources.py."""
+    fields = []
+    for name, data_type, is_nullable, prec, scale in rows:
+        fields.append(
+            T.StructField(
+                name,
+                pg_column_to_spark(
+                    data_type,
+                    numeric_precision=prec,
+                    numeric_scale=scale,
+                ),
+                nullable=str(is_nullable).strip().upper() != "NO",
+            )
+        )
+    return T.StructType(fields)
+
+
 def read_rows(
     spark: SparkSession,
     rows: Iterable[Mapping[str, Any]],

@@ -321,3 +321,56 @@ def test_incremental_dedup_corpus_never_shuffles_raw(spark, sf_dir):
     assert _n_ops(plan, "BroadcastHashJoin") >= 3, plan  # exact+near+anti
     ex_lines = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert all("text" not in l for l in ex_lines), ex_lines
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(
+    spark, sf_dir
+):
+    """The 100 TB semi-join-reduction path the engine RELIES on instead
+    of hand-rolling a bloom operator: with a selective filter on the
+    creation side of a shuffle join, Catalyst injects a bloom runtime
+    filter (bloom_filter_agg on the dim keys, might_contain pushed into
+    the fact scan side) so fact rows that cannot join are dropped
+    before the exchange. Local data sits below the production
+    thresholds, so the test pins them the way a cluster submit would
+    tune them (SCALING.md "Runtime filters")."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt.lower(), opt
+        # and the filtered result is still correct
+        exact = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .agg(F.sum("l_quantity"))
+            .collect()[0][0]
+        )
+        assert j.collect()[0]["q"] == exact
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

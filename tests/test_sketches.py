@@ -1,0 +1,99 @@
+"""Count-min sketch operator tests (operators/sketches.py): the CMS
+structural guarantees (never undercounts; exact when collision-free),
+the mergeable-state property, and the bounded-state claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators import sketches as sk
+
+
+def _tokens(spark):
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 10 + [
+        (t,) for t in "defghijklmnop"
+    ]
+    return spark.createDataFrame(rows, "token string")
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    df = _tokens(spark)
+    exact = {
+        r.token: r.n
+        for r in df.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    counters = sk.cms_build(df, "token", depth=4, width=4096)
+    est = {
+        r.token: r.cms_est
+        for r in sk.cms_estimate(
+            counters, df.select("token").distinct(), "token", width=4096
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n  # structural: min over cells ≥ true count
+    # 16 keys in 4×4096 cells: overwhelmingly collision-free → exact
+    assert est == exact
+
+
+def test_cms_counter_table_is_bounded(spark):
+    depth, width = 4, 64
+    counters = sk.cms_build(
+        _tokens(spark), "token", depth=depth, width=width
+    ).collect()
+    assert len(counters) <= depth * width
+    assert {r.seed for r in counters} == set(range(depth))
+    assert all(0 <= r.bucket < width for r in counters)
+    # total mass per depth row equals the input size (every token lands
+    # in exactly one bucket per row)
+    n = _tokens(spark).count()
+    per_seed = {}
+    for r in counters:
+        per_seed[r.seed] = per_seed.get(r.seed, 0) + r["count"]
+    assert all(v == n for v in per_seed.values())
+
+
+def test_cms_merge_equals_whole(spark):
+    df = _tokens(spark).withColumn("half", F.col("token") < F.lit("g"))
+    a = sk.cms_build(df.filter("half"), "token", depth=4, width=64)
+    b = sk.cms_build(df.filter("NOT half"), "token", depth=4, width=64)
+    whole = sk.cms_build(df, "token", depth=4, width=64)
+    merged = sk.cms_merge(a, b)
+    key = lambda r: (r.seed, r.bucket)  # noqa: E731
+    assert {key(r): r["count"] for r in merged.collect()} == {
+        key(r): r["count"] for r in whole.collect()
+    }
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 3), ("b", 2)], "token string, w int"
+    )
+    counters = sk.cms_build(df, "token", depth=2, width=256, weight_col="w")
+    est = {
+        r.token: r.cms_est
+        for r in sk.cms_estimate(
+            counters, df.select("token").distinct(), "token", width=256
+        ).collect()
+    }
+    assert est["a"] >= 8 and est["b"] >= 2
+
+
+def test_cms_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        sk.cms_build(_tokens(spark), "token", depth=0, width=64)
+    with pytest.raises(ValueError):
+        sk.cms_merge()
+
+
+def test_cms_estimate_plan_broadcasts_counters(spark):
+    """The probe side must be a broadcast hash join against the tiny
+    counter table — no shuffle of the key side."""
+    df = _tokens(spark)
+    counters = sk.cms_build(df, "token", depth=4, width=64)
+    est = sk.cms_estimate(
+        counters, df.select("token").distinct(), "token", width=64
+    )
+    plan = est._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan

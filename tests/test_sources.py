@@ -404,6 +404,57 @@ def test_jdbc_catalog_query_against_live_postgres():
         assert r.returncode == 0, r.stderr
         got = [ln for ln in r.stdout.splitlines() if ln]
         assert got == ["t_alpha", "t_bravo"], got
+
+        # type-mapping leg: DDL-from-JDBC over live Postgres metadata
+        from pyspark.sql import types as T
+
+        r = subprocess.run(
+            [psql, "-h", pgdir, "-U", "pguser", "-d", "postgres",
+             "-v", "ON_ERROR_STOP=1", "-c",
+             "CREATE TABLE t_types (a smallint NOT NULL, b integer, "
+             "c bigint, d real, e double precision, f numeric(12,2), "
+             "g numeric, h boolean, i date, j timestamp, "
+             "k timestamptz, l text, m varchar(10), n uuid, o jsonb, "
+             "p bytea, q int[])"],
+            cwd="/", capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        cols_q = readers.jdbc_columns_query("public", "t_types")
+        inner_cols = cols_q[1 : -len(") AS c")]
+        r = subprocess.run(
+            [psql, "-h", pgdir, "-U", "pguser", "-d", "postgres",
+             "-tA", "-F", "|", "-c", inner_cols],
+            cwd="/", capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        rows = [
+            tuple(f if f != "" else None for f in ln.split("|"))
+            for ln in r.stdout.splitlines()
+            if ln
+        ]
+        schema = readers.pg_schema_from_columns(rows)
+        expect = {
+            "a": T.ShortType(),
+            "b": T.IntegerType(),
+            "c": T.LongType(),
+            "d": T.FloatType(),
+            "e": T.DoubleType(),
+            "f": T.DecimalType(12, 2),
+            "g": T.DecimalType(38, 18),  # unconstrained NUMERIC
+            "h": T.BooleanType(),
+            "i": T.DateType(),
+            "j": T.TimestampNTZType(),
+            "k": T.TimestampType(),
+            "l": T.StringType(),
+            "m": T.StringType(),
+            "n": T.StringType(),
+            "o": T.StringType(),
+            "p": T.BinaryType(),
+            "q": T.StringType(),  # ARRAY falls back, total mapping
+        }
+        assert {f.name: f.dataType for f in schema.fields} == expect
+        nullable = {f.name: f.nullable for f in schema.fields}
+        assert nullable["a"] is False and nullable["b"] is True
     finally:
         run(f"{pg_ctl} -D {pgdir}/data -m immediate stop")
         shutil.rmtree(base, ignore_errors=True)
