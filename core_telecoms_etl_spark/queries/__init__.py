@@ -69,8 +69,11 @@ _CHECK_ORDER: tuple[str, ...] = (
     # -- simhash full-width block mask) — these flow through it
     "minhash_near_dup",
     "simhash_signatures",
-    # -- NEW r6: count-min-sketch heavy hitters (never driver-sampled)
+    # -- NEW r6: count-min-sketch heavy hitters, shuffle-key skew
+    # -- diagnostics, SCD-2 point-in-time join (never driver-sampled)
     "cms_heavy_hitters",
+    "key_skew_profile",
+    "point_in_time_join",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",

@@ -338,3 +338,61 @@ def window_rank_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@query(
+    "point_in_time_join",
+    oracle="""WITH v0 AS (
+                SELECT user_id, ts AS valid_from,
+                       max(event_id) AS version_event
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, ts),
+              v AS (
+                SELECT user_id, valid_from, version_event,
+                       lead(valid_from) OVER (
+                         PARTITION BY user_id ORDER BY valid_from)
+                         AS valid_to
+                FROM v0),
+              f AS (
+                SELECT user_id, event_id, ts, value
+                FROM events WHERE event_type = 'purchase')
+              SELECT f.user_id, f.event_id, f.ts, f.value,
+                     v.version_event
+              FROM f LEFT JOIN v
+                ON f.user_id = v.user_id
+               AND f.ts >= v.valid_from
+               AND (v.valid_to IS NULL OR f.ts < v.valid_to)""",
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal-validity) join — each fact row joined to
+    the dimension VERSION valid at the fact's event time, the lookup
+    every SCD-2 star schema needs (`scd2_history` builds the versions;
+    this query consumes them). Spark-first shape: because SCD-2
+    intervals from a change stream are CONTIGUOUS, the interval
+    predicate collapses to an as-of join (latest version with
+    valid_from <= fact.ts) — `operators/temporal.asof_join`, ONE
+    shuffle on the entity key, per-partition ordered scan, no interval
+    residual and no per-key version explosion. The oracle states the
+    interval semantics directly (LEFT JOIN on the [valid_from,
+    valid_to) window) proving the equivalence. Versions are
+    pre-deduped per (key, ts) so ties are impossible by construction."""
+    from core_telecoms_etl_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("version_event"))
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        facts,
+        versions,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["version_event"],
+        direction="backward",
+    ).select("user_id", "event_id", "ts", "value", "version_event")

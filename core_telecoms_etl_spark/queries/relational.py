@@ -1597,3 +1597,61 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("flag_d", "flag")
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""WITH profile AS (
+                SELECT 'user_id' AS dim, CAST(user_id AS VARCHAR) AS key,
+                       count(*) AS cnt
+                FROM events GROUP BY user_id
+                UNION ALL
+                SELECT 'event_type' AS dim, event_type AS key, count(*) AS cnt
+                FROM events GROUP BY event_type)
+              SELECT dim,
+                     count(*) AS n_keys,
+                     sum(cnt) AS n_rows,
+                     CAST(max(cnt) AS BIGINT) AS max_cnt,
+                     CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_cnt,
+                     CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt,
+                     CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_cnt,
+                     CAST(max(cnt) AS DOUBLE)
+                       / (CAST(sum(cnt) AS DOUBLE) / count(*)) AS skew_ratio
+              FROM profile GROUP BY dim""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics — the measurement that DECIDES the shuffle
+    strategy (`operators/joins.py` salting, AQE skew thresholds): per
+    candidate shuffle key, the distinct-key count, max/p50/p99 per-key
+    row counts, and the max/avg skew ratio. At 100 TB this one cheap
+    pass (groupBy per key column — counts only, never payloads) is what
+    tells you whether a join key needs salting (skew_ratio ≫ 1, e.g.
+    event_type here) or hashes fine (user_id). percentile_disc picks an
+    actual data value, so the cross-engine comparison is exact integer
+    equality, no interpolation arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+
+    def profile(dim: str) -> DataFrame:
+        counts = (
+            e.groupBy(F.col(dim).cast("string").alias("key"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        return counts.agg(
+            F.lit(dim).alias("dim"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long")
+            .alias("p50_cnt"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long")
+            .alias("p99_cnt"),
+            (F.sum("cnt").cast("double") / F.count("*")).alias("avg_cnt"),
+            (
+                F.max("cnt").cast("double")
+                / (F.sum("cnt").cast("double") / F.count("*"))
+            ).alias("skew_ratio"),
+        )
+
+    return profile("user_id").unionByName(profile("event_type"))
