@@ -611,3 +611,86 @@ def incremental_dedup(
         batch[id_col] == dropped["__bid"],
         "left_anti",
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_tokens: int = 10,
+    max_df: int = 2,
+) -> DataFrame:
+    """Sub-document boilerplate removal (C4/RefinedWeb line-dedup shape,
+    adapted to token-segment granularity): split each document into
+    non-overlapping `seg_tokens`-token segments, count each distinct
+    segment's document frequency across the corpus, DROP segments
+    appearing in more than `max_df` documents (headers, footers,
+    licence blocks — text shared across documents is boilerplate, not
+    content), and reassemble the surviving segments in order.
+
+    Returns (id, n_segs, n_kept, clean_text); documents whose every
+    segment was boilerplate drop out (their text is empty).
+
+    Plan: explode → one frequency groupBy on the segment text → join
+    back → one re-assembly groupBy. Order is restored with
+    sort_array(collect_list(struct(pos, seg))) — no window, no
+    single-partition sort. At 100 TB the frequency pass should key on
+    xxhash64(segment) so the exchange carries 8-byte hashes instead of
+    segment strings (the `hash_shingles` discipline elsewhere in this
+    module); text keys are kept here for cross-engine oracle equality.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    n_segs = F.ceil(F.size("__toks") / F.lit(seg_tokens)).cast("int")
+    segs = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "__id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("__toks"),
+                            i * seg_tokens + 1,
+                            seg_tokens,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+    )
+    freq = segs.groupBy("seg").agg(
+        F.count_distinct("__id").alias("__df")
+    )
+    kept = segs.join(freq, "seg").filter(F.col("__df") <= max_df)
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.max("pos").alias("__maxpos"),
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .join(
+            segs.groupBy("__id").agg(F.count("*").alias("n_segs")),
+            "__id",
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_segs").cast("long").alias("n_segs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "clean_text",
+        )
+    )

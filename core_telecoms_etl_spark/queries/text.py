@@ -1039,3 +1039,53 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_error_bound"),
         )
     )
+
+
+@query(
+    "segment_boilerplate_dedup",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, {_TOKS} AS ts FROM documents),
+               nz AS (SELECT * FROM toks WHERE len(ts) > 0),
+               segs0 AS (
+                 SELECT doc_id,
+                        unnest([{{'pos': i,
+                                  'seg': array_to_string(
+                                     ts[(i*10+1):(i*10+10)], ' ')}}
+                                for i in range(0,
+                                  CAST(ceil(len(ts)/10.0) AS BIGINT))])
+                          AS u
+                 FROM nz),
+               segs AS (
+                 SELECT doc_id, u.pos AS pos, u.seg AS seg FROM segs0),
+               freq AS (
+                 SELECT seg, count(DISTINCT doc_id) AS df
+                 FROM segs GROUP BY seg),
+               kept AS (
+                 SELECT s.doc_id, s.pos, s.seg
+                 FROM segs s JOIN freq f USING (seg) WHERE f.df <= 2),
+               nseg AS (
+                 SELECT doc_id, count(*) AS n_segs
+                 FROM segs GROUP BY doc_id)
+               SELECT k.doc_id, n.n_segs, count(*) AS n_kept,
+                      string_agg(k.seg, ' ' ORDER BY k.pos) AS clean_text
+               FROM kept k JOIN nseg n USING (doc_id)
+               GROUP BY k.doc_id, n.n_segs""",
+)
+def segment_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal (the C4/RefinedWeb line-dedup
+    pass, at 10-token-segment granularity since this corpus has no
+    newlines): segments appearing in more than 2 documents are dropped
+    corpus-wide and the survivors reassemble in order
+    (`operators/dedup.py segment_dedup`). Near-dup document clusters in
+    the corpus make shared segments real, so the query exercises both
+    the drop and the reassembly. Plan: one frequency groupBy + one
+    join-back + one sort_array(collect_list(struct)) re-assembly — no
+    windows, no single-partition sorts; at 100 TB the frequency
+    exchange keys on xxhash64(segment) (see operator docstring)."""
+    return dd.segment_dedup(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        seg_tokens=10,
+        max_df=2,
+    )

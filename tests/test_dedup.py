@@ -347,3 +347,33 @@ def test_incremental_dedup_keeps_batch_internal_dups(spark):
     )
     out = incremental_dedup(corpus, batch, "id", "text", n=3, threshold=0.8)
     assert {r.id for r in out.collect()} == {10, 11}
+
+
+def test_segment_dedup_drops_boilerplate_preserves_order(spark):
+    """Segments shared by > max_df docs vanish corpus-wide; surviving
+    segments reassemble in original order; a doc that is ALL boilerplate
+    drops out entirely."""
+    boiler = "all rights reserved by the site"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+            (2, f"one two three {boiler} four five six"),
+            (3, f"seven eight nine {boiler} ten eleven twelve"),
+            (4, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.segment_dedup(
+            docs, "doc_id", "text", seg_tokens=3, max_df=2
+        ).collect()
+    }
+    # the 3-token boilerplate segments appear in 4 > 2 docs → dropped;
+    # doc 4 (pure boilerplate) disappears
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text.startswith("alpha beta gamma")
+    assert boiler.split()[0] not in out[1].clean_text.split()
+    # order: head segment precedes tail segment after reassembly
+    assert out[2].clean_text == "one two three four five six"
+    assert all(out[i].n_kept < out[i].n_segs for i in (1, 2, 3))
