@@ -122,13 +122,16 @@ _CHECK_ORDER: tuple[str, ...] = (
     "string_agg",
     # -- next-stalest (last green r2/r3)
     "multimodal_meta",
+    # ---- the 50-query window boundary falls here; every entry from
+    # ---- here down was green in a prior driver window (r2–r5)
+    # ---- and is byte-stable since; star_fact_complaints/funnel/
+    # ---- token_topk/tf_idf slipped just below when the four r6
+    # ---- queries took head slots — they are first in line for the
+    # ---- r7 rotation along with the r4-green block
     "star_fact_complaints",
     "funnel",
     "token_topk",
     "tf_idf",
-    # ---- the 50-query window boundary falls here; every entry from
-    # ---- here down was green in a prior driver window (r4 or r5)
-    # ---- and is byte-stable since
     "string_funcs_extended",
     "approx_count_distinct",
     "approx_quantiles",
