@@ -115,12 +115,35 @@ def main() -> None:
         _ = bigram_surprisal  # parity anchor: same plan as the query
         return run
 
+    def cms(d: DataFrame):
+        from core_telecoms_etl_spark.operators import sketches as sk
+
+        def run():
+            toks = d.select(F.explode(tx.tokens("text")).alias("token"))
+            counters = sk.cms_build(toks, "token", depth=4, width=8192)
+            top = (
+                toks.groupBy("token")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), "token")
+                .limit(20)
+            )
+            return sk.cms_estimate(counters, top, "token", width=8192)
+
+        return run
+
+    def segdedup(d: DataFrame):
+        return lambda: dd.segment_dedup(
+            d, "doc_id", "text", seg_tokens=10, max_df=2
+        )
+
     for name, mk in [
         ("contamination", contamination),
         ("quality_filter", quality),
         ("deterministic_shuffle", shuffle),
         ("sequence_pack", pack),
         ("bigram_surprisal", surprisal),
+        ("cms_heavy_hitters", cms),
+        ("segment_dedup", segdedup),
     ]:
         # untimed warmup strips one-time codegen/compile cost so the
         # printed ratio isolates the data-size scaling
