@@ -1601,23 +1601,39 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "key_skew_profile",
-    oracle="""WITH profile AS (
+    oracle="""WITH counts AS (
                 SELECT 'user_id' AS dim, CAST(user_id AS VARCHAR) AS key,
                        count(*) AS cnt
                 FROM events GROUP BY user_id
                 UNION ALL
                 SELECT 'event_type' AS dim, event_type AS key, count(*) AS cnt
-                FROM events GROUP BY event_type)
-              SELECT dim,
-                     count(*) AS n_keys,
-                     sum(cnt) AS n_rows,
-                     CAST(max(cnt) AS BIGINT) AS max_cnt,
-                     CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_cnt,
-                     CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt,
-                     CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_cnt,
-                     CAST(max(cnt) AS DOUBLE)
-                       / (CAST(sum(cnt) AS DOUBLE) / count(*)) AS skew_ratio
-              FROM profile GROUP BY dim""",
+                FROM events GROUP BY event_type),
+              hist AS (
+                SELECT dim, cnt, count(*) AS n_at
+                FROM counts GROUP BY dim, cnt),
+              cum AS (
+                SELECT dim, cnt, n_at,
+                       sum(n_at) OVER (PARTITION BY dim ORDER BY cnt)
+                         AS cum_keys
+                FROM hist),
+              tot AS (
+                SELECT dim, sum(n_at) AS n_keys,
+                       sum(cnt * n_at) AS n_rows,
+                       CAST(max(cnt) AS BIGINT) AS max_cnt
+                FROM hist GROUP BY dim)
+              SELECT t.dim, t.n_keys, t.n_rows, t.max_cnt,
+                     CAST(min(CASE WHEN c.cum_keys >=
+                              ceil(0.5 * t.n_keys) THEN c.cnt END)
+                          AS BIGINT) AS p50_cnt,
+                     CAST(min(CASE WHEN c.cum_keys >=
+                              ceil(0.99 * t.n_keys) THEN c.cnt END)
+                          AS BIGINT) AS p99_cnt,
+                     CAST(t.n_rows AS DOUBLE) / t.n_keys AS avg_cnt,
+                     CAST(t.max_cnt AS DOUBLE)
+                       / (CAST(t.n_rows AS DOUBLE) / t.n_keys)
+                       AS skew_ratio
+              FROM tot t JOIN cum c USING (dim)
+              GROUP BY t.dim, t.n_keys, t.n_rows, t.max_cnt""",
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics — the measurement that DECIDES the shuffle
@@ -1626,9 +1642,16 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row counts, and the max/avg skew ratio. At 100 TB this one cheap
     pass (groupBy per key column — counts only, never payloads) is what
     tells you whether a join key needs salting (skew_ratio ≫ 1, e.g.
-    event_type here) or hashes fine (user_id). percentile_disc picks an
-    actual data value, so the cross-engine comparison is exact integer
-    equality, no interpolation arithmetic."""
+    event_type here) or hashes fine (user_id).
+
+    Percentiles come from the COUNT HISTOGRAM (count-of-counts), not
+    from sorting per-key counts: the only single-partition work is the
+    cumulative window over distinct count VALUES (bounded by max
+    per-key count — thousands, not the billions of keys), so the
+    diagnostic itself never becomes the skew problem it measures.
+    Rank selection (smallest count whose cumulative key coverage
+    reaches ceil(p·n_keys)) is spelled out identically in both engines
+    — exact integer equality, no engine percentile semantics."""
     e = load_table(spark, sf_dir, "events")
 
     def profile(dim: str) -> DataFrame:
@@ -1636,22 +1659,53 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.groupBy(F.col(dim).cast("string").alias("key"))
             .agg(F.count("*").alias("cnt"))
         )
-        return counts.agg(
-            F.lit(dim).alias("dim"),
-            F.count("*").alias("n_keys"),
-            F.sum("cnt").alias("n_rows"),
+        hist = counts.groupBy("cnt").agg(F.count("*").alias("n_at"))
+        cum = hist.select(
+            "cnt",
+            "n_at",
+            F.sum("n_at")
+            .over(Window.orderBy("cnt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            ))
+            .alias("cum_keys"),
+        )
+        tot = hist.agg(
+            F.sum("n_at").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("n_at")).alias("n_rows"),
             F.max("cnt").cast("long").alias("max_cnt"),
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
-            .cast("long")
-            .alias("p50_cnt"),
-            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
-            .cast("long")
-            .alias("p99_cnt"),
-            (F.sum("cnt").cast("double") / F.count("*")).alias("avg_cnt"),
-            (
-                F.max("cnt").cast("double")
-                / (F.sum("cnt").cast("double") / F.count("*"))
-            ).alias("skew_ratio"),
+        )
+
+        def disc(p: float) -> F.Column:
+            return F.min(
+                F.when(
+                    F.col("cum_keys")
+                    >= F.ceil(F.lit(p) * F.col("n_keys")),
+                    F.col("cnt"),
+                )
+            ).cast("long")
+
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .groupBy("n_keys", "n_rows", "max_cnt")
+            .agg(
+                disc(0.5).alias("p50_cnt"),
+                disc(0.99).alias("p99_cnt"),
+            )
+            .select(
+                F.lit(dim).alias("dim"),
+                "n_keys",
+                "n_rows",
+                "max_cnt",
+                "p50_cnt",
+                "p99_cnt",
+                (F.col("n_rows").cast("double") / F.col("n_keys")).alias(
+                    "avg_cnt"
+                ),
+                (
+                    F.col("max_cnt").cast("double")
+                    / (F.col("n_rows").cast("double") / F.col("n_keys"))
+                ).alias("skew_ratio"),
+            )
         )
 
     return profile("user_id").unionByName(profile("event_type"))

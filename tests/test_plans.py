@@ -374,3 +374,55 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_point_in_time_join_single_shuffle_no_join(spark, sf_dir):
+    """SCD-2 point-in-time lookup must plan as the as-of shape: NO join
+    operator at all (union-tag + ordered partition scan), one window,
+    and no interval residual — the fact and version sides co-shuffle
+    once on the entity key."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["point_in_time_join"](spark, sf_dir))
+    for op in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert _n_ops(plan, op) == 0, (op, plan)
+    assert _n_ops(plan, "Window") >= 1, plan
+
+
+def test_key_skew_profile_single_partition_only_on_histogram(
+    spark, sf_dir
+):
+    """The diagnostic must not itself be a skew problem: the only
+    SinglePartition exchanges sit ABOVE the count-histogram aggregation
+    (distinct count values), never carrying per-key rows."""
+    from core_telecoms_etl_spark.queries import queries
+
+    df = queries()["key_skew_profile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    lines = plan.splitlines()
+    sp = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert sp, plan
+    # beneath every SinglePartition exchange there must be a partial
+    # aggregate on cnt (the histogram), i.e. the exchanged rows are
+    # count-of-count partials, not raw keys/events
+    for i in sp:
+        below = "\n".join(lines[i : i + 6])
+        assert "HashAggregate" in below, below
+
+
+def test_segment_dedup_no_windows_no_single_partition(spark, sf_dir):
+    """Boilerplate segment dedup reassembles order with
+    sort_array(collect_list(struct)) inside a hash aggregate — no
+    Window operator and no SinglePartition exchange anywhere."""
+    from core_telecoms_etl_spark.queries import queries
+
+    df = queries()["segment_boilerplate_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
