@@ -97,3 +97,74 @@ def test_cms_estimate_plan_broadcasts_counters(spark):
     )
     plan = est._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_streaming_incremental_merge(spark, tmp_path):
+    """The mergeable-state property in its streaming shape: per-micro-
+    batch counter tables accumulated with cms_merge equal the CMS built
+    over the whole stream in one batch pass — fixed-size heavy-hitter
+    state over an unbounded stream (the pattern `foreachBatch` +
+    persisted counter table runs on a cluster)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows1 = [("a",)] * 30 + [("b",)] * 5 + [("x",)]
+    rows2 = [("a",)] * 20 + [("c",)] * 7 + [("y",)]
+
+    def write_flat(rows, name):
+        pq.write_table(
+            pa.table({"token": [r[0] for r in rows]}), f"{src}/{name}"
+        )
+
+    write_flat(rows1, "f1.parquet")
+
+    merged = {"df": None}
+
+    def on_batch(batch, batch_id):
+        c = sk.cms_build(batch, "token", depth=3, width=128)
+        merged["df"] = (
+            c if merged["df"] is None else sk.cms_merge(merged["df"], c)
+        )
+        # materialize so later merges don't replan over dropped batches
+        merged["df"] = batch.sparkSession.createDataFrame(
+            merged["df"].collect(), merged["df"].schema
+        )
+
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    write_flat(rows2, "f2.parquet")
+    q2 = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    whole = sk.cms_build(
+        spark.createDataFrame(rows1 + rows2, "token string"),
+        "token",
+        depth=3,
+        width=128,
+    )
+    key = lambda r: (r.seed, r.bucket)  # noqa: E731
+    assert {key(r): r["count"] for r in merged["df"].collect()} == {
+        key(r): r["count"] for r in whole.collect()
+    }
