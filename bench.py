@@ -42,6 +42,11 @@ HEADLINE = [
     "training_pipeline",
     "bigram_surprisal",
     "revenue_topk_shipping",
+    # r6 additions — measured rows recorded in BASELINE.md "Round-6"
+    "cms_heavy_hitters",
+    "key_skew_profile",
+    "point_in_time_join",
+    "segment_boilerplate_dedup",
 ]
 
 

@@ -110,6 +110,35 @@ def main() -> None:
     line("A∖B", r["ed"], r["nd"], r["na"])
     line("HLL |A|", r["hll_a"], r["na"], r["na"])
 
+    # KLL deep-mode RANK error: estimate quantiles of a 10×-replicated
+    # value column at the default k, then measure each estimate's true
+    # rank displacement — the bound KLL states (±~1.7% rank at k=200)
+    o2 = load_table(spark, sf_dir, "orders")
+    vals = o2.select("o_totalprice")
+    for i in range(1, REPLICAS):
+        vals = vals.unionByName(
+            o2.select((F.col("o_totalprice") + i * 0.01).alias("o_totalprice"))
+        )
+    vals = vals.cache()
+    n = vals.count()
+    qs = (0.5, 0.99)
+    est = vals.agg(
+        *[
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double(o_totalprice), {q})"
+            ).alias(f"q{int(q * 100)}")
+            for q in qs
+        ]
+    ).collect()[0]
+    for q in qs:
+        v = est[f"q{int(q * 100)}"]
+        true_rank = vals.filter(F.col("o_totalprice") <= v).count() / n
+        print(
+            f"KLL q{q:4}: est={v:12.2f} true_rank={true_rank:.4f} "
+            f"rank_err={abs(true_rank - q):.4%} (n={n})"
+        )
+
 
 if __name__ == "__main__":
     main()
