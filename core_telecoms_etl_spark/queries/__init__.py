@@ -75,6 +75,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "key_skew_profile",
     "point_in_time_join",
     "segment_boilerplate_dedup",
+    "stream_cms_heavy_hitters",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",

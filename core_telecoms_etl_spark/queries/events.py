@@ -299,3 +299,64 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from core_telecoms_etl_spark.streaming.events import run_stream_dedup
 
     return run_stream_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "stream_cms_heavy_hitters",
+    oracle="""WITH counts AS (
+                SELECT user_id, count(*) AS n_exact
+                FROM events GROUP BY user_id
+                ORDER BY n_exact DESC, user_id LIMIT 10)
+              SELECT user_id, n_exact,
+                     CAST(1 AS BIGINT) AS never_undercounts,
+                     CAST(1 AS BIGINT) AS within_error_bound
+              FROM counts""",
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a STREAM with fixed-size state: the events
+    table streams in 3 micro-batches (staged disjoint files,
+    maxFilesPerTrigger=1), each batch's count-min counter table merges
+    into the accumulated 4×1024-row state (`streaming/events.py
+    run_stream_cms`) — no per-key state store, so the key space can be
+    unbounded, which `dropDuplicates`-style streaming state cannot
+    offer. Driver-checked projection: exact top-10 user counts (batch
+    baseline) + the CMS structural flag (never undercounts) and the
+    Cormode–Muthukrishnan e·N/width bound flag, both computed from the
+    STREAM-accumulated counters."""
+    import tempfile
+    from math import e as _e
+
+    from core_telecoms_etl_spark.operators import sketches as sk
+    from core_telecoms_etl_spark.streaming.events import run_stream_cms
+
+    width = 1024
+    stage = tempfile.mkdtemp(prefix="cms_stream_")
+    counters = run_stream_cms(
+        spark, f"{sf_dir}/events.parquet", stage, width=width
+    )
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(10)
+    )
+    est = sk.cms_estimate(counters, top, "user_id", width=width)
+    total = ev.agg(F.count("*").alias("__N"))
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_exact",
+            (F.col("cms_est") >= F.col("n_exact"))
+            .cast("long")
+            .alias("never_undercounts"),
+            (
+                (F.col("cms_est") - F.col("n_exact")).cast("double")
+                <= F.lit(_e) * F.col("__N") / F.lit(width)
+            )
+            .cast("long")
+            .alias("within_error_bound"),
+        )
+    )

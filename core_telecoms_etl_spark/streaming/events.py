@@ -445,3 +445,76 @@ def run_stream_dedup(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_cms(
+    spark: SparkSession,
+    events_path: str,
+    stage_dir: str,
+    *,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Heavy-hitter counting over a stream with FIXED-SIZE state: each
+    micro-batch builds a count-min counter table
+    (`operators/sketches.cms_build`) and `cms_merge` folds it into the
+    accumulated state — the counter matrix (depth×width rows) is the
+    ONLY thing that persists between batches, no per-key state store,
+    so the key space can be unbounded (the property
+    `dropDuplicates`-style state cannot offer).
+
+    The events table is staged into `n_slices` disjoint files (pure
+    file moves of Spark-written parts — no driver data path) so
+    maxFilesPerTrigger=1 genuinely exercises the multi-batch merge.
+    The accumulated counter table is localized per batch via collect —
+    small-by-construction (≤ depth·width rows), the same class as the
+    DQ summaries; on a cluster the same loop writes it to a parquet
+    target instead. Returns the final counter table."""
+    import glob
+    import os
+    import shutil
+
+    from core_telecoms_etl_spark.operators import sketches as sk
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark, nanos_as_long=True)
+    keys = spark.read.parquet(events_path).select(key_col, "event_id")
+    os.makedirs(stage_dir, exist_ok=True)
+    for i in range(n_slices):
+        part_dir = f"{stage_dir}__part{i}"
+        keys.filter(F.pmod("event_id", F.lit(n_slices)) == i).select(
+            key_col
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        for j, f in enumerate(
+            sorted(glob.glob(f"{part_dir}/part-*.parquet"))
+        ):
+            shutil.move(f, f"{stage_dir}/slice{i}_{j}.parquet")
+        shutil.rmtree(part_dir)
+
+    state: dict[str, DataFrame | None] = {"counters": None}
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        c = sk.cms_build(batch, key_col, depth=depth, width=width)
+        if state["counters"] is not None:
+            c = sk.cms_merge(state["counters"], c)
+        s = batch.sparkSession
+        state["counters"] = s.createDataFrame(c.collect(), c.schema)
+
+    stream = (
+        spark.readStream.schema(f"{key_col} long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    assert state["counters"] is not None
+    return state["counters"]
