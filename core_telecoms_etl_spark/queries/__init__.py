@@ -121,14 +121,13 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stats_agg",
     "histogram_agg",
     "string_agg",
-    # -- next-stalest (last green r2/r3)
-    "multimodal_meta",
     # ---- the 50-query window boundary falls here; every entry from
     # ---- here down was green in a prior driver window (r2–r5)
-    # ---- and is byte-stable since; star_fact_complaints/funnel/
-    # ---- token_topk/tf_idf slipped just below when the four r6
-    # ---- queries took head slots — they are first in line for the
-    # ---- r7 rotation along with the r4-green block
+    # ---- and is byte-stable since; multimodal_meta/
+    # ---- star_fact_complaints/funnel/token_topk/tf_idf slipped just
+    # ---- below when the five r6 queries took head slots — they are
+    # ---- first in line for the r7 rotation along with the r4 block
+    "multimodal_meta",
     "star_fact_complaints",
     "funnel",
     "token_topk",
