@@ -197,3 +197,99 @@ def range_join_binned(
     for c, t in r_null_types.items():
         unmatched = unmatched.withColumn(c, F.lit(None).cast(t))
     return inner.unionByName(unmatched)
+
+
+def time_grid_ffill(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Resample an irregular event series onto a fixed epoch-aligned
+    time grid with forward fill — the gap-fill shape every metrics /
+    sensor pipeline needs (irregular events → regular buckets a
+    dashboard or model can consume).
+
+    Per key: a `bucket_seconds` grid spans the key's [first, last]
+    bucket; each grid point carries the LAST observed value at or
+    before it (deterministic in-bucket tiebreak on (ts, *order_cols)
+    descending) and the event count of its own bucket (0 for gaps).
+
+    Scale shape: the grid materializes per key via sequence+explode
+    (bounded by span/bucket, never a global calendar join); one shuffle
+    on the key serves both the per-bucket aggregation and the
+    forward-fill window (`last(..., ignorenulls)` over an ordered
+    per-key partition scan). No global windows, no driver loops."""
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_seconds(F.col(ts_col)) / bucket_seconds)
+        * bucket_seconds
+    )
+    ev = df.select(
+        F.col(key_col).alias("__k"),
+        bucket.alias("__bucket"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+        *[F.col(c) for c in order_cols],
+    )
+    span = ev.groupBy("__k").agg(
+        F.min("__bucket").alias("__t0"), F.max("__bucket").alias("__t1")
+    )
+    grid = span.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                "__t0",
+                "__t1",
+                F.expr(f"INTERVAL {bucket_seconds} SECONDS"),
+            )
+        ).alias("grid_ts"),
+    )
+    w_last = Window.partitionBy("__k", "__bucket").orderBy(
+        F.desc("__ts"), *[F.desc(c) for c in order_cols]
+    )
+    last_obs = (
+        ev.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__k").alias("__lk"),
+            F.col("__bucket").alias("__lb"),
+            "__v",
+        )
+    )
+    cnts = ev.groupBy("__k", "__bucket").agg(
+        F.count("*").alias("__n")
+    ).select(
+        F.col("__k").alias("__ck"),
+        F.col("__bucket").alias("__cb"),
+        "__n",
+    )
+    w_fill = (
+        Window.partitionBy("__k")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            last_obs,
+            (F.col("__k") == F.col("__lk"))
+            & (F.col("grid_ts") == F.col("__lb")),
+            "left",
+        )
+        .join(
+            cnts,
+            (F.col("__k") == F.col("__ck"))
+            & (F.col("grid_ts") == F.col("__cb")),
+            "left",
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "grid_ts",
+            F.last("__v", ignorenulls=True)
+            .over(w_fill)
+            .alias("value_ffill"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

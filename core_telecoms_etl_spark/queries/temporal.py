@@ -240,3 +240,65 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "next_click_id", "next_click_ts"
     )
+
+
+@query(
+    "time_grid_fill",
+    oracle="""WITH b AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '15 minutes', min(ts)) AS t0,
+                       time_bucket(INTERVAL '15 minutes', max(ts)) AS t1
+                FROM events GROUP BY user_id),
+              grid AS (
+                SELECT user_id,
+                       unnest(generate_series(t0, t1,
+                              INTERVAL '15 minutes')) AS grid_ts
+                FROM b),
+              obs AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+                       value,
+                       row_number() OVER (
+                         PARTITION BY user_id,
+                           time_bucket(INTERVAL '15 minutes', ts)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events),
+              lastv AS (
+                SELECT user_id, bucket, value FROM obs WHERE rn = 1),
+              cnts AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2)
+              SELECT g.user_id, g.grid_ts,
+                     last_value(l.value IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.grid_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_ffill,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+              FROM grid g
+              LEFT JOIN lastv l
+                ON g.user_id = l.user_id AND g.grid_ts = l.bucket
+              LEFT JOIN cnts c
+                ON g.user_id = c.user_id AND g.grid_ts = c.bucket""",
+)
+def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular events resampled onto a 15-minute epoch-aligned grid
+    with forward fill (`operators/temporal.time_grid_ffill`) — the
+    gap-fill/resample shape for metrics and sensor feeds. Each user's
+    grid spans their [first, last] bucket; gaps carry the last observed
+    value forward and an event count of 0. Values copy through with no
+    arithmetic, so cross-engine equality is exact. Spark's 15-minute
+    epoch-floor buckets equal DuckDB's time_bucket (whose sub-month
+    origin 2000-01-03 is a multiple of 900s from the epoch — the same
+    alignment fact the tumbling-window oracles rely on)."""
+    from core_telecoms_etl_spark.operators.temporal import time_grid_ffill
+
+    return time_grid_ffill(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_cols=("event_id",),
+        bucket_seconds=900,
+    )

@@ -150,3 +150,32 @@ def test_asof_join_directions_match_pandas_merge_asof(spark):
                     assert g is None, (direction, tol, r)
                 else:
                     assert g == e, (direction, tol, r, e)
+
+
+def test_time_grid_ffill_fills_gaps_in_order(spark):
+    """Grid spans [first, last] bucket per key; gap buckets carry the
+    last observed value forward with n_events=0; in-bucket ties resolve
+    to the latest (ts, order) observation."""
+    import datetime as dt
+
+    from core_telecoms_etl_spark.operators.temporal import time_grid_ffill
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(0), 10.0),
+            (2, 1, t(1), 11.0),   # same bucket, later → wins
+            (3, 1, t(31), 30.0),  # bucket 2 (15-min grid): gap at bucket 1
+            (4, 2, t(5), 99.0),   # single-bucket key
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        (r.user_id, r.grid_ts.minute): (r.value_ffill, r.n_events)
+        for r in time_grid_ffill(df).collect()
+    }
+    assert out[(1, 0)] == (11.0, 2)   # tie → later event
+    assert out[(1, 15)] == (11.0, 0)  # gap: carried forward, zero events
+    assert out[(1, 30)] == (30.0, 1)
+    assert out[(2, 0)] == (99.0, 1)
+    assert len(out) == 4
