@@ -191,3 +191,51 @@ def cap_per_group(
     return df.withColumn(rank_col, rk.cast("long")).filter(
         F.col(rank_col) <= n
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws key = u^(1/w) with u ∈ (0,1]; the k largest
+    keys are an exact weight-proportional sample without replacement —
+    the data-mixing primitive (sample documents ∝ quality/importance)
+    that uniform `deterministic_sample` cannot express.
+
+    Deterministic and retry-stable: u derives from md5(salt:id) (never
+    `rand()`), so the same corpus + salt always draws the same sample,
+    and a different `salt` is an independent redraw. Weights must be
+    > 0; w is used as-is (no normalization needed — A-ES is invariant
+    to weight scaling).
+
+    Scale shape: one projection computes keys row-wise (all codegen;
+    md5+pow), and the top-k plans as TakeOrderedAndProject — per-
+    partition heaps, no global sort, no shuffle of non-winners."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.col(id_col))
+        .limit(k)
+        .drop("__es_key")
+    )

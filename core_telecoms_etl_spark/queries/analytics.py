@@ -396,3 +396,33 @@ def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["version_event"],
         direction="backward",
     ).select("user_id", "event_id", "ts", "value", "version_event")
+
+
+@query(
+    "weighted_sample",
+    oracle="""WITH keyed AS (
+                SELECT doc_id, lang, n_chars,
+                       pow((CAST(('0x' || substr(md5('ws:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                            + 1.0) / 4294967296.0,
+                           1.0 / (CAST(n_chars AS DOUBLE) + 1.0)) AS k
+                FROM documents)
+              SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+              FROM keyed ORDER BY k DESC, doc_id LIMIT 50""",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis–
+    Spirakis keys, `operators/sampling.weighted_sample_k`): 50 documents
+    drawn ∝ (n_chars + 1) — the importance/quality-weighted data-mixing
+    draw uniform sampling can't express. Deterministic md5-derived
+    uniforms, so the draw is retry-stable and the oracle replays the
+    identical arithmetic (u and pow verified bit-identical across
+    engines); top-k plans as TakeOrderedAndProject, no global sort."""
+    from core_telecoms_etl_spark.operators.sampling import weighted_sample_k
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__w", F.col("n_chars").cast("double") + F.lit(1.0)
+    )
+    return weighted_sample_k(d, "doc_id", "__w", 50).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
