@@ -293,3 +293,71 @@ def time_grid_ffill(
             F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def time_grid_lerp(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Grid resample with LINEAR interpolation between observations —
+    the companion to `time_grid_ffill` for continuous signals (sensor
+    values, prices) where a step function misrepresents the gap:
+    v(t) = v0 + (v1 − v0)·(t − t0)/(t1 − t0) between the bracketing
+    observed buckets; grid points at an observed bucket take its value
+    exactly, and the last observed value extends to the grid end
+    (nothing to interpolate toward).
+
+    Same scale shape as ffill: per-key sequence+explode grid, ONE
+    shuffle on the key, two ordered window passes over the same
+    partitioning (carry-forward for the left bracket, carry-backward
+    for the right) — Catalyst plans both windows over one Exchange.
+    The interpolation arithmetic is plain IEEE on values both engines
+    hold bit-identically, so the oracle can replay it exactly."""
+    filled = time_grid_ffill(
+        df,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        order_cols=order_cols,
+        bucket_seconds=bucket_seconds,
+    )
+    # value_ffill carries v0; recover t0/t1/v1 with two more windows
+    # over the SAME per-key ordering (no extra shuffle)
+    obs_ts = F.when(F.col("n_events") > 0, F.col("grid_ts"))
+    obs_v = F.when(F.col("n_events") > 0, F.col("value_ffill"))
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t0 = F.last(obs_ts, ignorenulls=True).over(w_fwd)
+    t1 = F.first(obs_ts, ignorenulls=True).over(w_bwd)
+    v1 = F.first(obs_v, ignorenulls=True).over(w_bwd)
+    v0 = F.col("value_ffill")
+    frac = (
+        (F.unix_micros(F.col("grid_ts")) - F.unix_micros(t0)).cast(
+            "double"
+        )
+        / (F.unix_micros(t1) - F.unix_micros(t0)).cast("double")
+    )
+    lerp = F.when(t1 == t0, v0).otherwise(
+        F.when(
+            v1.isNull(), v0
+        ).otherwise(v0 + (v1 - v0) * frac)
+    )
+    return filled.select(
+        key_col,
+        "grid_ts",
+        lerp.alias("value_lerp"),
+        "n_events",
+    )

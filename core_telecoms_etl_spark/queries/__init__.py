@@ -80,6 +80,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "segment_boilerplate_dedup",
     "stream_cms_heavy_hitters",
     "time_grid_fill",
+    "time_grid_interpolate",
     "weighted_sample",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
@@ -90,7 +91,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_stream_join",
     "events_tumbling",
-    "sessionize",
     # -- missed the r5 window by one slot (last green r4)
     "quality_filter",
     # -- staleness rotation (VERDICT r5 #2): the block whose only green
@@ -130,6 +130,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- star_fact_complaints/funnel/token_topk/tf_idf slipped just
     # ---- below when the five r6 queries took head slots — they are
     # ---- first in line for the r7 rotation along with the r4 block
+    "sessionize",
     "events_sliding",
     "session_window",
     "multimodal_meta",

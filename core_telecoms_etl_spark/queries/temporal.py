@@ -302,3 +302,87 @@ def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("event_id",),
         bucket_seconds=900,
     )
+
+
+@query(
+    "time_grid_interpolate",
+    oracle="""WITH b AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '15 minutes', min(ts)) AS t0,
+                       time_bucket(INTERVAL '15 minutes', max(ts)) AS t1
+                FROM events GROUP BY user_id),
+              grid AS (
+                SELECT user_id,
+                       unnest(generate_series(t0, t1,
+                              INTERVAL '15 minutes')) AS grid_ts
+                FROM b),
+              obs AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+                       value,
+                       row_number() OVER (
+                         PARTITION BY user_id,
+                           time_bucket(INTERVAL '15 minutes', ts)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events),
+              lastv AS (
+                SELECT user_id, bucket, value FROM obs WHERE rn = 1),
+              cnts AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+              br AS (
+                SELECT g.user_id, g.grid_ts,
+                       coalesce(c.n, 0) AS n,
+                       last_value(l.value IGNORE NULLS) OVER w_fwd AS v0,
+                       last_value(CASE WHEN l.value IS NOT NULL
+                                  THEN g.grid_ts END IGNORE NULLS)
+                         OVER w_fwd AS tt0,
+                       first_value(CASE WHEN l.value IS NOT NULL
+                                   THEN g.grid_ts END IGNORE NULLS)
+                         OVER w_bwd AS tt1,
+                       first_value(l.value IGNORE NULLS) OVER w_bwd AS v1
+                FROM grid g
+                LEFT JOIN lastv l
+                  ON g.user_id = l.user_id AND g.grid_ts = l.bucket
+                LEFT JOIN cnts c
+                  ON g.user_id = c.user_id AND g.grid_ts = c.bucket
+                WINDOW
+                  w_fwd AS (PARTITION BY g.user_id ORDER BY g.grid_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                  w_bwd AS (PARTITION BY g.user_id ORDER BY g.grid_ts
+                            ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING))
+              SELECT user_id, grid_ts,
+                     CASE WHEN tt1 = tt0 THEN v0
+                          WHEN v1 IS NULL THEN v0
+                          ELSE v0 + (v1 - v0) *
+                            (CAST(epoch_us(grid_ts) - epoch_us(tt0)
+                                  AS DOUBLE)
+                             / CAST(epoch_us(tt1) - epoch_us(tt0)
+                                    AS DOUBLE))
+                     END AS value_lerp,
+                     CAST(n AS BIGINT) AS n_events
+              FROM br""",
+)
+def time_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid resample with LINEAR interpolation
+    (`operators/temporal.time_grid_lerp`): gap buckets take the
+    straight line between their bracketing observations; observed
+    buckets keep their exact value; the tail extends the last value.
+    Same one-shuffle-per-key plan as the forward-fill variant, two
+    window passes over the same partitioning. Interpolation arithmetic
+    mirrors token-for-token (µs integer deltas → one double divide →
+    one fused multiply-add shape), so equality is exact."""
+    from core_telecoms_etl_spark.operators.temporal import time_grid_lerp
+
+    return time_grid_lerp(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_cols=("event_id",),
+        bucket_seconds=900,
+    )

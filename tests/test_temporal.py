@@ -179,3 +179,32 @@ def test_time_grid_ffill_fills_gaps_in_order(spark):
     assert out[(1, 30)] == (30.0, 1)
     assert out[(2, 0)] == (99.0, 1)
     assert len(out) == 4
+
+
+def test_time_grid_lerp_interpolates_between_observations(spark):
+    """Gap buckets take the straight line between bracketing
+    observations; observed buckets keep their exact value; the tail
+    carries the last value forward."""
+    import datetime as dt
+
+    from core_telecoms_etl_spark.operators.temporal import time_grid_lerp
+
+    t = lambda m: dt.datetime(2024, 1, 1, m // 60, m % 60)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, 1, t(0), 10.0),
+            (2, 1, t(45), 40.0),   # 3 buckets later: two gap points
+            (3, 1, t(61), 99.0),   # one more observed bucket, then end
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.grid_ts.hour * 60 + r.grid_ts.minute: r.value_lerp
+        for r in time_grid_lerp(df).collect()
+    }
+    assert out[0] == 10.0
+    assert out[15] == 20.0   # 1/3 of the way 10→40
+    assert out[30] == 30.0   # 2/3
+    assert out[45] == 40.0
+    assert out[60] == 99.0
+    assert len(out) == 5
