@@ -313,9 +313,17 @@ def time_grid_lerp(
     (nothing to interpolate toward).
 
     Same scale shape as ffill: per-key sequence+explode grid, ONE
-    shuffle on the key, two ordered window passes over the same
+    shuffle on the key, then ordered window passes over the same
     partitioning (carry-forward for the left bracket, carry-backward
-    for the right) — Catalyst plans both windows over one Exchange.
+    for the right) — Catalyst plans all windows over one Exchange.
+    The carry-backward pass is expressed as a RUNNING frame over the
+    key's DESCENDING grid order (`last ignorenulls` over
+    unboundedPreceding..currentRow), never as a
+    currentRow..unboundedFollowing frame: Spark's
+    UnboundedFollowingWindowFunctionFrame re-scans from each row to
+    the partition end — O(rows²) per key, measured 51s vs 1.5s at
+    sf0.01 on ~4k-row per-key grids — while the reversed running
+    frame is O(rows) with only an extra in-partition sort.
     The interpolation arithmetic is plain IEEE on values both engines
     hold bit-identically, so the oracle can replay it exactly."""
     filled = time_grid_ffill(
@@ -337,12 +345,12 @@ def time_grid_lerp(
     )
     w_bwd = (
         Window.partitionBy(key_col)
-        .orderBy("grid_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("grid_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t0 = F.last(obs_ts, ignorenulls=True).over(w_fwd)
-    t1 = F.first(obs_ts, ignorenulls=True).over(w_bwd)
-    v1 = F.first(obs_v, ignorenulls=True).over(w_bwd)
+    t1 = F.last(obs_ts, ignorenulls=True).over(w_bwd)
+    v1 = F.last(obs_v, ignorenulls=True).over(w_bwd)
     v0 = F.col("value_ffill")
     frac = (
         (F.unix_micros(F.col("grid_ts")) - F.unix_micros(t0)).cast(
