@@ -62,3 +62,65 @@ def upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """CDC-style diff of two snapshots of the same table: classify each
+    business key as ``insert`` (only in new), ``delete`` (only in old)
+    or ``update`` (in both with any compared column differing under
+    null-safe equality). The reference rebuilds its warehouse tables
+    from scratch each run (dbt full refresh); a 100 TB lake needs the
+    delta between runs, not a rewrite — this produces exactly that
+    change feed.
+
+    Returns the key columns + ``change_type`` (+ unchanged rows when
+    ``include_unchanged``). Scale: ONE shuffle per side on the key for
+    the full outer join; only key + compared columns are carried
+    through the exchange (column pruning reaches the scans), and the
+    comparison is JVM-side null-safe equality — no hashing, so no
+    cross-engine hash mismatch and no false positives from collisions."""
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols
+    ]
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}") == F.col(f"__nk_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"__nk_{c}"), F.col(f"__ok_{c}")).alias(c)
+            for c in key_cols
+        ],
+        change_type.alias("change_type"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

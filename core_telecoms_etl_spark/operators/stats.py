@@ -1,0 +1,198 @@
+"""Experiment & customer-scoring statistics (capability extensions: the
+reference stops at descriptive star-schema aggregates — a telecom
+analytics stack also ships experiment readouts and customer-value
+segmentation on the same tables).
+
+Determinism design (the repo-wide rules, `queries/__init__.py`):
+- Accumulations run in BIGINT on integer-valued metrics (event counts,
+  decimal-grid money), never float sums — both engines produce the
+  exact same integers regardless of partitioning/summation order.
+- Derived doubles (means, variances, z-scores) are computed FROM those
+  exact integers with a token-for-token mirrored expression, so the
+  IEEE results are bit-identical across engines.
+
+Scale design: both operators are plain groupBy aggregations (one
+shuffle each); the A/B readout ends in a 2-row conditional-aggregate
+fold. RFM's quartile windows partition by market segment — at extreme
+cardinality swap the in-segment ntile for pre-computed (approx)
+boundary joins; the aggregation stages are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.sampling import hash_bucket
+
+__all__ = ["ab_test_zscore", "rfm_segments"]
+
+
+def ab_test_zscore(
+    events: DataFrame,
+    *,
+    unit_col: str = "user_id",
+    success_type: str = "purchase",
+    type_col: str = "event_type",
+    salt: str = "ab",
+    critical: float = 1.96,
+) -> DataFrame:
+    """Two-sample z-test readout for a hash-randomized experiment:
+    units are split 50/50 by stable md5 bucket (`sampling.hash_bucket`
+    — the same portable assignment the dataset splitter uses, so a
+    unit's arm never changes across runs or engines), the per-unit
+    metric is its `success_type` event count, and the readout is the
+    classic Welch z on the two arm means.
+
+    Returns ONE row: per-arm unit counts and means, the z statistic,
+    and a 0/1 `significant` flag at the given critical value.
+
+    Exactness: per-unit counts, arm sums Σx and Σx² are all BIGINT;
+    mean and sample variance are derived from those integers with the
+    mirrored expression  var = (n·Σx² − (Σx)²) / (n·(n−1))  so both
+    engines divide bit-identical doubles. Bounds: int64 holds n·Σx²
+    up to ~10⁸ units at ~10³ events each; beyond that cast the two
+    accumulators to DECIMAL(38,0) (DuckDB is already 128-bit).
+
+    Scale: two shuffles total — per-unit count (map-side combined),
+    then a 2-group aggregate folded to one row by conditional
+    aggregation. No window, no collect."""
+    per_unit = (
+        events.groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == success_type, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("__x")
+        )
+        .select(
+            hash_bucket(F.col("__u"), 2, salt).alias("__arm"), "__x"
+        )
+    )
+    arms = per_unit.groupBy("__arm").agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+    )
+
+    def pick(arm: int, col: str):
+        return F.max(F.when(F.col("__arm") == arm, F.col(col)))
+
+    one = arms.agg(
+        pick(0, "__n").alias("n_a"),
+        pick(0, "__s").alias("s_a"),
+        pick(0, "__ss").alias("ss_a"),
+        pick(1, "__n").alias("n_b"),
+        pick(1, "__s").alias("s_b"),
+        pick(1, "__ss").alias("ss_b"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var(n, s, ss):
+        num = F.col(n) * F.col(ss) - F.col(s) * F.col(s)
+        den = F.col(n).cast("double") * (F.col(n) - F.lit(1))
+        return num.cast("double") / den
+
+    mean_a, mean_b = mean("s_a", "n_a"), mean("s_b", "n_b")
+    se = F.sqrt(
+        var("n_a", "s_a", "ss_a") / F.col("n_a")
+        + var("n_b", "s_b", "ss_b") / F.col("n_b")
+    )
+
+    def vnum(n, s, ss):
+        return F.col(n) * F.col(ss) - F.col(s) * F.col(s)
+
+    # z is NULL (not an ANSI divide-by-zero, not an engine-specific
+    # inf/nan) when either arm is degenerate (n<=1) or both arms have
+    # zero variance — the guard is all-integer, so both engines take
+    # the same branch; CASE evaluates only the taken branch
+    guard = (
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & ((vnum("n_a", "s_a", "ss_a") + vnum("n_b", "s_b", "ss_b")) > 0)
+    )
+    z = F.when(guard, (mean_a - mean_b) / se)
+    return one.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(critical)).cast("long").alias("significant"),
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    *,
+    grid: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation, the
+    classic customer-value scoring: per customer, days since last
+    order (vs the corpus max order date — reproducible, not wall
+    clock), order count, and lifetime revenue on the cent grid; each
+    scored 1–4 by ntile quartile WITHIN the customer's market segment
+    (best quartile = 1), then segment×score cells are counted.
+
+    Exactness: recency/frequency are integers; monetary accumulates
+    round(l_extendedprice·grid) BIGINTs — no float sums anywhere, and
+    ntile over a fully tie-broken order (metric, custkey) is
+    SQL-standard-deterministic in both engines. Output is all
+    BIGINT/text.
+
+    Scale: revenue aggregates lineitem by orderkey-joined customer —
+    map-side combined, one shuffle per join/agg; the corpus max date
+    is a 1-row broadcast; the three ntile windows share ONE exchange
+    (same partition key, per-segment sort). In-segment quartiles keep
+    windows off the global-sort path; at extreme per-segment
+    cardinality replace ntile with broadcast boundary joins from
+    (approx) percentiles."""
+    ref = orders.agg(F.max("o_orderdate").alias("__ref"))
+    per_cust = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.countDistinct("o_orderkey").alias("frequency"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * grid).cast("long")
+            ).alias("__m_grid"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("__ref", "__last").cast("long").alias("recency"),
+            F.col("frequency").cast("long").alias("frequency"),
+            "__m_grid",
+        )
+    )
+    seg = per_cust.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        per_cust["o_custkey"] == customer["c_custkey"],
+    )
+
+    def quartile(metric, asc: bool):
+        order = [
+            F.col(metric).asc() if asc else F.col(metric).desc(),
+            F.col("c_custkey").asc(),
+        ]
+        w = Window.partitionBy("c_mktsegment").orderBy(*order)
+        return F.ntile(4).over(w)
+
+    scored = seg.select(
+        "c_mktsegment",
+        quartile("recency", asc=True).cast("long").alias("r_score"),
+        quartile("frequency", asc=False).cast("long").alias("f_score"),
+        quartile("__m_grid", asc=False).cast("long").alias("m_score"),
+    )
+    return scored.groupBy(
+        "c_mktsegment", "r_score", "f_score", "m_score"
+    ).agg(F.count("*").cast("long").alias("n_customers"))

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_binned"]
+__all__ = [
+    "asof_join",
+    "range_join_binned",
+    "time_grid_ffill",
+    "time_grid_lerp",
+    "rolling_zscore_anomaly",
+]
 
 
 def asof_join(
@@ -368,4 +374,65 @@ def time_grid_lerp(
         "grid_ts",
         lerp.alias("value_lerp"),
         "n_events",
+    )
+
+
+def rolling_zscore_anomaly(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    lookback: int = 20,
+    min_points: int = 10,
+    z_threshold: int = 3,
+    grid: int = 100,
+) -> DataFrame:
+    """Flag events whose value deviates more than `z_threshold` sigmas
+    from the trailing per-key baseline — the metrics/fraud anomaly
+    shape (a usage spike vs the subscriber's own recent history).
+
+    The trailing window is the `lookback` rows strictly BEFORE the
+    current event (ROWS lookback PRECEDING .. 1 PRECEDING, ordered by
+    (ts, *order_cols)), so an outlier never suppresses its own score;
+    keys with fewer than `min_points` prior observations are never
+    flagged (cold start).
+
+    Exactness: the z-test runs entirely in BIGINT on the value's
+    decimal grid (v*grid rounded to long). With n, S=Σv, SS=Σv² over
+    the frame, z² > t² rewrites as
+
+        (n·v − S)² > t²·(n·SS − S²)
+
+    — no division, no floats, no engine-specific summation error, so a
+    DuckDB oracle replays it bit-for-bit. Bounds: grid values ≤ ~5e4
+    and lookback ≤ ~100 keep every term far inside int64.
+
+    Scale: ONE shuffle on the key; the frame is a constant-size
+    sliding ROWS window (Spark's retractable-sum frame, O(rows) per
+    partition — integer adds are exactly invertible, so retraction is
+    safe where it would not be for doubles)."""
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.round(F.col(value_col) * grid).cast("long")
+    base = df.select(
+        "*",
+        v.alias("__v"),
+        F.count(v).over(w).alias("__n"),
+        F.sum(v).over(w).alias("__s"),
+        F.sum(v * v).over(w).alias("__ss"),
+    )
+    n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
+    dev = n * F.col("__v") - s
+    var_n2 = n * ss - s * s  # n² · variance (biased), all-integer
+    flagged = base.filter(
+        (n >= min_points) & (dev * dev > F.lit(z_threshold * z_threshold) * var_n2)
+    )
+    return flagged.select(
+        *df.columns, n.cast("long").alias("n_baseline")
     )

@@ -82,6 +82,13 @@ _CHECK_ORDER: tuple[str, ...] = (
     "time_grid_fill",
     "time_grid_interpolate",
     "weighted_sample",
+    # -- NEW this session: rolling z-score anomaly (divide-free BIGINT
+    # -- z² on the cent grid), CDC snapshot diff, A/B z-test readout,
+    # -- RFM quartile segmentation (never driver-sampled)
+    "rolling_anomaly",
+    "snapshot_diff",
+    "ab_test_stats",
+    "rfm_segments",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",
@@ -120,16 +127,18 @@ _CHECK_ORDER: tuple[str, ...] = (
     "exists_subquery",
     "scalar_subquery",
     "exists_group_agg",
+    # ---- the 50-query window boundary falls here; every entry from
+    # ---- here down was green in a prior driver window (r1–r5)
+    # ---- and is byte-stable since; window_value_funcs/stats_agg/
+    # ---- histogram_agg/string_agg (last green r1) slipped just below
+    # ---- when the four new queries took head slots — they are first
+    # ---- in line for the r7 rotation, followed by multimodal_meta/
+    # ---- star_fact_complaints/funnel/token_topk/tf_idf and the
+    # ---- r4 block
     "window_value_funcs",
     "stats_agg",
     "histogram_agg",
     "string_agg",
-    # ---- the 50-query window boundary falls here; every entry from
-    # ---- here down was green in a prior driver window (r2–r5)
-    # ---- and is byte-stable since; multimodal_meta/
-    # ---- star_fact_complaints/funnel/token_topk/tf_idf slipped just
-    # ---- below when the five r6 queries took head slots — they are
-    # ---- first in line for the r7 rotation along with the r4 block
     "sessionize",
     "events_sliding",
     "session_window",

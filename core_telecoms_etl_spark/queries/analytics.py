@@ -426,3 +426,174 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(d, "doc_id", "__w", 50).select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""WITH old AS (
+                SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+              new AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 11 = 0
+                            THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 5 <> 0),
+              d AS (
+                SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                       CASE
+                         WHEN o.o_orderkey IS NULL THEN 'insert'
+                         WHEN n.o_orderkey IS NULL THEN 'delete'
+                         WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+                           OR NOT (o.o_orderstatus
+                                   IS NOT DISTINCT FROM n.o_orderstatus)
+                           OR NOT (o.o_totalprice
+                                   IS NOT DISTINCT FROM n.o_totalprice)
+                           OR NOT (o.o_orderdate
+                                   IS NOT DISTINCT FROM n.o_orderdate)
+                           OR NOT (o.o_orderpriority
+                                   IS NOT DISTINCT FROM n.o_orderpriority)
+                           THEN 'update'
+                         ELSE 'unchanged'
+                       END AS change_type
+                FROM old o FULL OUTER JOIN new n
+                  ON o.o_orderkey = n.o_orderkey)
+              SELECT o_orderkey, change_type FROM d
+              WHERE change_type <> 'unchanged'""",
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two snapshots (`operators/scd.snapshot_diff`):
+    the change feed a rebuild-from-scratch warehouse lacks. Snapshots
+    are carved deterministically from `orders` (keys %7 dropped from
+    old, %5 from new → inserts+deletes; %11 keys get a price bump →
+    updates). Null-safe column compare, no hashing — one shuffle per
+    side, keys+compared columns only through the exchange."""
+    from core_telecoms_etl_spark.operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, key_cols=["o_orderkey"])
+
+
+@query(
+    "ab_test_stats",
+    oracle="""WITH pu AS (
+                SELECT user_id,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS x
+                FROM events GROUP BY user_id),
+              arm AS (
+                SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                                || 'ab'), 1, 15))
+                            AS BIGINT) % 2 AS a,
+                       x
+                FROM pu),
+              ag AS (
+                SELECT a, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+                FROM arm GROUP BY a),
+              one AS (
+                SELECT max(CASE WHEN a = 0 THEN n END) AS n_a,
+                       max(CASE WHEN a = 0 THEN s END) AS s_a,
+                       max(CASE WHEN a = 0 THEN ss END) AS ss_a,
+                       max(CASE WHEN a = 1 THEN n END) AS n_b,
+                       max(CASE WHEN a = 1 THEN s END) AS s_b,
+                       max(CASE WHEN a = 1 THEN ss END) AS ss_b
+                FROM ag),
+              zc AS (
+                SELECT n_a, n_b,
+                       CAST(s_a AS DOUBLE) / n_a AS mean_a,
+                       CAST(s_b AS DOUBLE) / n_b AS mean_b,
+                       CASE WHEN n_a > 1 AND n_b > 1
+                              AND (n_a*ss_a - s_a*s_a)
+                                + (n_b*ss_b - s_b*s_b) > 0
+                       THEN
+                       (CAST(s_a AS DOUBLE) / n_a
+                        - CAST(s_b AS DOUBLE) / n_b)
+                       / sqrt(
+                           (CAST(n_a*ss_a - s_a*s_a AS DOUBLE)
+                            / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a
+                         + (CAST(n_b*ss_b - s_b*s_b AS DOUBLE)
+                            / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b
+                         )
+                       END AS z_stat
+                FROM one)
+              SELECT CAST(n_a AS BIGINT) AS n_a,
+                     CAST(n_b AS BIGINT) AS n_b,
+                     mean_a, mean_b, z_stat,
+                     CAST(abs(z_stat) > 1.96 AS BIGINT) AS significant
+              FROM zc""",
+)
+def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test experiment readout
+    (`operators/stats.ab_test_zscore`): stable md5 50/50 arm split
+    (same portable assignment as dataset_split), per-user purchase
+    count as the metric, Welch z from exact BIGINT accumulators —
+    means/variances derived with token-for-token mirrored IEEE ops.
+    Two shuffles, 2-row fold, no window, no collect."""
+    from core_telecoms_etl_spark.operators.stats import ab_test_zscore
+
+    return ab_test_zscore(
+        load_table(spark, sf_dir, "events"),
+        unit_col="user_id",
+        success_type="purchase",
+        salt="ab",
+        critical=1.96,
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+              pc AS (
+                SELECT o.o_custkey,
+                       max(o.o_orderdate) AS last_o,
+                       count(DISTINCT o.o_orderkey) AS frequency,
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                         AS m_grid
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_custkey),
+              seg AS (
+                SELECT c.c_mktsegment, c.c_custkey,
+                       CAST(date_diff('day', CAST(pc.last_o AS DATE),
+                                      CAST(ref.r AS DATE)) AS BIGINT)
+                         AS recency,
+                       CAST(pc.frequency AS BIGINT) AS frequency,
+                       pc.m_grid
+                FROM pc CROSS JOIN ref
+                JOIN customer c ON pc.o_custkey = c.c_custkey),
+              sc AS (
+                SELECT c_mktsegment,
+                       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY recency ASC, c_custkey ASC)
+                            AS BIGINT) AS r_score,
+                       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY frequency DESC, c_custkey ASC)
+                            AS BIGINT) AS f_score,
+                       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY m_grid DESC, c_custkey ASC)
+                            AS BIGINT) AS m_score
+                FROM seg)
+              SELECT c_mktsegment, r_score, f_score, m_score,
+                     CAST(count(*) AS BIGINT) AS n_customers
+              FROM sc GROUP BY 1, 2, 3, 4""",
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation (`operators/stats.rfm_segments`):
+    recency vs corpus max date, order frequency, cent-grid lifetime
+    revenue, each ntile(4)-scored within the customer's market
+    segment over a fully tie-broken order — all-integer output, three
+    windows sharing one exchange."""
+    from core_telecoms_etl_spark.operators.stats import rfm_segments
+
+    return rfm_segments(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )

@@ -386,3 +386,48 @@ def time_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("event_id",),
         bucket_seconds=900,
     )
+
+
+@query(
+    "rolling_anomaly",
+    oracle="""WITH g AS (
+                SELECT event_id, ts, user_id, event_type, value, props,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       count(*) OVER w AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)) OVER w
+                         AS ss
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+              SELECT event_id, ts, user_id, event_type, value, props,
+                     CAST(n AS BIGINT) AS n_baseline
+              FROM g
+              WHERE n >= 10
+                AND (n*v - s) * (n*v - s) > 9 * (n*ss - s*s)""",
+)
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection
+    (`operators/temporal.rolling_zscore_anomaly`): flag events >3σ
+    from the user's own last-20-events baseline (strictly preceding —
+    an outlier never suppresses its own score; <10 prior points never
+    flags). The z² comparison is rewritten divide-free in BIGINT on
+    the cent grid, (n·v−S)² > 9·(n·SS−S²), so both engines evaluate
+    exact integer arithmetic — no float summation anywhere. One
+    shuffle on user_id; constant-size sliding ROWS frame."""
+    from core_telecoms_etl_spark.operators.temporal import (
+        rolling_zscore_anomaly,
+    )
+
+    return rolling_zscore_anomaly(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_cols=("event_id",),
+        lookback=20,
+        min_points=10,
+        z_threshold=3,
+        grid=100,
+    )

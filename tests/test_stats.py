@@ -1,0 +1,169 @@
+"""Rolling-anomaly, snapshot-diff, A/B-test and RFM operator tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.operators.scd import snapshot_diff
+from core_telecoms_etl_spark.operators.stats import (
+    ab_test_zscore,
+    rfm_segments,
+)
+from core_telecoms_etl_spark.operators.temporal import (
+    rolling_zscore_anomaly,
+)
+
+
+def _series(spark, values, user=1):
+    return spark.createDataFrame(
+        [
+            (i, user, datetime(2024, 1, 1, 0, 0, i), "view", float(v))
+            for i, v in enumerate(values)
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+
+
+def test_rolling_anomaly_flags_spike_not_baseline(spark):
+    # 15 flat observations then one 100x spike: only the spike flags
+    df = _series(spark, [10.0] * 15 + [1000.0, 10.0])
+    out = rolling_zscore_anomaly(
+        df, lookback=20, min_points=10, z_threshold=3
+    ).collect()
+    assert [r.event_id for r in out] == [15]
+    assert out[0].n_baseline == 15
+
+
+def test_rolling_anomaly_cold_start_never_flags(spark):
+    # huge spike but only 5 prior points < min_points=10 -> no flag
+    df = _series(spark, [10.0] * 5 + [1000.0])
+    assert (
+        rolling_zscore_anomaly(df, min_points=10).count() == 0
+    )
+
+
+def test_rolling_anomaly_outlier_not_in_own_baseline(spark):
+    # two consecutive spikes: the frame excludes the current row, so
+    # the SECOND spike is judged against a baseline that now contains
+    # the first spike (variance blows up -> weaker z) but the first
+    # is judged on the clean baseline
+    df = _series(spark, [10.0] * 12 + [1000.0, 1000.0])
+    out = rolling_zscore_anomaly(
+        df, lookback=20, min_points=10, z_threshold=3
+    ).collect()
+    flagged = {r.event_id for r in out}
+    assert 12 in flagged
+
+
+def test_rolling_anomaly_zero_variance_baseline(spark):
+    # identical baseline (variance 0): any deviation flags, equality
+    # does not (0 > 0 is false)
+    df = _series(spark, [10.0] * 12 + [10.0, 10.01])
+    out = rolling_zscore_anomaly(
+        df, lookback=20, min_points=10, z_threshold=3
+    ).collect()
+    assert [r.event_id for r in out] == [13]
+
+
+def test_snapshot_diff_classes(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    # 1 deleted, 2 updated, 3 unchanged (null-safe!), 4 inserted
+    assert out == {1: "delete", 2: "update", 4: "insert"}
+
+
+def test_snapshot_diff_include_unchanged_and_null_transitions(spark):
+    old = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "k long, v double"
+    )
+    out = {
+        r.k: r.change_type
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], include_unchanged=True
+        ).collect()
+    }
+    # null -> value and value -> null are both updates under
+    # null-safe compare, never 'unchanged'
+    assert out == {1: "update", 2: "update"}
+
+
+def test_ab_test_one_row_and_partition(spark):
+    ev = _series(spark, [1.0] * 4)
+    ev = ev.union(
+        spark.createDataFrame(
+            [
+                (100 + i, i, datetime(2024, 1, 2), "purchase", 1.0)
+                for i in range(40)
+            ],
+            ev.schema,
+        )
+    )
+    row = ab_test_zscore(ev).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_a + r.n_b == ev.select("user_id").distinct().count()
+    # both arms have identical means here -> z/significant are NULL
+    assert r.significant in (0, 1, None)
+
+
+def test_ab_test_identical_arms_not_significant(spark):
+    # every user has exactly one purchase -> zero variance in both
+    # arms -> z is NULL (0/0) and significant must not be 1
+    ev = spark.createDataFrame(
+        [
+            (i, i, datetime(2024, 1, 1), "purchase", 1.0)
+            for i in range(100)
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    r = ab_test_zscore(ev).collect()[0]
+    assert r.mean_a == 1.0 and r.mean_b == 1.0
+    assert r.significant != 1
+
+
+def test_rfm_scores_cover_quartiles(spark, sf_dir):
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    out = rfm_segments(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    rows = out.collect()
+    for c in ("r_score", "f_score", "m_score"):
+        vals = {getattr(r, c) for r in rows}
+        assert vals <= {1, 2, 3, 4} and len(vals) == 4
+    # cell counts sum to the number of customers with orders
+    n = sum(r.n_customers for r in rows)
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n == oc
+
+
+def test_rolling_anomaly_single_exchange(spark):
+    # ONE hash exchange on the key: the sliding frame and the filter
+    # reuse the same partitioning
+    df = _series(spark, [10.0] * 30)
+    plan = rolling_zscore_anomaly(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
