@@ -167,3 +167,24 @@ def test_rolling_anomaly_single_exchange(spark):
     df = _series(spark, [10.0] * 30)
     plan = rolling_zscore_anomaly(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rfm_windows_share_one_exchange(spark, sf_dir):
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    out = rfm_segments(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the three ntile windows all repartition on c_mktsegment exactly
+    # once: same partition key, per-score re-sorts only
+    import re
+
+    seg_ex = [
+        a
+        for a in re.findall(r"hashpartitioning\(([^,]+)[,)]", plan)
+        if a.startswith("c_mktsegment")
+    ]
+    assert len(seg_ex) == 1
