@@ -47,6 +47,10 @@ HEADLINE = [
     "key_skew_profile",
     "point_in_time_join",
     "segment_boilerplate_dedup",
+    "rolling_anomaly",
+    "snapshot_diff",
+    "rfm_segments",
+    "time_grid_interpolate",
 ]
 
 

@@ -225,10 +225,13 @@ def time_grid_ffill(
     descending) and the event count of its own bucket (0 for gaps).
 
     Scale shape: the grid materializes per key via sequence+explode
-    (bounded by span/bucket, never a global calendar join); one shuffle
-    on the key serves both the per-bucket aggregation and the
-    forward-fill window (`last(..., ignorenulls)` over an ordered
-    per-key partition scan). No global windows, no driver loops."""
+    (bounded by span/bucket, never a global calendar join); the
+    per-bucket (count, last-value) pair folds into ONE map-side-
+    combinable aggregation (`max_by` over the (ts, *order_cols)
+    struct — no window rank + re-aggregation, one exchange instead
+    of two); the forward fill is `last(..., ignorenulls)` over an
+    ordered per-key partition scan. No global windows, no driver
+    loops."""
     bucket = F.timestamp_seconds(
         F.floor(F.unix_seconds(F.col(ts_col)) / bucket_seconds)
         * bucket_seconds
@@ -253,24 +256,14 @@ def time_grid_ffill(
             )
         ).alias("grid_ts"),
     )
-    w_last = Window.partitionBy("__k", "__bucket").orderBy(
-        F.desc("__ts"), *[F.desc(c) for c in order_cols]
-    )
-    last_obs = (
-        ev.withColumn("__rn", F.row_number().over(w_last))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("__k").alias("__lk"),
-            F.col("__bucket").alias("__lb"),
+    per_bucket = ev.groupBy(
+        F.col("__k").alias("__lk"), F.col("__bucket").alias("__lb")
+    ).agg(
+        F.count("*").alias("__n"),
+        F.max_by(
             "__v",
-        )
-    )
-    cnts = ev.groupBy("__k", "__bucket").agg(
-        F.count("*").alias("__n")
-    ).select(
-        F.col("__k").alias("__ck"),
-        F.col("__bucket").alias("__cb"),
-        "__n",
+            F.struct(F.col("__ts"), *[F.col(c) for c in order_cols]),
+        ).alias("__v"),
     )
     w_fill = (
         Window.partitionBy("__k")
@@ -279,15 +272,9 @@ def time_grid_ffill(
     )
     return (
         grid.join(
-            last_obs,
+            per_bucket,
             (F.col("__k") == F.col("__lk"))
             & (F.col("grid_ts") == F.col("__lb")),
-            "left",
-        )
-        .join(
-            cnts,
-            (F.col("__k") == F.col("__ck"))
-            & (F.col("grid_ts") == F.col("__cb")),
             "left",
         )
         .select(
