@@ -28,11 +28,19 @@ def user_funnel_times(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    horizon_seconds: int | None = None,
 ) -> DataFrame:
     """(user, stage_ts: array<timestamp>[k]) — stage_ts[i] is when the
     user completed stage i (NULL onward from the first uncompleted
     stage): the greedy earliest-completion chain, each stage strictly
-    after the previous one."""
+    after the previous one.
+
+    With ``horizon_seconds``, each stage must ALSO land within that
+    many seconds of the previous stage's completion (conversion
+    window). Semantics are greedy-from-earliest — stage i is the
+    earliest qualifying event after the chain's stage i-1 time, NOT
+    the best chain over all stage-1 anchors — documented because
+    windowed-funnel semantics differ across tools."""
     per_user = (
         events.filter(F.col(type_col).isin(stages))
         .groupBy(user_col)
@@ -49,7 +57,10 @@ def user_funnel_times(
     )
     def _after(prev: Column):
         # x > NULL is NULL → filter drops everything → NULL onward
-        return lambda x: x > prev
+        if horizon_seconds is None:
+            return lambda x: x > prev
+        bound = prev + F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+        return lambda x: (x > prev) & (x <= bound)
 
     stage_ts: list[Column] = []
     for i in range(len(stages)):
@@ -70,10 +81,16 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    horizon_seconds: int | None = None,
 ) -> DataFrame:
     """One row: the number of users completing each funnel prefix."""
     times = user_funnel_times(
-        events, stages, user_col=user_col, ts_col=ts_col, type_col=type_col
+        events,
+        stages,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        horizon_seconds=horizon_seconds,
     )
     aggs = [
         F.sum(

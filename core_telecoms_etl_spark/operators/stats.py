@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.operators.sampling import hash_bucket
 
-__all__ = ["ab_test_zscore", "rfm_segments"]
+__all__ = ["ab_test_zscore", "rfm_segments", "merge_partial_rollup"]
 
 
 def ab_test_zscore(
@@ -196,3 +196,33 @@ def rfm_segments(
     return scored.groupBy(
         "c_mktsegment", "r_score", "f_score", "m_score"
     ).agg(F.count("*").cast("long").alias("n_customers"))
+
+
+def merge_partial_rollup(
+    partials,
+    *,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> "DataFrame":
+    """Merge partial-aggregate state tables (each holding per-key SUMs
+    and COUNTs) into one rollup WITHOUT rescanning the rows that
+    produced them — the incremental-aggregation pattern: keep a small
+    state table per grain, aggregate only the new batch, merge. Sums
+    and counts are algebraic (merge = re-sum), so the merged result is
+    exactly the full recompute as long as the partials accumulate in
+    BIGINT (integer re-summation is order-insensitive; float partials
+    would not be).
+
+    Scale: the state tables are |keys|-sized, not |rows|-sized —
+    merging shuffles only per-key partial rows. This is the batch
+    analogue of the streaming CMS/HLL merge path and works for any
+    sum/count/min/max-decomposable aggregate (avg = merged sum /
+    merged count)."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols],
+        F.sum(count_col).cast("long").alias(count_col),
+    )

@@ -89,6 +89,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "snapshot_diff",
     "ab_test_stats",
     "rfm_segments",
+    "markov_transitions",
+    "windowed_funnel",
+    "incremental_rollup",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",
@@ -124,17 +127,18 @@ _CHECK_ORDER: tuple[str, ...] = (
     "pivot_agg",
     "cube_agg",
     "percentile_agg",
+    # ---- the 50-query window boundary falls here; every entry from
+    # ---- here down was green in a prior driver window (r1–r5)
+    # ---- and is byte-stable since; exists_subquery/scalar_subquery/
+    # ---- exists_group_agg/window_value_funcs/stats_agg/
+    # ---- histogram_agg/string_agg (last green r1) slipped just
+    # ---- below when the seven new queries took head slots — they
+    # ---- are first in line for the r7 rotation, followed by
+    # ---- multimodal_meta/star_fact_complaints/funnel/token_topk/
+    # ---- tf_idf and the r4 block
     "exists_subquery",
     "scalar_subquery",
     "exists_group_agg",
-    # ---- the 50-query window boundary falls here; every entry from
-    # ---- here down was green in a prior driver window (r1–r5)
-    # ---- and is byte-stable since; window_value_funcs/stats_agg/
-    # ---- histogram_agg/string_agg (last green r1) slipped just below
-    # ---- when the four new queries took head slots — they are first
-    # ---- in line for the r7 rotation, followed by multimodal_meta/
-    # ---- star_fact_complaints/funnel/token_topk/tf_idf and the
-    # ---- r4 block
     "window_value_funcs",
     "stats_agg",
     "histogram_agg",

@@ -597,3 +597,160 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+@query(
+    "markov_transitions",
+    oracle="""WITH t AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS to_type
+                FROM events),
+              c AS (
+                SELECT from_type, to_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM t WHERE to_type IS NOT NULL
+                GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                     CAST(n AS DOUBLE)
+                       / sum(n) OVER (PARTITION BY from_type) AS p
+              FROM c""",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs each event with the user's next one
+    (deterministic (ts, event_id) order), transitions are counted,
+    and row-normalized probabilities come from a window sum over the
+    |types|² count matrix — the path-analysis complement to
+    session_paths. One shuffle on user_id for the lead; the
+    normalizing window runs over the tiny aggregated matrix, never
+    the events. Counts BIGINT; p = exact-int division, mirrored."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    c = (
+        t.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_norm = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_norm)).alias("p"),
+    )
+
+
+@query(
+    "windowed_funnel",
+    oracle="""WITH s AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+              c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s ON e.user_id = s.user_id
+                WHERE e.event_type = 'click' AND e.ts > s.t1
+                  AND e.ts <= s.t1 + INTERVAL 48 HOURS
+                GROUP BY e.user_id),
+              p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  AND e.ts <= c.t2 + INTERVAL 48 HOURS
+                GROUP BY e.user_id)
+              SELECT (SELECT count(*) FROM s) AS n_signup,
+                     (SELECT count(*) FROM c) AS n_signup_click,
+                     (SELECT count(*) FROM p)
+                       AS n_signup_click_purchase""",
+)
+def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (ClickHouse windowFunnel shape):
+    signup -> click -> purchase where each stage lands within 48h of
+    the previous one, greedy-from-earliest semantics (stage i = the
+    earliest qualifying event after the chain's stage i-1; documented
+    because windowed-funnel semantics differ across tools). Same
+    ONE-shuffle per-user array fold as `funnel` — the horizon is an
+    extra predicate inside the per-stage array_min, not a join."""
+    from core_telecoms_etl_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        ["signup", "click", "purchase"],
+        horizon_seconds=48 * 3600,
+    ).select(
+        F.col("n_signup"),
+        F.col("n_signup_click"),
+        F.col("n_signup_click_purchase"),
+    )
+
+
+@query(
+    "incremental_rollup",
+    oracle="""WITH full_agg AS (
+                SELECT l_returnflag,
+                       CAST(date_trunc('month', l_shipdate) AS DATE)
+                         AS ship_month,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS rev_grid,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1, 2)
+              SELECT l_returnflag, ship_month,
+                     CAST(rev_grid AS BIGINT) AS rev_grid,
+                     n,
+                     CAST(rev_grid AS DOUBLE) / 100 AS revenue
+              FROM full_agg""",
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental partial-aggregate maintenance
+    (`operators/stats.merge_partial_rollup`): the historical state
+    (shipments before 1998-01-01) and the new batch are aggregated
+    SEPARATELY to per-(returnflag, month) sum/count partials, then
+    merged by re-summation — proving merged-state == full-recompute
+    (the oracle recomputes from all rows). BIGINT cent-grid sums make
+    the merge exact regardless of batch boundaries or order; the
+    state table is |keys|-sized, so the merge shuffle never touches
+    history rows — the batch analogue of the streaming CMS/HLL merge
+    path."""
+    from core_telecoms_etl_spark.operators.stats import (
+        merge_partial_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1998-01-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "l_returnflag",
+            F.date_trunc("month", "l_shipdate")
+            .cast("date")
+            .alias("ship_month"),
+        ).agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev_grid"),
+            F.count("*").alias("n"),
+        )
+
+    state = partial(li.filter(F.col("l_shipdate") < cutoff))
+    batch = partial(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = merge_partial_rollup(
+        [state, batch],
+        key_cols=["l_returnflag", "ship_month"],
+        sum_cols=["rev_grid"],
+        count_col="n",
+    )
+    return merged.select(
+        "l_returnflag",
+        "ship_month",
+        "rev_grid",
+        "n",
+        (F.col("rev_grid").cast("double") / 100).alias("revenue"),
+    )

@@ -188,3 +188,81 @@ def test_rfm_windows_share_one_exchange(spark, sf_dir):
         if a.startswith("c_mktsegment")
     ]
     assert len(seg_ex) == 1
+
+
+def test_merge_partial_rollup_equals_full_recompute(spark):
+    from core_telecoms_etl_spark.operators.stats import (
+        merge_partial_rollup,
+    )
+
+    rows = [(i % 3, (i * 7 + 1) % 100, 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long, one long")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.sum("v").cast("long").alias("v"),
+            F.count("*").cast("long").alias("n"),
+        )
+
+    # split three ways on arbitrary boundaries; merge must equal the
+    # single-pass recompute exactly (integer re-summation)
+    parts = [
+        partial(df.filter(F.col("v") < 30)),
+        partial(df.filter((F.col("v") >= 30) & (F.col("v") < 71))),
+        partial(df.filter(F.col("v") >= 71)),
+    ]
+    merged = {
+        (r.k): (r.v, r.n)
+        for r in merge_partial_rollup(
+            parts, key_cols=["k"], sum_cols=["v"], count_col="n"
+        ).collect()
+    }
+    full = {(r.k): (r.v, r.n) for r in partial(df).collect()}
+    assert merged == full
+
+
+def test_windowed_funnel_horizon_cuts_conversions(spark):
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.operators.funnel import funnel_counts
+
+    def ev(eid, uid, minute, typ):
+        return (eid, uid, datetime(2024, 1, 1, 0, minute), typ)
+
+    rows = [
+        # user 1 converts within horizon (gap 5 min each)
+        ev(0, 1, 0, "signup"),
+        ev(1, 1, 5, "click"),
+        ev(2, 1, 10, "purchase"),
+        # user 2 clicks too late (gap 30 min > 10-min horizon)
+        ev(3, 2, 0, "signup"),
+        ev(4, 2, 30, "click"),
+        ev(5, 2, 31, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    plain = funnel_counts(df, ["signup", "click", "purchase"]).collect()[0]
+    windowed = funnel_counts(
+        df, ["signup", "click", "purchase"], horizon_seconds=600
+    ).collect()[0]
+    assert (plain.n_signup, plain.n_signup_click_purchase) == (2, 2)
+    assert (windowed.n_signup, windowed.n_signup_click) == (2, 1)
+    assert windowed.n_signup_click_purchase == 1
+
+
+def test_windowed_funnel_boundary_inclusive(spark):
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.operators.funnel import funnel_counts
+
+    rows = [
+        (0, 1, datetime(2024, 1, 1, 0, 0), "signup"),
+        # exactly at the horizon boundary -> included (<=)
+        (1, 1, datetime(2024, 1, 1, 0, 10), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    w = funnel_counts(df, ["signup", "click"], horizon_seconds=600)
+    assert w.collect()[0].n_signup_click == 1
