@@ -266,3 +266,37 @@ def test_windowed_funnel_boundary_inclusive(spark):
     )
     w = funnel_counts(df, ["signup", "click"], horizon_seconds=600)
     assert w.collect()[0].n_signup_click == 1
+
+
+def test_copurchase_pair_expansion(spark):
+    # duplicate part in an order counts once; single-item baskets
+    # produce no pairs; pairs are (a<b) canonical
+    rows = [
+        (1, 10), (1, 20), (1, 20), (1, 30),
+        (2, 20), (2, 10),
+        (3, 99),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    baskets = df.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__parts")
+    )
+    out = sorted(
+        (r.a, r.b)
+        for r in baskets.select(
+            F.posexplode("__parts").alias("__i", "a"), "__parts"
+        )
+        .select(
+            "a",
+            F.explode(
+                F.slice(
+                    "__parts",
+                    F.col("__i") + 2,
+                    F.greatest(
+                        F.size("__parts") - F.col("__i") - 1, F.lit(0)
+                    ),
+                )
+            ).alias("b"),
+        )
+        .collect()
+    )
+    assert out == [(10, 20), (10, 20), (10, 30), (20, 30)]
