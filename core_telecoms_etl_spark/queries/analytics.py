@@ -860,3 +860,134 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cur / 100).alias("revenue"),
         ((cur - prev) / prev).alias("mom_growth"),
     )
+
+
+@query(
+    "grouped_correlation",
+    oracle="""WITH g AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+                       sum(CAST(round(l_discount * 100) AS BIGINT))
+                         AS sy,
+                       sum(CAST(round(l_quantity) AS BIGINT)
+                           * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+                       sum(CAST(round(l_discount * 100) AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT))
+                         AS syy,
+                       sum(CAST(round(l_quantity) AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT))
+                         AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, n,
+                     CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                          THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                      * CAST(n*syy - sy*sy AS DOUBLE))
+                     END AS corr,
+                     CASE WHEN n*sxx - sx*sx > 0
+                          THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                               / CAST(n*sxx - sx*sx AS DOUBLE)
+                     END AS slope,
+                     CASE WHEN n*sxx - sx*sx > 0
+                          THEN (CAST(sy AS DOUBLE)
+                                - (CAST(n*sxy - sx*sy AS DOUBLE)
+                                   / CAST(n*sxx - sx*sx AS DOUBLE))
+                                  * sx) / n
+                     END AS intercept
+              FROM g""",
+)
+def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + OLS fit (does discount move
+    with quantity?) from six BIGINT accumulators (n, Σx, Σy, Σx²,
+    Σy², Σxy on the integer quantity / cent-grid discount) — the
+    textbook single-pass sufficient-statistics form, map-side
+    combined, ONE shuffle of 6 longs per group. corr/slope/intercept
+    are derived from the exact integers with mirrored IEEE
+    expressions; zero-variance groups yield NULL via all-integer
+    guards (never ANSI divide-by-zero). Engine-native corr() is NOT
+    used precisely because its float accumulation order is
+    partition-dependent. Bounds: int64 holds n·Σx² to ~10⁹ rows at
+    these grids; beyond that cast accumulators to DECIMAL(38,0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    cov = n * F.col("sxy") - sx * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        cov.cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+    )
+    slope = F.when(vx > 0, cov.cast("double") / vx.cast("double"))
+    intercept = F.when(
+        vx > 0,
+        (sy.cast("double") - (cov.cast("double") / vx.cast("double")) * sx)
+        / n,
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        corr.alias("corr"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+@query(
+    "feature_binning",
+    oracle="""WITH q AS (
+                SELECT quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.5) AS q2,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events)
+              SELECT event_type,
+                     CAST(CASE WHEN value <= q1 THEN 1
+                               WHEN value <= q2 THEN 2
+                               WHEN value <= q3 THEN 3
+                               ELSE 4 END AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(round(value * 100) AS BIGINT))
+                       AS value_grid
+              FROM events CROSS JOIN q
+              GROUP BY 1, 2""",
+)
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning: global quartile boundaries
+    (exact interpolated `percentile`, the same Spark<->DuckDB
+    quantile_cont pairing the quality filter relies on) folded back
+    as a broadcast 1-row scalar, rows CASE-assigned to bins 1-4, then
+    per-(type, bin) counts and cent-grid sums — the discretization
+    step for feature pipelines and monotonic-binning reports. One
+    scan feeds the percentile aggregate, one scan bins: no window,
+    no sort of the fact rows."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.5).alias("q2"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    binned = ev.join(F.broadcast(q)).select(
+        "event_type",
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("bin"),
+        F.round(F.col("value") * 100).cast("long").alias("__g"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__g").alias("value_grid"),
+    )
