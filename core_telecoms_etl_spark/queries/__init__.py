@@ -96,6 +96,10 @@ _CHECK_ORDER: tuple[str, ...] = (
     "mom_revenue_growth",
     "grouped_correlation",
     "feature_binning",
+    "referential_integrity",
+    "completeness_gaps",
+    "benford_profile",
+    "mad_outliers",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",
@@ -123,21 +127,22 @@ _CHECK_ORDER: tuple[str, ...] = (
     "full_outer_join",
     "count_filter",
     "distinct_agg",
+    # ---- the 50-query window boundary falls here; every entry from
+    # ---- here down was green in a prior driver window (r1–r5)
+    # ---- and is byte-stable since; window_rank/window_lag/
+    # ---- window_running_sum/order_by/dedup_rows/pivot_agg/cube_agg/
+    # ---- percentile_agg/exists_subquery/scalar_subquery/
+    # ---- exists_group_agg/window_value_funcs/stats_agg/
+    # ---- histogram_agg/string_agg (last green r1) slipped just
+    # ---- below when the fifteen new r6 queries took head slots —
+    # ---- they are first in line for the r7 rotation, followed by
+    # ---- multimodal_meta/star_fact_complaints/funnel/token_topk/
+    # ---- tf_idf and the r4 block
     "window_rank",
     "window_lag",
     "window_running_sum",
     "order_by",
     "dedup_rows",
-    # ---- the 50-query window boundary falls here; every entry from
-    # ---- here down was green in a prior driver window (r1–r5)
-    # ---- and is byte-stable since; pivot_agg/cube_agg/
-    # ---- percentile_agg/exists_subquery/scalar_subquery/
-    # ---- exists_group_agg/window_value_funcs/stats_agg/
-    # ---- histogram_agg/string_agg (last green r1) slipped just
-    # ---- below when the eleven new queries took head slots — they
-    # ---- are first in line for the r7 rotation, followed by
-    # ---- multimodal_meta/star_fact_complaints/funnel/token_topk/
-    # ---- tf_idf and the r4 block
     "pivot_agg",
     "cube_agg",
     "percentile_agg",

@@ -169,3 +169,252 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=("l_quantity", "l_extendedprice", "l_orderkey"),
         string_cols=("l_returnflag", "l_linestatus"),
     )
+
+
+@query(
+    "referential_integrity",
+    oracle="""SELECT 'lineitem->orders' AS relationship,
+                     CAST((SELECT count(*) FROM lineitem l
+                           WHERE NOT EXISTS (
+                             SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey))
+                          AS BIGINT) AS n_orphans
+              UNION ALL
+              SELECT 'orders->customer',
+                     CAST((SELECT count(*) FROM orders o
+                           WHERE NOT EXISTS (
+                             SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey))
+                          AS BIGINT)
+              UNION ALL
+              SELECT 'customer->nation',
+                     CAST((SELECT count(*) FROM customer c
+                           WHERE NOT EXISTS (
+                             SELECT 1 FROM nation n
+                             WHERE n.n_nationkey = c.c_nationkey))
+                          AS BIGINT)""",
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema (the dbt
+    relationship test the reference's schema.yml stops short of):
+    per-edge anti-join counts, small side broadcast (orders' key set
+    for lineitem at scale would use the shuffle path — AQE decides;
+    customer/nation are genuine broadcasts). Three independent
+    1-row aggregates unioned — each edge prunes to its two key
+    columns at the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(name, child, ckey, parent, pkey):
+        return (
+            child.select(ckey)
+            .join(
+                parent.select(pkey),
+                F.col(ckey) == F.col(pkey),
+                "left_anti",
+            )
+            .agg(
+                F.lit(name).alias("relationship"),
+                F.count("*").cast("long").alias("n_orphans"),
+            )
+        )
+
+    return (
+        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(
+            orphans("orders->customer", o, "o_custkey", c, "c_custkey")
+        )
+        .unionByName(
+            orphans("customer->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
+
+
+@query(
+    "completeness_gaps",
+    oracle="""WITH b AS (
+                SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+                       CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+                FROM events),
+              grid AS (
+                SELECT unnest(generate_series(d0, d1,
+                              INTERVAL 1 DAY))::DATE AS day
+                FROM b),
+              daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1)
+              SELECT g.day, coalesce(d.n, 0) AS n_events,
+                     CAST(coalesce(d.n, 0) = 0 AS BIGINT) AS is_gap
+              FROM grid g LEFT JOIN daily d ON g.day = d.day""",
+)
+def completeness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-completeness audit: the full [first, last] day grid
+    (sequence+explode from a 1-row min/max aggregate — bounded by the
+    span, never a calendar table join) left-joined to daily counts,
+    flagging zero-row days. The freshness/continuity check every
+    scheduled pipeline needs; daily counts are map-side combined and
+    the day grid is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("d1"),
+    )
+    grid = b.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("__day")
+    ).agg(F.count("*").cast("long").alias("__n"))
+    return grid.join(
+        daily, F.col("day") == F.col("__day"), "left"
+    ).select(
+        "day",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        (F.coalesce(F.col("__n"), F.lit(0)) == 0)
+        .cast("long")
+        .alias("is_gap"),
+    )
+
+
+@query(
+    "benford_profile",
+    oracle="""WITH d AS (
+                SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                                         AS BIGINT) AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM lineitem),
+              c AS (
+                SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM d GROUP BY digit),
+              t AS (SELECT sum(n) AS total FROM c)
+              SELECT digit, n,
+                     CAST(n AS DOUBLE) / total AS p_observed,
+                     CASE digit
+                       WHEN 1 THEN 0.3010299956639812E0
+                       WHEN 2 THEN 0.17609125905568124E0
+                       WHEN 3 THEN 0.12493873660829993E0
+                       WHEN 4 THEN 0.09691001300805642E0
+                       WHEN 5 THEN 0.07918124604762482E0
+                       WHEN 6 THEN 0.06694678963061322E0
+                       WHEN 7 THEN 0.05799194697768673E0
+                       WHEN 8 THEN 0.05115252244738129E0
+                       WHEN 9 THEN 0.04575749056067514E0
+                     END AS p_benford
+              FROM c CROSS JOIN t""",
+)
+def benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit (Benford) profile of the money column —
+    the classic fabricated-amounts screen. The digit comes from the
+    STRING form of the exact cent-grid BIGINT (first significant
+    digit is invariant under the x100 decimal shift; integer-to-string
+    is engine-identical, where floor(x/10^floor(log10 x)) would ride
+    on libm's last-ulp behavior). Expected Benford shares are literal
+    doubles, not engine log10 calls, for the same reason. One scan,
+    9-row output, observed share = exact-int division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    c = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.create_map(
+        *[
+            x
+            for d, p in [
+                (1, 0.3010299956639812),
+                (2, 0.17609125905568124),
+                (3, 0.12493873660829993),
+                (4, 0.09691001300805642),
+                (5, 0.07918124604762482),
+                (6, 0.06694678963061322),
+                (7, 0.05799194697768673),
+                (8, 0.05115252244738129),
+                (9, 0.04575749056067514),
+            ]
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p_observed"),
+        benford[F.col("digit")].alias("p_benford"),
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""WITH med AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY event_type),
+              dev AS (
+                SELECT e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS d
+                FROM events e JOIN med m
+                  ON e.event_type = m.event_type),
+              mad AS (
+                SELECT event_type, quantile_cont(d, 0.5) AS mad
+                FROM dev GROUP BY event_type)
+              SELECT v.event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN v.d > 4.4478 * a.mad
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                     min(v.med) AS med,
+                     min(a.mad) AS mad
+              FROM dev v JOIN mad a ON v.event_type = a.event_type
+              GROUP BY v.event_type""",
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median absolute deviation
+    (the estimator a 3-sigma rule can't poison — one huge value moves
+    a mean/stddev threshold, not a median one), flagging
+    |x − med| > 4.4478·MAD (3σ-equivalent under normality; single
+    literal constant so both engines multiply identically). Exact
+    interpolated medians via the proven percentile↔quantile_cont
+    pairing; two aggregate passes with 1-per-group results broadcast
+    back — no window over fact rows, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("__t1")).agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("__t1")
+    ).select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy(F.col("event_type").alias("__t2")).agg(
+        F.percentile("d", 0.5).alias("mad")
+    )
+    return (
+        dev.join(
+            F.broadcast(mad), F.col("event_type") == F.col("__t2")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(4.4478) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+        )
+    )
