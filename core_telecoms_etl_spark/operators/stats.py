@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.operators.sampling import hash_bucket
 
-__all__ = ["ab_test_zscore", "rfm_segments", "merge_partial_rollup"]
+__all__ = [
+    "ab_test_zscore",
+    "rfm_segments",
+    "merge_partial_rollup",
+    "ks_two_sample",
+]
 
 
 def ab_test_zscore(
@@ -225,4 +230,135 @@ def merge_partial_rollup(
     return out.groupBy(*key_cols).agg(
         *[F.sum(c).cast("long").alias(c) for c in sum_cols],
         F.sum(count_col).cast("long").alias(count_col),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 256,
+    critical: float = 1.358,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test, distribution-shift
+    detection between two cohorts (did this week's purchase amounts
+    drift from last week's?). Returns ONE row: n_a, n_b, the scaled
+    integer statistic, D, and a reject flag at the given critical
+    coefficient (1.358 ≈ α=0.05).
+
+    Exactness: D = max_v |F_a(v) − F_b(v)| is computed as the
+    all-integer max |n_b·C_a(v) − n_a·C_b(v)| over per-value
+    cumulative counts — no float CDFs, so any engine that sums the
+    same integers gets the identical statistic; only the final
+    D = scaled/(n_a·n_b) and threshold are (mirrored) IEEE. Bounds:
+    n_b·C_a ≤ n_a·n_b keeps int64 to ~3×10⁹ rows per side; beyond
+    that cast the two cumulative products to DECIMAL(38,0).
+
+    Scale: the cumulative CDFs need a GLOBAL value order — built with
+    the repo's two-level prefix sum (packing.py shape), not a
+    single-partition window: per-value counts shuffle once on value,
+    values range-bucket by mirrored width arithmetic, within-bucket
+    running sums parallelize across buckets, and only the B-row
+    bucket-total table prefix-sums single-partition before
+    broadcasting back. A plain `Window.orderBy(value)` would pull
+    every distinct value through one task."""
+    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per_value = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__a"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__b"),
+    )
+    span = per_value.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    # bucket only needs MONOTONICITY in __v (floats: -, *, / by a
+    # positive constant are all non-strictly monotone), not any
+    # cross-engine agreement — the oracle never sees it; degenerate
+    # single-value spans collapse to bucket 0 instead of dividing by 0
+    bucketed = per_value.join(F.broadcast(span)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("__v") - F.col("__lo"))
+                        * n_buckets
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.select(
+        "__bkt",
+        "__v",
+        F.sum("__a").over(w_in).alias("__ca_in"),
+        F.sum("__b").over(w_in).alias("__cb_in"),
+    )
+    totals = bucketed.groupBy("__bkt").agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb")
+    )
+    # B-row offsets table: deliberately single-partition (B ≪ N); the
+    # pmod partition key suppresses the spurious global-window warning
+    # (same idiom as packing.py)
+    wg = (
+        Window.partitionBy(F.pmod(F.col("__bkt"), F.lit(1)))
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "__bkt",
+        (F.sum("__ta").over(wg) - F.col("__ta")).alias("__oa"),
+        (F.sum("__tb").over(wg) - F.col("__tb")).alias("__ob"),
+    )
+    n = filt.groupBy().agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_a"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_b"),
+    )
+    scaled = (
+        cum.join(F.broadcast(offsets), "__bkt")
+        .join(F.broadcast(n))
+        .select(
+            F.abs(
+                F.col("n_b") * (F.col("__oa") + F.col("__ca_in"))
+                - F.col("n_a") * (F.col("__ob") + F.col("__cb_in"))
+            ).alias("__s")
+        )
+        .agg(F.max("__s").cast("long").alias("d_scaled"))
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    prod = na.cast("double") * nb
+    d = F.col("d_scaled").cast("double") / prod
+    thresh = F.lit(critical) * F.sqrt((na.cast("double") + nb) / prod)
+    return (
+        scaled.join(F.broadcast(n))
+        .select(
+            "n_a",
+            "n_b",
+            "d_scaled",
+            d.alias("d_stat"),
+            (d > thresh).cast("long").alias("reject_h0"),
+        )
     )

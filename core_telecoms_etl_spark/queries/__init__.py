@@ -100,6 +100,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "completeness_gaps",
     "benford_profile",
     "mad_outliers",
+    "ks_two_sample",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",

@@ -991,3 +991,58 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("__g").alias("value_grid"),
     )
+
+
+@query(
+    "ks_two_sample",
+    oracle="""WITH v AS (
+                SELECT value,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN event_type = 'click'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS b
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY value),
+              c AS (
+                SELECT sum(a) OVER (ORDER BY value) AS ca,
+                       sum(b) OVER (ORDER BY value) AS cb
+                FROM v),
+              t AS (
+                SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                       CAST(sum(b) AS BIGINT) AS n_b
+                FROM v),
+              m AS (
+                SELECT CAST(max(abs(t.n_b * c.ca - t.n_a * c.cb))
+                            AS BIGINT) AS d_scaled
+                FROM c CROSS JOIN t)
+              SELECT t.n_a, t.n_b, m.d_scaled,
+                     CAST(m.d_scaled AS DOUBLE)
+                       / (CAST(t.n_a AS DOUBLE) * t.n_b) AS d_stat,
+                     CAST(
+                       CAST(m.d_scaled AS DOUBLE)
+                         / (CAST(t.n_a AS DOUBLE) * t.n_b)
+                       > 1.358E0 * sqrt((CAST(t.n_a AS DOUBLE) + t.n_b)
+                                        / (CAST(t.n_a AS DOUBLE)
+                                           * t.n_b))
+                       AS BIGINT) AS reject_h0
+              FROM m CROSS JOIN t""",
+)
+def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distribution-shift test
+    (`operators/stats.ks_two_sample`): purchase vs click value
+    distributions. The statistic is the all-integer
+    max |n_b·C_a − n_a·C_b| over per-value cumulative counts, so the
+    oracle's single-partition window and the engine's two-level
+    range-bucketed prefix sum (packing.py shape — no global window
+    over the fact-sized relation) produce the identical BIGINT; only
+    the final D and the α=0.05 threshold are mirrored IEEE."""
+    from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+    return ks_two_sample(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        group_col="event_type",
+        group_a="purchase",
+        group_b="click",
+    )

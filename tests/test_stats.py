@@ -300,3 +300,71 @@ def test_copurchase_pair_expansion(spark):
         .collect()
     )
     assert out == [(10, 20), (10, 20), (10, 30), (20, 30)]
+
+
+def test_ks_two_sample_known_value(spark):
+    from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(
+        df, value_col="v", group_col="g", group_a="a", group_b="b",
+        n_buckets=4,
+    ).collect()[0]
+    # D = max|Fa - Fb| = 1/3 (at v=1 and v=3)
+    assert (r.n_a, r.n_b, r.d_scaled) == (3, 3, 3)
+    assert abs(r.d_stat - 1 / 3) < 1e-15
+    assert r.reject_h0 == 0
+
+
+def test_ks_identical_samples_zero(spark):
+    from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(
+        df, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert r.d_scaled == 0 and r.d_stat == 0.0 and r.reject_h0 == 0
+
+
+def test_ks_disjoint_samples_one(spark):
+    from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+    rows = [("a", float(v)) for v in range(20)] + [
+        ("b", float(v + 100)) for v in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(
+        df, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    # completely separated distributions -> D = 1, decisively rejected
+    assert r.d_stat == 1.0 and r.reject_h0 == 1
+
+
+def test_ks_no_fact_sized_global_window(spark):
+    from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v) + 0.5) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    plan = (
+        ks_two_sample(
+            df, value_col="v", group_col="g", group_a="a", group_b="b"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-value CDF window (producing __ca_in/__cb_in) must be
+    # partitioned on the range bucket — never a global Window over the
+    # per-value relation; the only single-partition window is over the
+    # B-row bucket-totals table (pmod idiom)
+    cdf_windows = [
+        line
+        for line in plan.splitlines()
+        if "Window" in line and "__ca_in" in line
+    ]
+    assert cdf_windows and all("__bkt" in line for line in cdf_windows)
