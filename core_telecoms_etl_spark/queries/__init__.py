@@ -127,18 +127,18 @@ _CHECK_ORDER: tuple[str, ...] = (
     "left_outer_join",
     "full_outer_join",
     "count_filter",
-    "distinct_agg",
     # ---- the 50-query window boundary falls here; every entry from
     # ---- here down was green in a prior driver window (r1–r5)
-    # ---- and is byte-stable since; window_rank/window_lag/
-    # ---- window_running_sum/order_by/dedup_rows/pivot_agg/cube_agg/
-    # ---- percentile_agg/exists_subquery/scalar_subquery/
-    # ---- exists_group_agg/window_value_funcs/stats_agg/
-    # ---- histogram_agg/string_agg (last green r1) slipped just
-    # ---- below when the fifteen new r6 queries took head slots —
-    # ---- they are first in line for the r7 rotation, followed by
-    # ---- multimodal_meta/star_fact_complaints/funnel/token_topk/
-    # ---- tf_idf and the r4 block
+    # ---- and is byte-stable since; distinct_agg/window_rank/
+    # ---- window_lag/window_running_sum/order_by/dedup_rows/
+    # ---- pivot_agg/cube_agg/percentile_agg/exists_subquery/
+    # ---- scalar_subquery/exists_group_agg/window_value_funcs/
+    # ---- stats_agg/histogram_agg/string_agg (last green r1)
+    # ---- slipped just below when the sixteen new r6 queries took
+    # ---- head slots — they are first in line for the r7 rotation,
+    # ---- followed by multimodal_meta/star_fact_complaints/funnel/
+    # ---- token_topk/tf_idf and the r4 block
+    "distinct_agg",
     "window_rank",
     "window_lag",
     "window_running_sum",
