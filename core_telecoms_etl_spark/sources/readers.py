@@ -136,6 +136,28 @@ def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.orc(*paths)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
+    """XML scan (Spark 4 ships the former spark-xml package natively):
+    one row per `row_tag` element, schema inferred unless given — the
+    B2B/telco interchange format (TMF payloads, settlement files)
+    that CSV/JSON sources don't cover. Schema inference costs an
+    extra pass, so production readers should pass `schema`. Avro
+    remains jar-gated (`spark-avro` is an external module; loud
+    AnalysisException without it) — not stubbed here because the
+    engine can't ship the jar."""
+    paths = [path] if isinstance(path, str) else list(path)
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(paths)
+
+
 def read_text(
     spark: SparkSession,
     path: str | list[str],

@@ -106,3 +106,23 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def write_xml(
+    df,
+    dest: str,
+    *,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "errorifexists",
+) -> None:
+    """XML sink (native in Spark 4) — the export half of the B2B
+    interchange path; one `row_tag` element per row under
+    `root_tag`, one file per partition like every Spark sink."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(dest)
+    )

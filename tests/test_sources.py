@@ -613,3 +613,25 @@ def test_http_json_api_datasource_real_transport(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_xml_round_trip_and_schema(spark, tmp_path):
+    from core_telecoms_etl_spark.sources.readers import read_xml
+    from core_telecoms_etl_spark.sources.writers import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b<&>", None)],
+        "id long, s string, v double",
+    )
+    dest = str(tmp_path / "xml")
+    write_xml(df, dest, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, dest, row_tag="rec")
+    rows = {r.id: (r.s, r.v) for r in back.collect()}
+    # special chars escape/unescape; NULL field absent -> null
+    assert rows == {1: ("a", 1.5), 2: ("b<&>", None)}
+    # explicit schema skips inference and types the columns
+    back2 = read_xml(
+        spark, dest, row_tag="rec", schema="id long, s string, v double"
+    )
+    assert dict(back2.dtypes)["v"] == "double"
+    assert back2.count() == 2
