@@ -51,6 +51,9 @@ HEADLINE = [
     "snapshot_diff",
     "rfm_segments",
     "time_grid_interpolate",
+    "ks_two_sample",
+    "grouped_correlation",
+    "copurchase_pairs",
 ]
 
 
