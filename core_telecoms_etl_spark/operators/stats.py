@@ -11,11 +11,14 @@ Determinism design (the repo-wide rules, `queries/__init__.py`):
   exact integers with a token-for-token mirrored expression, so the
   IEEE results are bit-identical across engines.
 
-Scale design: both operators are plain groupBy aggregations (one
-shuffle each); the A/B readout ends in a 2-row conditional-aggregate
-fold. RFM's quartile windows partition by market segment — at extreme
-cardinality swap the in-segment ntile for pre-computed (approx)
-boundary joins; the aggregation stages are unchanged.
+Scale design: the A/B readout, correlation, and rollup merge are plain
+groupBy aggregations (one shuffle each, map-side combined, a handful
+of longs per group); the A/B readout ends in a 2-row
+conditional-aggregate fold. RFM's quartile windows partition by
+market segment — at extreme cardinality swap the in-segment ntile for
+pre-computed (approx) boundary joins. The KS test builds its global
+CDF order with the two-level range-bucketed prefix sum (packing.py
+shape) — never a fact-sized single-partition window.
 """
 
 from __future__ import annotations

@@ -393,7 +393,7 @@ def time_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""WITH g AS (
                 SELECT event_id, ts, user_id, event_type, value, props,
                        CAST(round(value * 100) AS BIGINT) AS v,
-                       count(*) OVER w AS n,
+                       count(value) OVER w AS n,
                        sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
                        sum(CAST(round(value * 100) AS BIGINT)
                            * CAST(round(value * 100) AS BIGINT)) OVER w
@@ -414,8 +414,10 @@ def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     an outlier never suppresses its own score; <10 prior points never
     flags). The z² comparison is rewritten divide-free in BIGINT on
     the cent grid, (n·v−S)² > 9·(n·SS−S²), so both engines evaluate
-    exact integer arithmetic — no float summation anywhere. One
-    shuffle on user_id; constant-size sliding ROWS frame."""
+    exact integer arithmetic — no float summation anywhere. n counts
+    NON-NULL values in both engines (a null-valued event neither
+    contributes to nor consumes baseline slots). One shuffle on
+    user_id; constant-size sliding ROWS frame."""
     from core_telecoms_etl_spark.operators.temporal import (
         rolling_zscore_anomaly,
     )

@@ -1,4 +1,6 @@
-"""Rolling-anomaly, snapshot-diff, A/B-test and RFM operator tests."""
+"""Statistics-family operator tests: rolling anomaly, snapshot diff,
+A/B z-test, RFM, rollup merge, windowed funnel, co-purchase pair
+expansion, and the two-sample KS test."""
 
 from __future__ import annotations
 
