@@ -136,6 +136,80 @@ def main() -> None:
             d, "doc_id", "text", seg_tokens=10, max_df=2
         )
 
+    # -- r6 stats family: probed on the events/lineitem tables --------
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev8 = events
+    for i in range(1, REPLICAS):
+        ev8 = ev8.unionByName(
+            events.withColumn(
+                "user_id", F.col("user_id") + i * ID_STRIDE
+            ).withColumn("event_id", F.col("event_id") + i * ID_STRIDE)
+        )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li8 = replicate(lineitem, "l_orderkey")
+
+    def anomaly(d: DataFrame):
+        from core_telecoms_etl_spark.operators.temporal import (
+            rolling_zscore_anomaly,
+        )
+
+        return lambda: rolling_zscore_anomaly(d)
+
+    def ks(d: DataFrame):
+        from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+        return lambda: ks_two_sample(
+            d,
+            value_col="value",
+            group_col="event_type",
+            group_a="purchase",
+            group_b="click",
+        )
+
+    def copurchase(d: DataFrame):
+        def run():
+            baskets = d.groupBy("l_orderkey").agg(
+                F.sort_array(F.collect_set("l_partkey")).alias("__parts")
+            )
+            return (
+                baskets.select(
+                    F.posexplode("__parts").alias("__i", "part_a"),
+                    "__parts",
+                )
+                .select(
+                    "part_a",
+                    F.explode(
+                        F.slice(
+                            "__parts",
+                            F.col("__i") + 2,
+                            F.greatest(
+                                F.size("__parts") - F.col("__i") - 1,
+                                F.lit(0),
+                            ),
+                        )
+                    ).alias("part_b"),
+                )
+                .groupBy("part_a", "part_b")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), "part_a", "part_b")
+                .limit(50)
+            )
+
+        return run
+
+    for name, mk, one, eight in [
+        ("rolling_anomaly", anomaly, events, ev8),
+        ("ks_two_sample", ks, events, ev8),
+        ("copurchase_pairs", copurchase, lineitem, li8),
+    ]:
+        spark.catalog.clearCache()
+        timed(mk(one))
+        spark.catalog.clearCache()
+        t1 = timed(mk(one))
+        spark.catalog.clearCache()
+        t8 = timed(mk(eight))
+        print(f"{name}: 1x={t1}s 8x={t8}s ratio={round(t8 / t1, 1)}x")
+
     for name, mk in [
         ("contamination", contamination),
         ("quality_filter", quality),
