@@ -104,10 +104,13 @@ def snapshot_diff(
         eq = F.col(f"__ok_{c}") == F.col(f"__nk_{c}")
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
-    changed = None
+    # key-only tables (no compared columns) can only insert/delete —
+    # `changed` collapses to a constant false, never a None condition
+    changed = F.lit(False)
     for c in compare_cols:
-        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(
+            F.col(f"__n_{c}")
+        )
     change_type = (
         F.when(F.col("__in_old").isNull(), F.lit("insert"))
         .when(F.col("__in_new").isNull(), F.lit("delete"))

@@ -227,6 +227,8 @@ def merge_partial_rollup(
     analogue of the streaming CMS/HLL merge path and works for any
     sum/count/min/max-decomposable aggregate (avg = merged sum /
     merged count)."""
+    if not partials:
+        raise ValueError("merge_partial_rollup needs >= 1 partial")
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
@@ -352,7 +354,10 @@ def ks_two_sample(
     )
     na, nb = F.col("n_a"), F.col("n_b")
     prod = na.cast("double") * nb
-    d = F.col("d_scaled").cast("double") / prod
+    # all-integer guard: an empty side means there is no test — NULL
+    # D/flag instead of an ANSI 0/0 divide error
+    ok = (na > 0) & (nb > 0)
+    d = F.when(ok, F.col("d_scaled").cast("double") / prod)
     thresh = F.lit(critical) * F.sqrt((na.cast("double") + nb) / prod)
     return (
         scaled.join(F.broadcast(n))

@@ -370,3 +370,27 @@ def test_ks_no_fact_sized_global_window(spark):
         if "Window" in line and "__ca_in" in line
     ]
     assert cdf_windows and all("__bkt" in line for line in cdf_windows)
+
+
+def test_ks_empty_side_yields_null_not_error(spark):
+    from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+    rows = [("a", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(
+        df, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    # no b-side observations: NULL statistic, never an ANSI 0/0 error
+    assert (r.n_a, r.n_b) == (10, 0)
+    assert r.d_stat is None and r.reject_h0 is None
+
+
+def test_snapshot_diff_key_only_tables(spark):
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    # nothing to compare -> only membership changes are reported
+    assert out == {1: "delete", 3: "insert"}
