@@ -147,3 +147,85 @@ def test_asof_join_matches_python_oracle(spark, case):
     for r in out:
         candidates = [rid for ts, rid in rights if ts <= lefts[r.event_id]]
         assert r.rid == (candidates[-1] if candidates else None)
+
+
+ks_samples = st.tuples(
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=25
+    ),
+)
+
+
+@given(samples=ks_samples)
+@_settings
+def test_ks_matches_python_oracle(spark, samples):
+    """The distributed KS statistic equals the brute-force Python
+    CDF computation exactly (all-integer statistic)."""
+    from fractions import Fraction
+
+    from core_telecoms_etl_spark.operators.stats import ks_two_sample
+
+    xs, ys = samples
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(
+        df, value_col="v", group_col="g", group_a="a", group_b="b",
+        n_buckets=5,
+    ).collect()[0]
+    points = sorted(set(xs) | set(ys))
+    expect = max(
+        abs(
+            Fraction(sum(1 for x in xs if x <= p), len(xs))
+            - Fraction(sum(1 for y in ys if y <= p), len(ys))
+        )
+        for p in points
+    )
+    assert Fraction(int(r.d_scaled), len(xs) * len(ys)) == expect
+
+
+anomaly_series = st.lists(
+    st.integers(min_value=0, max_value=1000), min_size=1, max_size=40
+)
+
+
+@given(values=anomaly_series)
+@_settings
+def test_rolling_anomaly_matches_python_oracle(spark, values):
+    """Flagged event ids equal a brute-force trailing-window z² check
+    on the integer grid."""
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.operators.temporal import (
+        rolling_zscore_anomaly,
+    )
+
+    look, minp, zt = 5, 3, 2
+    rows = [
+        (i, 1, datetime(2024, 1, 1, 0, 0, i), "x", v / 100.0)
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    got = sorted(
+        r.event_id
+        for r in rolling_zscore_anomaly(
+            df,
+            lookback=look,
+            min_points=minp,
+            z_threshold=zt,
+            grid=100,
+        ).collect()
+    )
+    expect = []
+    for i, v in enumerate(values):
+        w = values[max(0, i - look) : i]
+        n, s, ss = len(w), sum(w), sum(x * x for x in w)
+        if n >= minp and (n * v - s) ** 2 > zt * zt * (n * ss - s * s):
+            expect.append(i)
+    assert got == expect
