@@ -27,7 +27,6 @@ def scd2_history(
     (key, ts) version is valid from its own timestamp until the next
     version's (NULL for the current version), with `is_current` flagging
     the open row. One window over (key, ts) — single shuffle."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
     out = changes.select(
         *key_cols,
         *(change_cols or [c for c in changes.columns if c not in key_cols and c != ts_col]),
@@ -35,7 +34,6 @@ def scd2_history(
     ).withColumn("valid_to", F.lead("valid_from").over(
         Window.partitionBy(*key_cols).orderBy(F.col("valid_from").asc())
     ))
-    _ = w
     return out.withColumn("is_current", F.col("valid_to").isNull())
 
 
