@@ -1660,11 +1660,17 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt"))
         )
         hist = counts.groupBy("cnt").agg(F.count("*").alias("n_at"))
+        # the cumulative window runs over distinct count VALUES (bounded
+        # by max per-key count) — deliberately single-partition; the
+        # pmod partition key marks that intent and suppresses the
+        # spurious global-window warning (packing.py idiom)
         cum = hist.select(
             "cnt",
             "n_at",
             F.sum("n_at")
-            .over(Window.orderBy("cnt").rowsBetween(
+            .over(Window.partitionBy(
+                F.pmod(F.col("cnt"), F.lit(1))
+            ).orderBy("cnt").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             ))
             .alias("cum_keys"),
