@@ -49,6 +49,14 @@ class SourceConfig:
     rename_map: Mapping[str, str] = field(default_factory=dict)
     schema: str | None = None  # DDL string; None → infer
     dedup: bool = True
+    # dbt-style schema tests run against each CLEANED batch before the
+    # append (the reference runs them post-load as a separate `dbt
+    # test`; auditing the batch catches the violation before it lands).
+    # Column names refer to post-rename names. Violations are REPORTED,
+    # not fatal — the caller decides (quarantine via
+    # readers.split_corrupt, abort, or alert).
+    audit_not_null: Sequence[str] = ()
+    audit_unique: Sequence[str] = ()
 
 
 @dataclass(frozen=True)
@@ -61,10 +69,17 @@ class PipelineConfig:
 @dataclass
 class PipelineReport:
     loads: dict[str, LoadReport]
+    audits: dict[str, list] = field(default_factory=dict)
 
     @property
     def total_new_files(self) -> int:
         return sum(len(r.new_files) for r in self.loads.values())
+
+    @property
+    def audits_passed(self) -> bool:
+        return all(
+            r.passed for results in self.audits.values() for r in results
+        )
 
 
 def _read(spark: SparkSession, src: SourceConfig, files: list[str]):
@@ -85,6 +100,7 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> PipelineReport:
     folder. Idempotent: a second run with no new files writes nothing."""
     loader = IncrementalLoader(spark, config.manifest_path)
     loads: dict[str, LoadReport] = {}
+    audits: dict[str, list] = {}
     for src in config.sources:
         candidates = (
             sorted(os.listdir(src.raw_dir)) if os.path.isdir(src.raw_dir) else []
@@ -96,6 +112,14 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> PipelineReport:
                 rename_map=src.rename_map or None,
                 dedup=src.dedup,
             )
+            if src.audit_not_null or src.audit_unique:
+                from core_telecoms_etl_spark.operators.dq import run_checks
+
+                audits[src.name] = run_checks(
+                    df,
+                    not_null=src.audit_not_null,
+                    unique=src.audit_unique,
+                )
             write_parquet(
                 df, os.path.join(config.staging_dir, src.name), mode="append"
             )
@@ -106,4 +130,4 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> PipelineReport:
             process,
             extensions=(_EXTENSIONS[src.fmt],),
         )
-    return PipelineReport(loads=loads)
+    return PipelineReport(loads=loads, audits=audits)

@@ -113,3 +113,40 @@ def test_pipeline_end_to_end(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "staging" / "call_logs")).count()
         == 3
     )
+
+
+def test_pipeline_inline_audits(spark, tmp_path):
+    import os
+
+    from core_telecoms_etl_spark.pipeline import (
+        PipelineConfig,
+        SourceConfig,
+        run_pipeline,
+    )
+
+    raw = tmp_path / "raw"
+    os.makedirs(raw)
+    (raw / "a.csv").write_text("id,v\n1,x\n1,y\n,z\n")
+    cfg = PipelineConfig(
+        sources=[
+            SourceConfig(
+                name="t",
+                fmt="csv",
+                raw_dir=str(raw),
+                dedup=False,
+                audit_not_null=["id"],
+                audit_unique=["id"],
+            )
+        ],
+        staging_dir=str(tmp_path / "staging"),
+        manifest_path=str(tmp_path / "manifest"),
+    )
+    rep = run_pipeline(spark, cfg)
+    assert rep.total_new_files == 1
+    # the batch has a NULL id and a duplicate id -> both audits report
+    by_check = {
+        (r.check, r.column): r.violations for r in rep.audits["t"]
+    }
+    assert by_check[("not_null", "id")] >= 1
+    assert by_check[("unique", "id")] >= 1
+    assert not rep.audits_passed
