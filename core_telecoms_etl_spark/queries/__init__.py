@@ -101,6 +101,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "benford_profile",
     "mad_outliers",
     "ks_two_sample",
+    "volume_shipping",
+    "market_share",
+    "promo_revenue",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",
@@ -124,20 +127,21 @@ _CHECK_ORDER: tuple[str, ...] = (
     "inner_join_dim",
     "semi_join",
     "anti_join",
+    # ---- the 50-query window boundary falls here; every entry from
+    # ---- here down was green in a prior driver window (r1–r5)
+    # ---- and is byte-stable since; left_outer_join/full_outer_join/
+    # ---- count_filter/distinct_agg/window_rank/window_lag/
+    # ---- window_running_sum/order_by/dedup_rows/pivot_agg/cube_agg/
+    # ---- percentile_agg/exists_subquery/scalar_subquery/
+    # ---- exists_group_agg/window_value_funcs/stats_agg/
+    # ---- histogram_agg/string_agg (last green r1) slipped just
+    # ---- below when the nineteen new r6 queries took head slots —
+    # ---- they are first in line for the r7 rotation, followed by
+    # ---- multimodal_meta/star_fact_complaints/funnel/token_topk/
+    # ---- tf_idf and the r4 block
     "left_outer_join",
     "full_outer_join",
     "count_filter",
-    # ---- the 50-query window boundary falls here; every entry from
-    # ---- here down was green in a prior driver window (r1–r5)
-    # ---- and is byte-stable since; distinct_agg/window_rank/
-    # ---- window_lag/window_running_sum/order_by/dedup_rows/
-    # ---- pivot_agg/cube_agg/percentile_agg/exists_subquery/
-    # ---- scalar_subquery/exists_group_agg/window_value_funcs/
-    # ---- stats_agg/histogram_agg/string_agg (last green r1)
-    # ---- slipped just below when the sixteen new r6 queries took
-    # ---- head slots — they are first in line for the r7 rotation,
-    # ---- followed by multimodal_meta/star_fact_complaints/funnel/
-    # ---- token_topk/tf_idf and the r4 block
     "distinct_agg",
     "window_rank",
     "window_lag",

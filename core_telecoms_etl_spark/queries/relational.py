@@ -18,7 +18,12 @@ from core_telecoms_etl_spark.operators.cleaning import (
     rename_columns,
 )
 from core_telecoms_etl_spark.queries import query
-from core_telecoms_etl_spark.sources.readers import load_table, read_csv, read_json
+from core_telecoms_etl_spark.sources.readers import (
+    load_table,
+    load_tables,
+    read_csv,
+    read_json,
+)
 
 
 def _disc_price_grid() -> "F.Column":
@@ -1715,3 +1720,176 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("user_id").unionByName(profile("event_type"))
+
+
+@query(
+    "volume_shipping",
+    oracle=f"""SELECT n1.n_name AS supp_nation,
+                      n2.n_name AS cust_nation,
+                      CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                      {_GRID_SUM_SQL} AS revenue
+               FROM lineitem l
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+               WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               GROUP BY 1, 2, 3""",
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by
+    ship year: the two nation dims broadcast TWICE under different
+    aliases with an OR-of-pairs predicate (the optimizer shape Q7
+    exists to test — the disjunction cannot push into either
+    broadcast alone, it filters after both), fact joins shuffle on
+    their natural keys, revenue on the exact unscaled grid."""
+    li, sup, orders, cust, nat = load_tables(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer",
+        "nation",
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__n1k"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__n2k"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__n2k"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_grid_sum_double("revenue"))
+    )
+
+
+@query(
+    "market_share",
+    oracle="""WITH vol AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l.l_extendedprice*100) AS BIGINT)
+                         * CAST(round((1-l.l_discount)*100) AS BIGINT)
+                         AS volume,
+                       n2.n_name AS supp_nation
+                FROM part p
+                JOIN lineitem l ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                JOIN region r ON n1.n_regionkey = r.r_regionkey
+                JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+                WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+              SELECT o_year,
+                     CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN volume ELSE 0 END) AS DOUBLE)
+                       / sum(volume) AS mkt_share
+              FROM vol GROUP BY o_year""",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's share of a region's ECONOMY-part
+    market by order year: the nested-aggregation ratio computed as
+    conditional-sum / total-sum over ONE aggregation (never two
+    passes), both sums on the exact unscaled grid so the share is one
+    mirrored IEEE divide. Region/nation/part dims broadcast; the
+    fact chain shuffles on its natural keys."""
+    li, sup, orders, cust, nat, reg, part = load_tables(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer",
+        "nation", "region", "part",
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("__n1k"),
+        F.col("n_regionkey").alias("__n1r"),
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("__n2k"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = (
+        part.filter(F.col("p_type") == "ECONOMY")
+        .join(li, F.col("p_partkey") == li["l_partkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__n1k"))
+        .join(
+            F.broadcast(
+                reg.filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("__n1r") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__n2k"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _disc_price_grid().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_3", F.col("volume")
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "promo_revenue",
+    oracle="""SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE)
+                       AS ship_month,
+                     100.0 * CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                       THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * CAST(round((1-l.l_discount)*100) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+                     / sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                           * CAST(round((1-l.l_discount)*100) AS BIGINT))
+                       AS promo_share
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1""",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo-class revenue share per ship month:
+    conditional grid-sum over total grid-sum in one aggregation, part
+    dim broadcast into the fact scan, share as one mirrored divide of
+    exact integers."""
+    li, part = load_tables(spark, sf_dir, "lineitem", "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    return j.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias(
+            "ship_month"
+        )
+    ).agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(
+                    F.col("p_type") == "ECONOMY", _disc_price_grid()
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum(_disc_price_grid())
+        ).alias("promo_share")
+    )
