@@ -120,7 +120,11 @@ def main() -> int:
                 print(f"     {p}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(sdf)} rows ({dt:.1f}s)")
+            # an empty result matches its oracle trivially — flag it so
+            # a too-restrictive literal (wrong region name, impossible
+            # filter) can't hide behind a green row
+            empty = " [EMPTY RESULT — weak signal]" if len(sdf) == 0 else ""
+            print(f"PASS {name}: {len(sdf)} rows ({dt:.1f}s){empty}")
             n_pass += 1
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
