@@ -56,73 +56,95 @@ def compact_parquet(
     return out_n
 
 
-def _morton_code(x_col: str, y_col: str, bits: int) -> "Column":
-    """Interleave the low `bits` of two non-negative ints into a Morton
-    (Z-order) code — a pure JVM fold, no Python in the row path."""
+def _morton_code_n(cols: "list[str]", bits: int) -> "Column":
+    """Interleave the low `bits` of D non-negative ints into a Morton
+    (Z-order) code — a pure JVM fold, no Python in the row path. Bit i
+    of column d lands at position D*i + d; D*bits must fit a signed
+    long (≤ 63)."""
     from pyspark.sql import functions as F
 
-    return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
-        f"acc + (bigint(shiftleft(shiftright({x_col}, i) & 1, 2 * i)))"
-        f"    + (bigint(shiftleft(shiftright({y_col}, i) & 1, 2 * i + 1))))"
+    d = len(cols)
+    terms = " + ".join(
+        f"(bigint(shiftleft(shiftright({c}, i) & 1, {d} * i + {j})))"
+        for j, c in enumerate(cols)
     )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + {terms})"
+    )
+
+
+def _morton_code(x_col: str, y_col: str, bits: int) -> "Column":
+    """Two-column Morton code (see `_morton_code_n`)."""
+    return _morton_code_n([x_col, y_col], bits)
 
 
 def write_zordered(
     df,
     dest: str,
     *,
-    cols: tuple[str, str],
+    cols: "tuple[str, ...]",
     n_files: int,
     bits: int = 16,
 ) -> None:
-    """Write `df` clustered on a two-column Z-order (Morton) curve so
-    parquet min/max stats prune files for predicates on EITHER column.
+    """Write `df` clustered on an N-column Z-order (Morton) curve so
+    parquet min/max stats prune files for predicates on ANY of the
+    interleaved columns.
 
     A plain `sortBy(a)` layout gives perfect pruning on `a` and none on
-    `b`; interleaving the bit-ranks of both columns bounds each file to a
-    small rectangle of (a, b) space, so point/range predicates on either
-    dimension skip most files. This is the same layout contract as
-    Delta/Iceberg OPTIMIZE ZORDER BY, expressed with stock Spark writes.
+    the rest; interleaving the bit-ranks of all D columns bounds each
+    file to a small D-dimensional box, so point/range predicates on any
+    dimension skip most files. Same layout contract as Delta/Iceberg
+    OPTIMIZE ZORDER BY, expressed with stock Spark writes. Per-column
+    resolution is min(bits, 63 // D) — each added dimension costs
+    resolution on all of them (the classic z-order diminishing return;
+    2-4 columns is the useful range).
 
-    Each column is first normalized to a `bits`-bit rank via its global
-    min/max (two 1-row aggregates folded into the plan — no driver-side
-    stats pass), then range-partitioned + sorted by the interleaved code
-    so file boundaries follow the curve."""
+    Each column is first normalized to a rank via its global min/max
+    (1-row aggregate folded into the plan - no driver-side stats pass),
+    then range-partitioned + sorted by the interleaved code so file
+    boundaries follow the curve."""
     from pyspark.sql import functions as F
 
-    a, b = cols
+    if not 2 <= len(cols) <= 8:
+        raise ValueError(f"z-order needs 2-8 columns, got {len(cols)}")
+    bits = min(bits, 63 // len(cols))
     span = (1 << bits) - 1
     stats = df.agg(
-        F.min(a).alias("__amin"),
-        F.max(a).alias("__amax"),
-        F.min(b).alias("__bmin"),
-        F.max(b).alias("__bmax"),
+        *[
+            agg
+            for i, c in enumerate(cols)
+            for agg in (
+                F.min(c).alias(f"__min{i}"),
+                F.max(c).alias(f"__max{i}"),
+            )
+        ]
     )
-    scaled = (
-        df.join(F.broadcast(stats))
-        .withColumn(
-            "__ax",
+    scaled = df.join(F.broadcast(stats))
+    rank_cols = []
+    for i, c in enumerate(cols):
+        rc = f"__r{i}"
+        scaled = scaled.withColumn(
+            rc,
             F.floor(
-                (F.col(a) - F.col("__amin"))
+                (F.col(c) - F.col(f"__min{i}"))
                 * span
-                / F.greatest(F.col("__amax") - F.col("__amin"), F.lit(1))
+                / F.greatest(
+                    F.col(f"__max{i}") - F.col(f"__min{i}"), F.lit(1)
+                )
             ).cast("long"),
         )
-        .withColumn(
-            "__bx",
-            F.floor(
-                (F.col(b) - F.col("__bmin"))
-                * span
-                / F.greatest(F.col("__bmax") - F.col("__bmin"), F.lit(1))
-            ).cast("long"),
-        )
-        .withColumn("__z", _morton_code("__ax", "__bx", bits))
+        rank_cols.append(rc)
+    scaled = scaled.withColumn("__z", _morton_code_n(rank_cols, bits))
+    drop = (
+        rank_cols
+        + ["__z"]
+        + [f"__min{i}" for i in range(len(cols))]
+        + [f"__max{i}" for i in range(len(cols))]
     )
     (
         scaled.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__ax", "__bx", "__z", "__amin", "__amax", "__bmin", "__bmax")
+        .drop(*drop)
         .write.mode("errorifexists")
         .parquet(dest)
     )

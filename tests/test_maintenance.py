@@ -105,3 +105,45 @@ def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     # of row groups an unsorted/wrong-sorted layout would scan
     assert matching_fraction("l_orderkey", probes_o) < 0.6
     assert matching_fraction("l_partkey", probes_p) < 0.6
+
+
+def test_zorder_three_columns_prune_all_dims(spark, sf_dir, tmp_path):
+    """The N-column generalization: three interleaved columns all get
+    min/max pruning (at reduced per-column resolution, 63//3 = 21
+    bits — still far above the 16-bit rank grid)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from core_telecoms_etl_spark.sources.maintenance import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "z3")
+    write_zordered(
+        li, zdir, cols=("l_orderkey", "l_partkey", "l_suppkey"), n_files=16
+    )
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+
+    files = sorted(glob.glob(zdir + "/*.parquet"))
+
+    def matching_fraction(col, probes):
+        hits = total = 0
+        for v in probes:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.row_group(rg).num_columns):
+                        c = md.row_group(rg).column(ci)
+                        if c.path_in_schema == col:
+                            total += 1
+                            if c.statistics.min <= v <= c.statistics.max:
+                                hits += 1
+        return hits / total
+
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        lo, hi = li.agg(F.min(col), F.max(col)).first()
+        probes = [lo + (hi - lo) * q // 10 for q in (1, 5, 9)]
+        assert matching_fraction(col, probes) < 0.75, col
