@@ -104,6 +104,11 @@ _CHECK_ORDER: tuple[str, ...] = (
     "volume_shipping",
     "market_share",
     "promo_revenue",
+    # -- r6: anti_join/exists_subquery rewritten with filtered right
+    # -- sides so their differences are NON-EMPTY (they returned 0
+    # -- rows since r1 — trivially green; byte-change → head slots)
+    "anti_join",
+    "exists_subquery",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",
@@ -126,19 +131,19 @@ _CHECK_ORDER: tuple[str, ...] = (
     "filter_predicate",
     "inner_join_dim",
     "semi_join",
-    "anti_join",
     # ---- the 50-query window boundary falls here; every entry from
     # ---- here down was green in a prior driver window (r1–r5)
     # ---- and is byte-stable since; left_outer_join/full_outer_join/
     # ---- count_filter/distinct_agg/window_rank/window_lag/
     # ---- window_running_sum/order_by/dedup_rows/pivot_agg/cube_agg/
-    # ---- percentile_agg/exists_subquery/scalar_subquery/
-    # ---- exists_group_agg/window_value_funcs/stats_agg/
-    # ---- histogram_agg/string_agg (last green r1) slipped just
-    # ---- below when the nineteen new r6 queries took head slots —
-    # ---- they are first in line for the r7 rotation, followed by
-    # ---- multimodal_meta/star_fact_complaints/funnel/token_topk/
-    # ---- tf_idf and the r4 block
+    # ---- percentile_agg/scalar_subquery/exists_group_agg/
+    # ---- window_value_funcs/stats_agg/histogram_agg/string_agg
+    # ---- (last green r1) slipped just below when the nineteen new
+    # ---- r6 queries plus the two non-empty rewrites (anti_join,
+    # ---- exists_subquery) took head slots — they are first in line
+    # ---- for the r7 rotation, followed by multimodal_meta/
+    # ---- star_fact_complaints/funnel/token_topk/tf_idf and the
+    # ---- r4 block
     "left_outer_join",
     "full_outer_join",
     "count_filter",
@@ -151,7 +156,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "pivot_agg",
     "cube_agg",
     "percentile_agg",
-    "exists_subquery",
     "scalar_subquery",
     "exists_group_agg",
     "window_value_funcs",

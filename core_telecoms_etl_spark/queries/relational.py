@@ -228,16 +228,24 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "anti_join",
     oracle="""SELECT c_custkey, c_name FROM customer c
-              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderpriority = '1-URGENT')""",
 )
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the ref's skip-processed-files set difference
     (plugins/s3_copy.py:84-99; ledger probe snowflake_load.py:108-121),
-    set-at-a-time."""
+    set-at-a-time. The right side is filtered (customers with no
+    URGENT order) so the difference is NON-EMPTY at every scale — the
+    original every-customer-has-orders form returned 0 rows, which
+    matches any oracle trivially (r6: the checker now flags empty
+    passes as weak signals)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -727,21 +735,23 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "exists_subquery",
-    oracle="""SELECT s_suppkey, s_name FROM supplier s
+    oracle="""SELECT c_custkey, c_name FROM customer c
               WHERE NOT EXISTS (
-                SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
-                  AND l.l_quantity > 45)""",
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '5-LOW')""",
 )
 def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated NOT EXISTS — Catalyst decorrelates it to a left-anti
-    join (no per-row subquery execution)."""
-    for t in ("supplier", "lineitem"):
+    join (no per-row subquery execution). Predicate chosen to be
+    NON-EMPTY at every scale (the original supplier/quantity form
+    returned 0 rows — trivially green; r6 checker flags that)."""
+    for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
-        """SELECT s_suppkey, s_name FROM supplier s
+        """SELECT c_custkey, c_name FROM customer c
            WHERE NOT EXISTS (
-             SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
-               AND l.l_quantity > 45)"""
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '5-LOW')"""
     )
 
 
