@@ -1744,8 +1744,8 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                JOIN customer c ON o.o_custkey = c.c_custkey
                JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
                JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-               WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+                   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
                GROUP BY 1, 2, 3""",
 )
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,11 +1768,11 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("cust_nation"),
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1")
-        & (F.col("cust_nation") == "NATION_2")
+        (F.col("supp_nation") == "NATION_18")
+        & (F.col("cust_nation") == "NATION_19")
     ) | (
-        (F.col("supp_nation") == "NATION_2")
-        & (F.col("cust_nation") == "NATION_1")
+        (F.col("supp_nation") == "NATION_19")
+        & (F.col("cust_nation") == "NATION_18")
     )
     return (
         li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
