@@ -109,6 +109,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     # -- rows since r1 — trivially green; byte-change → head slots)
     "anti_join",
     "exists_subquery",
+    "tf_idf",
     # -- r6: streaming read path's ensure_session_confs call scoped
     # -- (nanos opt-in) — re-confirm the whole events/stream family
     "stream_dedup",
@@ -129,21 +130,21 @@ _CHECK_ORDER: tuple[str, ...] = (
     "json_scan",
     "rename_map",
     "filter_predicate",
-    "inner_join_dim",
-    "semi_join",
     # ---- the 50-query window boundary falls here; every entry from
     # ---- here down was green in a prior driver window (r1–r5)
-    # ---- and is byte-stable since; left_outer_join/full_outer_join/
-    # ---- count_filter/distinct_agg/window_rank/window_lag/
-    # ---- window_running_sum/order_by/dedup_rows/pivot_agg/cube_agg/
-    # ---- percentile_agg/scalar_subquery/exists_group_agg/
-    # ---- window_value_funcs/stats_agg/histogram_agg/string_agg
-    # ---- (last green r1) slipped just below when the nineteen new
-    # ---- r6 queries plus the two non-empty rewrites (anti_join,
-    # ---- exists_subquery) took head slots — they are first in line
-    # ---- for the r7 rotation, followed by multimodal_meta/
-    # ---- star_fact_complaints/funnel/token_topk/tf_idf and the
-    # ---- r4 block
+    # ---- and is byte-stable since; inner_join_dim/semi_join/
+    # ---- left_outer_join/full_outer_join/count_filter/distinct_agg/
+    # ---- window_rank/window_lag/window_running_sum/order_by/
+    # ---- dedup_rows/pivot_agg/cube_agg/percentile_agg/
+    # ---- scalar_subquery/exists_group_agg/window_value_funcs/
+    # ---- stats_agg/histogram_agg/string_agg (last green r1) slipped
+    # ---- just below when the nineteen new r6 queries plus the three
+    # ---- non-empty rewrites (anti_join, exists_subquery, tf_idf)
+    # ---- took head slots — they are first in line for the r7
+    # ---- rotation, followed by multimodal_meta/
+    # ---- star_fact_complaints/funnel/token_topk and the r4 block
+    "inner_join_dim",
+    "semi_join",
     "left_outer_join",
     "full_outer_join",
     "count_filter",
@@ -169,7 +170,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "star_fact_complaints",
     "funnel",
     "token_topk",
-    "tf_idf",
     "string_funcs_extended",
     "approx_count_distinct",
     "approx_quantiles",

@@ -324,7 +324,7 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
                         AS tf_idf
                FROM tf JOIN df USING (token) CROSS JOIN n
-               WHERE df.df <= 200""",
+               WHERE df.df * 5 <= 2 * n.n_docs""",
 )
 def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weights via the inverted index: term frequencies and
@@ -332,18 +332,23 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the df table is small (vocabulary-sized) and broadcasts into the join.
     Weights rounded at 6dp to absorb any last-ulp ln() difference between
     math libraries. The df cap drops stop-tokens (standard, and keeps the
-    hot keys out of the join). n_docs rides in as a broadcast cross join
-    of a 1-row aggregate — ONE plan, no separate driver-side count job."""
+    hot keys out of the join) and is SCALE-RELATIVE — df <= 40% of
+    n_docs, as an integer inequality df*5 <= 2*n_docs; the original
+    absolute df <= 200 emptied the result at sf0.1, where every token's
+    df exceeds it (trivially green - the r6 empty-result audit). n_docs
+    rides in as a broadcast cross join of a 1-row aggregate — ONE plan,
+    no separate driver-side count job."""
     d = load_table(spark, sf_dir, "documents")
     n = d.agg(F.count("*").alias("n_docs"))
     toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
-    ).filter(F.col("df") <= 200)
+    )
     return (
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 5 <= 2 * F.col("n_docs"))
         .select(
             "doc_id",
             "token",
