@@ -1903,3 +1903,100 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(_disc_price_grid())
         ).alias("promo_share")
     )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                           * CAST(round((1-l_discount)*100) AS BIGINT))
+                         AS total_grid
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey),
+              m AS (SELECT max(total_grid) AS mx FROM rev)
+              SELECT s.s_suppkey, s.s_name,
+                     CAST(rev.total_grid AS DOUBLE) / 10000.0
+                       AS total_revenue
+              FROM rev CROSS JOIN m
+              JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+              WHERE rev.total_grid = m.mx""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) with maximum quarterly
+    revenue: per-supplier grid aggregation, the 1-row global max
+    broadcast back, EQUALITY selection (ties all kept — safe only
+    because revenue is an exact BIGINT; float revenue would make
+    `= max` engine-dependent, the very trap Q15 is famous for).
+    Shipdate filter pushes to the scan; one shuffle on suppkey."""
+    li, sup = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price_grid()).alias("total_grid"))
+    )
+    mx = rev.agg(F.max("total_grid").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_grid") == F.col("mx"))
+        .join(sup, F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_grid").cast("double") / 10000.0).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+              SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                     CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                     big.total_qty
+              FROM big
+              JOIN orders o ON big.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — customers behind very large orders:
+    aggregate-HAVING on the fact (integer quantity grid, exact
+    threshold), then the qualifying key set joins back to orders and
+    the customer dim. The HAVING prunes before any join — at 100 TB
+    the order⋈customer chain sees only the big-order keys, never the
+    fact table."""
+    li, orders, cust = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
