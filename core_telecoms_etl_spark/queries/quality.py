@@ -1,8 +1,11 @@
-"""Data-quality queries (SURVEY.md §2.12 Q1/Q2) — the dbt schema tests
-(not_null / unique on business keys, dbt facts/schema.yml:7-26,
+"""Data-quality queries (SURVEY.md §2.12) — the dbt schema tests
+(Q1/Q2: not_null / unique on business keys, dbt facts/schema.yml:7-26,
 dimensions/schema.yml:5-9) as DataFrame aggregations returning violation
-counts. Executed here against the driver tables in the same fact/dim roles
-(orders/lineitem as facts, customer as dim).
+counts, executed against the driver tables in the same fact/dim roles
+(orders/lineitem as facts, customer as dim), plus the r6 audit
+extensions (Q3–Q6): referential-integrity orphan counts, day-grid
+completeness gaps, the Benford first-digit screen, and MAD robust
+outliers — the checks a production lake runs beyond dbt's schema tests.
 """
 
 from __future__ import annotations
