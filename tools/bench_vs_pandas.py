@@ -79,6 +79,77 @@ def main() -> None:
         }
     print(json.dumps({"metric": "clean_chain_vs_pandas", "results": results}))
 
+    # -- r6: the rolling-anomaly op vs the same algorithm in pandas
+    # (groupby/rolling — the natural single-process formulation the
+    # reference's worker model would reach for)
+    ev_path = f"{sf_dir}/events.parquet"
+
+    def pandas_anomaly(pdf: pd.DataFrame) -> int:
+        look, minp, zt = 20, 10, 3
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        v = (pdf["value"] * 100).round().astype("int64")
+        g = v.groupby(pdf["user_id"])
+        # trailing window EXCLUDING the current row
+        n = g.transform(lambda s: s.rolling(look, min_periods=1).count().shift(1)).fillna(0)
+        s = g.transform(lambda s: s.rolling(look, min_periods=1).sum().shift(1)).fillna(0)
+        ss = g.transform(lambda s: (s * s).rolling(look, min_periods=1).sum().shift(1)).fillna(0)
+        dev = n * v - s
+        flag = (n >= minp) & (dev * dev > zt * zt * (n * ss - s * s))
+        return int(flag.sum())
+
+    from core_telecoms_etl_spark.operators.temporal import (
+        rolling_zscore_anomaly,
+    )
+
+    anomaly_results = {}
+    for mult in (1, 8):
+        pdf = pd.read_parquet(ev_path)
+        if mult > 1:
+            parts = [pdf]
+            for i in range(1, mult):
+                p = pdf.copy()
+                p["user_id"] += i * 10_000_000
+                p["event_id"] += i * 10_000_000
+                parts.append(p)
+            pdf = pd.concat(parts, ignore_index=True)
+        t0 = time.time()
+        n_flagged = pandas_anomaly(pdf)
+        pandas_sec = round(time.time() - t0, 2)
+
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(ev_path)
+        if mult > 1:
+            base = df
+            for i in range(1, mult):
+                df = df.unionByName(
+                    base.withColumn(
+                        "user_id", F.col("user_id") + i * 10_000_000
+                    ).withColumn(
+                        "event_id", F.col("event_id") + i * 10_000_000
+                    )
+                )
+        plan = rolling_zscore_anomaly(df)
+        plan.write.mode("overwrite").format("noop").save()  # warm, untimed
+        t0 = time.time()
+        spark_flagged = plan.count()
+        spark_sec = round(time.time() - t0, 2)
+        assert spark_flagged == n_flagged, (spark_flagged, n_flagged)
+        anomaly_results[f"{mult}x"] = {
+            "flagged": n_flagged,
+            "pandas_sec": pandas_sec,
+            "spark_sec": spark_sec,
+            "speedup": round(pandas_sec / max(spark_sec, 0.01), 2),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "rolling_anomaly_vs_pandas",
+                "results": anomaly_results,
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
