@@ -1046,3 +1046,73 @@ def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_a="purchase",
         group_b="click",
     )
+
+
+@query(
+    "feature_scaling",
+    oracle="""WITH st AS (
+                SELECT event_type,
+                       min(value) AS mn, max(value) AS mx,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT)) AS ss
+                FROM events GROUP BY event_type)
+              SELECT e.event_id, e.event_type,
+                     CASE WHEN st.mx > st.mn
+                          THEN (e.value - st.mn) / (st.mx - st.mn)
+                     END AS minmax_scaled,
+                     CASE WHEN st.n > 1
+                            AND st.n * st.ss - st.s * st.s > 0
+                          THEN (e.value
+                                - CAST(st.s AS DOUBLE) / st.n / 100)
+                               / (sqrt(CAST(st.n * st.ss - st.s * st.s
+                                            AS DOUBLE)
+                                       / (CAST(st.n AS DOUBLE)
+                                          * (st.n - 1))) / 100)
+                     END AS zscore
+              FROM events e JOIN st ON e.event_type = st.event_type""",
+)
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling — the normalization step every ML
+    pipeline runs before training: min-max to [0,1] and z-score
+    standardization, with group statistics from ONE aggregation pass
+    broadcast back into the row scan (two passes by necessity —
+    corpus-relative scaling — but the second never shuffles).
+
+    Exactness: min/max are the parquet doubles themselves; mean and
+    sample std derive from exact BIGINT cent-grid accumulators with
+    token-for-token mirrored expressions (sum-of-squares form; the
+    /100 de-scalings stay OUTSIDE the sqrt so both engines run the
+    identical op sequence). Degenerate groups (constant value, n=1)
+    yield NULL via integer guards, never ANSI divide-by-zero."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    st = ev.groupBy(F.col("event_type").alias("__t")).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    j = ev.join(F.broadcast(st), F.col("event_type") == F.col("__t"))
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    minmax = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+    )
+    var_num = n * ss - s * s
+    mean = s.cast("double") / n / 100
+    std = (
+        F.sqrt(
+            var_num.cast("double") / (n.cast("double") * (n - F.lit(1)))
+        )
+        / 100
+    )
+    z = F.when((n > 1) & (var_num > 0), (F.col("value") - mean) / std)
+    return j.select(
+        "event_id",
+        "event_type",
+        minmax.alias("minmax_scaled"),
+        z.alias("zscore"),
+    )

@@ -28,3 +28,20 @@ def test_queries_run_at_smallest_sf(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, f"{name}: no columns"
         df.limit(5).collect()
+
+
+def test_check_order_is_exact_and_duplicate_free():
+    """_CHECK_ORDER must list every registry entry exactly once: a
+    missing name silently falls to the tail (out of its curated
+    window slot — the r6 json_scan near-miss), a duplicate shifts
+    every later query's window position."""
+    from collections import Counter
+
+    from core_telecoms_etl_spark import queries as q
+
+    q._load_all()
+    counts = Counter(q._CHECK_ORDER)
+    dups = [n for n, c in counts.items() if c > 1]
+    assert not dups, f"duplicated in _CHECK_ORDER: {dups}"
+    missing = set(q.REGISTRY) - set(q._CHECK_ORDER)
+    assert not missing, f"registered but not in _CHECK_ORDER: {missing}"
