@@ -229,3 +229,113 @@ def test_rolling_anomaly_matches_python_oracle(spark, values):
         if n >= minp and (n * v - s) ** 2 > zt * zt * (n * ss - s * s):
             expect.append(i)
     assert got == expect
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=50),  # minute
+        st.sampled_from(["signup", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=funnel_events)
+@_settings
+def test_windowed_funnel_matches_python_oracle(spark, events):
+    """Greedy-from-earliest horizon funnel equals a brute-force Python
+    chain over arbitrary event soup (duplicate stages, ties broken by
+    event order, horizon boundaries)."""
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.operators.funnel import funnel_counts
+
+    horizon = 600  # 10 minutes
+    stages = ["signup", "click", "purchase"]
+    rows = [
+        (i, u, datetime(2024, 1, 1, 0, m), t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = funnel_counts(df, stages, horizon_seconds=horizon).collect()[0]
+
+    def chain(user_events):
+        # greedy: stage i = earliest qualifying ts after stage i-1
+        times = []
+        prev = None
+        for s in stages:
+            cand = [
+                m * 60
+                for (m, t) in user_events
+                if t == s
+                and (prev is None or (m * 60 > prev and m * 60 <= prev + horizon))
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            times.append(prev)
+        return len(times)
+
+    by_user = {}
+    for u, m, t in events:
+        by_user.setdefault(u, []).append((m, t))
+    depths = [chain(evs) for evs in by_user.values()]
+    expect = [sum(1 for d in depths if d >= k) for k in (1, 2, 3)]
+    assert [
+        got.n_signup,
+        got.n_signup_click,
+        got.n_signup_click_purchase,
+    ] == expect
+
+
+diff_tables = st.tuples(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=10,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=10,
+    ),
+)
+
+
+@given(tables=diff_tables)
+@_settings
+def test_snapshot_diff_matches_python_oracle(spark, tables):
+    """Classification equals a dict-based diff for arbitrary key/value
+    maps including NULL values on either side."""
+    from core_telecoms_etl_spark.operators.scd import snapshot_diff
+
+    old_d, new_d = tables
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_d.items()] or [(None, None)],
+        "k long, v long",
+    ).filter("k IS NOT NULL")
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_d.items()] or [(None, None)],
+        "k long, v long",
+    ).filter("k IS NOT NULL")
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], include_unchanged=True
+        ).collect()
+    }
+    expect = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            expect[k] = "insert"
+        elif k not in new_d:
+            expect[k] = "delete"
+        elif old_d[k] != new_d[k]:
+            expect[k] = "update"
+        else:
+            expect[k] = "unchanged"
+    assert got == expect
