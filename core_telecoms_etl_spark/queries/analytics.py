@@ -1116,3 +1116,61 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax.alias("minmax_scaled"),
         z.alias("zscore"),
     )
+
+
+@query(
+    "weighted_median",
+    oracle="""WITH w AS (
+                SELECT l_returnflag, l_extendedprice AS price,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS wt
+                FROM lineitem GROUP BY 1, 2),
+              c AS (
+                SELECT l_returnflag, price, wt,
+                       sum(wt) OVER (PARTITION BY l_returnflag
+                                     ORDER BY price) AS cum,
+                       sum(wt) OVER (PARTITION BY l_returnflag)
+                         AS total
+                FROM w)
+              SELECT l_returnflag,
+                     min(price) FILTER (2 * cum >= total)
+                       AS weighted_median_price,
+                     CAST(min(total) AS BIGINT) AS total_weight
+              FROM c GROUP BY l_returnflag""",
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile every billing/settlement report needs (a median that
+    counts a 50-unit line 50 times). Selection is EXACT and
+    engine-unambiguous: the smallest price whose cumulative integer
+    weight reaches half the total (2·cum ≥ total — no float halves,
+    no interpolation semantics to disagree on). The cumulative window
+    runs over the per-(flag, price) aggregated relation — bounded by
+    distinct prices per flag, not fact rows; at extreme price
+    cardinality the same two-level range-bucketed prefix sum the KS
+    test uses applies unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("wt")
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("price")
+    c = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("wt")
+        .over(
+            Window.partitionBy("l_returnflag").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("price")))
+        .alias("weighted_median_price"),
+        F.min("total").cast("long").alias("total_weight"),
+    )
