@@ -1174,3 +1174,54 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_price"),
         F.min("total").cast("long").alias("total_weight"),
     )
+
+
+@query(
+    "activity_streaks",
+    oracle="""WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+              g AS (
+                SELECT user_id, day,
+                       day - CAST(row_number() OVER (
+                         PARTITION BY user_id ORDER BY day) AS INTEGER)
+                         AS grp
+                FROM d),
+              s AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len,
+                       min(day) AS streak_start
+                FROM g GROUP BY user_id, grp)
+              SELECT user_id,
+                     max(streak_len) AS longest_streak,
+                     CAST(count(*) AS BIGINT) AS n_streaks,
+                     min(streak_start) AS first_active_day
+              FROM s GROUP BY user_id""",
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (engagement/retention reporting): streaks
+    are islands where day − row_number(day) is constant, so one
+    per-user window + two integer aggregations find every run with no
+    self-join and no per-day explode. All dates/integers — exact."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            "day", F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.min("streak_start").alias("first_active_day"),
+    )
