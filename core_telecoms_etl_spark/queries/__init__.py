@@ -109,6 +109,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "feature_scaling",
     "weighted_median",
     "activity_streaks",
+    "pareto_classes",
     # -- r6: anti_join/exists_subquery rewritten with filtered right
     # -- sides so their differences are NON-EMPTY (they returned 0
     # -- rows since r1 — trivially green; byte-change → head slots)
@@ -129,22 +130,22 @@ _CHECK_ORDER: tuple[str, ...] = (
     # -- staleness rotation (VERDICT r5 #2): the block whose only green
     # -- is r1 — re-verify so no query's last green is >3 rounds old
     "parquet_scan",
-    "top_k",
     # ---- the 50-query window boundary falls here; every entry from
     # ---- here down was green in a prior driver window (r1–r5)
-    # ---- and is byte-stable since; dedup_latest_by_key/csv_scan/
-    # ---- json_scan/rename_map/
+    # ---- and is byte-stable since; top_k/dedup_latest_by_key/
+    # ---- csv_scan/json_scan/rename_map/
     # ---- filter_predicate/inner_join_dim/semi_join/left_outer_join/
     # ---- full_outer_join/count_filter/distinct_agg/window_rank/
     # ---- window_lag/window_running_sum/order_by/dedup_rows/
     # ---- pivot_agg/cube_agg/percentile_agg/scalar_subquery/
     # ---- exists_group_agg/window_value_funcs/stats_agg/
     # ---- histogram_agg/string_agg (last green r1) slipped just
-    # ---- below when the twenty-four new r6 queries plus the three
+    # ---- below when the twenty-five new r6 queries plus the three
     # ---- non-empty rewrites (anti_join, exists_subquery, tf_idf)
     # ---- took head slots — they are first in line for the r7
     # ---- rotation, followed by multimodal_meta/star_fact_complaints/
     # ---- funnel/token_topk and the r4 block
+    "top_k",
     "dedup_latest_by_key",
     "csv_scan",
     "json_scan",

@@ -1225,3 +1225,102 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_streaks"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+@query(
+    "pareto_classes",
+    oracle="""WITH rev AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                         AS g
+                FROM lineitem GROUP BY l_partkey),
+              t AS (SELECT sum(g) AS total FROM rev),
+              c AS (
+                SELECT g,
+                       sum(g) OVER (ORDER BY g DESC, l_partkey)
+                         AS cum
+                FROM rev),
+              cls AS (
+                SELECT g,
+                       CASE WHEN 5 * cum <= 4 * t.total THEN 'A'
+                            WHEN 20 * cum <= 19 * t.total THEN 'B'
+                            ELSE 'C' END AS abc
+                FROM c CROSS JOIN t)
+              SELECT abc,
+                     CAST(count(*) AS BIGINT) AS n_parts,
+                     CAST(sum(g) AS DOUBLE) / 100 AS revenue
+              FROM cls GROUP BY abc""",
+)
+def pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue (A = first 80%
+    of cumulative revenue, B = next 15%, C = tail) — the inventory
+    concentration report. Class boundaries are INTEGER inequalities
+    on exact grid sums (5·cum ≤ 4·total etc. — no float shares), so
+    membership is engine-unambiguous even at boundary parts. The
+    cumulative order is built with the same two-level range-bucketed
+    prefix sum as the KS CDFs (descending revenue + partkey
+    tiebreak) — the |parts|-sized relation never funnels through a
+    single-partition window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("g")
+    )
+    span = rev.agg(
+        F.min("g").alias("__lo"),
+        F.max("g").alias("__hi"),
+        F.sum("g").alias("total"),
+    )
+    n_b = 64
+    bucketed = rev.join(F.broadcast(span)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            # descending buckets: highest revenue -> bucket 0, so the
+            # bucket index is monotone in the (g DESC) scan order
+            F.lit(n_b - 1)
+            - F.least(
+                F.lit(n_b - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("g") - F.col("__lo"))
+                        * n_b
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc("g"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = bucketed.select(
+        "__bkt", "g", "total", F.sum("g").over(w_in).alias("__cin")
+    )
+    totals = bucketed.groupBy("__bkt").agg(F.sum("g").alias("__tb"))
+    wg = (
+        Window.partitionBy(F.pmod(F.col("__bkt"), F.lit(1)))
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "__bkt", (F.sum("__tb").over(wg) - F.col("__tb")).alias("__off")
+    )
+    cum = cum_in.join(F.broadcast(offsets), "__bkt").select(
+        "g",
+        "total",
+        (F.col("__off") + F.col("__cin")).alias("cum"),
+    )
+    abc = (
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return cum.groupBy(abc.alias("abc")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        (F.sum("g").cast("double") / 100).alias("revenue"),
+    )
