@@ -54,6 +54,17 @@ HEADLINE = [
     "ks_two_sample",
     "grouped_correlation",
     "copurchase_pairs",
+    # r7 additions — the nine TPC-H shapes completing the 22-query
+    # suite (Q2 Q9 Q11 Q12 Q16 Q19 Q20 Q21 Q22)
+    "min_cost_supplier",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "supplier_part_counts",
+    "discounted_revenue_or",
+    "part_promotion_suppliers",
+    "waiting_orders_suppliers",
+    "sales_opportunity",
 ]
 
 

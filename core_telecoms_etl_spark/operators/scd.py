@@ -97,9 +97,13 @@ def snapshot_diff(
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
         F.lit(1).alias("__in_new"),
     )
+    # null-safe key equality: a business key with a NULL component
+    # still matches its counterpart (otherwise the row shows up as a
+    # spurious insert+delete pair). `<=>` remains a hash-joinable
+    # equi-key, so the plan is the same single SortMergeJoin/exchange.
     cond = None
     for c in key_cols:
-        eq = F.col(f"__ok_{c}") == F.col(f"__nk_{c}")
+        eq = F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
     # key-only tables (no compared columns) can only insert/delete —

@@ -111,3 +111,52 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias(est_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches (distinct-count set algebra) — thin parameterized
+# wrappers over Spark 4's builtin theta functions.
+# ---------------------------------------------------------------------------
+
+# Measured accuracy of theta_sketch_agg by lgNomEntries (BASELINE.md
+# "Sketch estimation-mode probe", 145k distinct keys, deep estimation
+# mode): 12 → 4.3% error, 14 → 1.16%, 16 → 0.09%. The builtin default
+# (12) sits inside a 5% tolerance "without margin" (VERDICT r6) — at
+# cluster scale the operand sketches should be built at ≥ 14, so that
+# is the engine default here. Cost: sketch state doubles per +1 lg
+# (2^lg 8-byte hashes max), still KB-scale — negligible next to the
+# scan it summarizes.
+THETA_DEFAULT_LG_NOM_ENTRIES = 14
+
+
+def theta_agg(col: str, lg_nom_entries: int = THETA_DEFAULT_LG_NOM_ENTRIES) -> Column:
+    """theta_sketch_agg(col, lg_nom_entries) as a Column.
+
+    `col` is a SQL expression string (so conditional sketches like
+    `CASE WHEN … THEN key END` work); lg_nom_entries ∈ [4, 26] per the
+    DataSketches spec — validated here so a typo fails at plan build,
+    not executor runtime."""
+    if not 4 <= lg_nom_entries <= 26:
+        raise ValueError(
+            f"lg_nom_entries must be in [4, 26], got {lg_nom_entries}"
+        )
+    return F.expr(f"theta_sketch_agg({col}, {lg_nom_entries})")
+
+
+def theta_estimate(col: str) -> Column:
+    """theta_sketch_estimate over a sketch column/expression string."""
+    return F.expr(f"theta_sketch_estimate({col})")
+
+
+def theta_union_estimate(a: str, b: str) -> Column:
+    return F.expr(f"theta_sketch_estimate(theta_union({a}, {b}))")
+
+
+def theta_intersection_estimate(a: str, b: str) -> Column:
+    return F.expr(f"theta_sketch_estimate(theta_intersection({a}, {b}))")
+
+
+def theta_difference_estimate(a: str, b: str) -> Column:
+    """|A \\ B| estimate. Error scales with the OPERAND sketches, not
+    the (possibly tiny) result — bound tolerance relative to |A|."""
+    return F.expr(f"theta_sketch_estimate(theta_difference({a}, {b}))")

@@ -62,193 +62,188 @@ def query(name: str, oracle: str | None = None):
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # -- r6 changes: theta oracle BIGINT cast (the r5 red row);
-    # -- groupby_agg/multi_join revenue sums moved to the unscaled
-    # -- integer grid (bit-identical, ~40% faster)
-    "theta_sketch_setops",
-    "groupby_agg",
-    "multi_join",
-    # -- r6: dedup.py touched (_ensure_parallelism partition probe;
-    # -- simhash full-width block mask) — these flow through it
-    "minhash_near_dup",
-    "simhash_signatures",
-    # -- NEW r6: count-min-sketch heavy hitters, shuffle-key skew
-    # -- diagnostics, SCD-2 point-in-time join (never driver-sampled)
-    "cms_heavy_hitters",
+    # ---- r7 window: head is EXACTLY 50 (the r6 off-by-one that
+    # ---- dropped quality_filter is fixed; pinned by
+    # ---- tests/test_entry.py::test_r7_window_head_is_exactly_50).
+    # ---- Slot policy, DATA-DRIVEN from tools/gen_inventory.py's
+    # ---- last-green scan of CORRECTNESS_r01..r06 (not narrative):
+    # -- (1) byte/operator changes this round: the two r6 red
+    # -- oracles (BIGINT casts; feature_binning also moved to
+    # -- integer-grid quartiles), snapshot_diff's eqNullSafe keys,
+    # -- theta's lg_nom_entries parameter
     "key_skew_profile",
-    "point_in_time_join",
-    "segment_boilerplate_dedup",
-    "stream_cms_heavy_hitters",
-    "time_grid_fill",
-    "time_grid_interpolate",
-    "weighted_sample",
-    # -- NEW this session: rolling z-score anomaly (divide-free BIGINT
-    # -- z² on the cent grid), CDC snapshot diff, A/B z-test readout,
-    # -- RFM quartile segmentation (never driver-sampled)
-    "rolling_anomaly",
-    "snapshot_diff",
-    "ab_test_stats",
-    "rfm_segments",
-    "markov_transitions",
-    "windowed_funnel",
-    "incremental_rollup",
-    "copurchase_pairs",
-    "mom_revenue_growth",
-    "grouped_correlation",
     "feature_binning",
-    "referential_integrity",
-    "completeness_gaps",
-    "benford_profile",
-    "mad_outliers",
-    "ks_two_sample",
-    "volume_shipping",
-    "market_share",
-    "promo_revenue",
-    "top_supplier_revenue",
-    "large_volume_customers",
-    "feature_scaling",
-    "weighted_median",
-    "activity_streaks",
-    "pareto_classes",
-    "iqr_outliers",
-    "traffic_heatmap",
-    # -- r6: anti_join/exists_subquery rewritten with filtered right
-    # -- sides so their differences are NON-EMPTY (they returned 0
-    # -- rows since r1 — trivially green; byte-change → head slots)
-    "anti_join",
-    "exists_subquery",
-    "tf_idf",
-    # -- r6: streaming read path's ensure_session_confs call scoped
-    # -- (nanos opt-in) — re-confirm the whole events/stream family
-    "stream_dedup",
-    "stream_tumbling",
-    "stream_static_join",
-    "stream_stateful",
-    "stream_session",
-    "stream_stream_join",
-    "events_tumbling",
+    "snapshot_diff",
+    "theta_sketch_setops",
+    # -- (2) NEW r7: the nine TPC-H shapes that were still missing
+    # -- (Q2 Q9 Q11 Q12 Q16 Q19 Q20 Q21 Q22) — all 22 now covered
+    "min_cost_supplier",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "supplier_part_counts",
+    "discounted_revenue_or",
+    "part_promotion_suppliers",
+    "waiting_orders_suppliers",
+    "sales_opportunity",
+    # -- (3) quality_filter: dropped from the r6 window by the
+    # -- off-by-one (ADVICE r6), last green r4 — leads the rotation
     "quality_filter",
-    # ---- the 50-query window boundary falls here (the head above is
-    # ---- exactly 50: 30 changed/new-this-round + tf_idf/anti_join/
-    # ---- exists_subquery rewrites + the 7-query stream family +
-    # ---- quality_filter at the edge — last green r4, 2 rounds old,
-    # ---- within the ≤3-round policy if it misses by one again).
-    # ---- Every entry from here down was green in a prior driver
-    # ---- window (r1–r5) and is byte-stable since; parquet_scan/
-    # ---- top_k/dedup_latest_by_key/csv_scan/json_scan/rename_map/
-    # ---- filter_predicate/inner_join_dim/semi_join/left_outer_join/
-    # ---- full_outer_join/count_filter/distinct_agg/window_rank/
-    # ---- window_lag/window_running_sum/order_by/dedup_rows/
-    # ---- pivot_agg/cube_agg/percentile_agg/scalar_subquery/
-    # ---- exists_group_agg/window_value_funcs/stats_agg/
-    # ---- histogram_agg/string_agg (last green r1) slipped just
-    # ---- below when the twenty-seven new r6 queries plus the three
-    # ---- non-empty rewrites (anti_join, exists_subquery, tf_idf)
-    # ---- took head slots — they are first in line for the r7
-    # ---- rotation (the r1 staleness block now rotates fully in
-    # ---- r7 — the head overflow left only quality_filter's slot),
-    # ---- followed by multimodal_meta/star_fact_complaints/funnel/
-    # ---- token_topk and the r4 block
-    "parquet_scan",
-    "top_k",
-    "dedup_latest_by_key",
-    "csv_scan",
-    "json_scan",
-    "rename_map",
-    "filter_predicate",
-    "inner_join_dim",
-    "semi_join",
-    "left_outer_join",
-    "full_outer_join",
-    "count_filter",
-    "distinct_agg",
-    "window_rank",
-    "window_lag",
-    "window_running_sum",
-    "order_by",
-    "dedup_rows",
-    "pivot_agg",
-    "cube_agg",
-    "percentile_agg",
-    "scalar_subquery",
-    "exists_group_agg",
-    "window_value_funcs",
-    "stats_agg",
-    "histogram_agg",
-    "string_agg",
-    "sessionize",
-    "events_sliding",
-    "session_window",
-    "multimodal_meta",
-    "star_fact_complaints",
-    "funnel",
-    "token_topk",
-    "string_funcs_extended",
-    "approx_count_distinct",
-    "approx_quantiles",
-    "hll_rollup",
-    "vector_topk_ivf",
-    "vector_topk_lsh",
-    "semantic_dedup",
-    "kll_quantile_rollup",
-    "sql_api",
-    "filter_agg_scalar",
-    "revenue_topk_shipping",
-    "local_supplier_volume",
-    "returned_item_report",
-    "salted_skew_join",
-    "near_dedup",
-    "near_dedup_layered",
-    "dedup_clusters",
-    "corpus_incremental_dedup",
-    "contamination",
-    "training_pipeline",
-    "deterministic_shuffle",
-    "sequence_pack",
-    "asof_join",
-    "range_join",
-    "vector_topk",
-    "cosine_pairs",
-    "embedding_norms",
-    "vector_quantize",
-    "text_exact_dedup",
-    "text_profile",
-    "text_chunks",
-    "pii_scrub",
-    "gopher_quality",
-    "domain_cap",
-    "domain_mixture",
-    "exact_k_sample",
-    "stratified_sample",
-    "bigram_surprisal",
-    "fuzzy_linkage",
-    "profile_table",
-    "dq_suite",
-    "pandas_udf_scalar",
-    "grouped_map_zscore",
-    "salted_groupby",
-    "heavy_hitters",
-    "window_range_frame",
-    "asof_join_forward",
-    "window_rank_funcs",
-    "unpivot_metrics",
-    "null_safe_join",
-    "session_paths",
-    "text_repetition",
-    "scalar_subquery_filter",
-    "string_funcs",
-    "json_funcs",
-    "set_ops",
-    "date_funcs",
-    "math_funcs",
-    "null_handling",
-    "array_funcs",
-    "order_count_distribution",
-    "cohort_retention",
-    "dataset_split",
-    "scd2_history",
-    "upsert",
-    "window_rank_extended",
+    # -- (4) stale rotation, ascending last-green: ALL 33 r1-stale
+    # -- queries (the measured set — includes funnel/cohort_retention/
+    # -- dataset_split/scd2_history/upsert/window_rank_extended,
+    # -- which the r6 VERDICT's 30-query narrative missed), then
+    # -- 3 of the 6 r3-stale fill to exactly 50
+    "cohort_retention",  # green r1
+    "count_filter",  # green r1
+    "csv_scan",  # green r1
+    "cube_agg",  # green r1
+    "dataset_split",  # green r1
+    "dedup_latest_by_key",  # green r1
+    "dedup_rows",  # green r1
+    "distinct_agg",  # green r1
+    "exists_group_agg",  # green r1
+    "filter_predicate",  # green r1
+    "full_outer_join",  # green r1
+    "funnel",  # green r1
+    "histogram_agg",  # green r1
+    "inner_join_dim",  # green r1
+    "json_scan",  # green r1
+    "left_outer_join",  # green r1
+    "order_by",  # green r1
+    "parquet_scan",  # green r1
+    "percentile_agg",  # green r1
+    "pivot_agg",  # green r1
+    "rename_map",  # green r1
+    "scalar_subquery",  # green r1
+    "scd2_history",  # green r1
+    "semi_join",  # green r1
+    "stats_agg",  # green r1
+    "string_agg",  # green r1
+    "top_k",  # green r1
+    "upsert",  # green r1
+    "window_lag",  # green r1
+    "window_rank",  # green r1
+    "window_rank_extended",  # green r1
+    "window_running_sum",  # green r1
+    "window_value_funcs",  # green r1
+    "events_sliding",  # green r3
+    "multimodal_meta",  # green r3
+    "order_count_distribution",  # green r3
+    # ---- 50-query window boundary. Tail is ascending last-green
+    # ---- too, so the r8 rotation head reads straight off the top:
+    # ---- session_window / star_fact_complaints / token_topk (r3)
+    # ---- did not fit this round, then the r4 block.
+    "session_window",  # green r3
+    "star_fact_complaints",  # green r3
+    "token_topk",  # green r3
+    "array_funcs",  # green r4
+    "asof_join_forward",  # green r4
+    "bigram_surprisal",  # green r4
+    "date_funcs",  # green r4
+    "dq_suite",  # green r4
+    "fuzzy_linkage",  # green r4
+    "grouped_map_zscore",  # green r4
+    "heavy_hitters",  # green r4
+    "json_funcs",  # green r4
+    "math_funcs",  # green r4
+    "null_handling",  # green r4
+    "null_safe_join",  # green r4
+    "pandas_udf_scalar",  # green r4
+    "profile_table",  # green r4
+    "salted_groupby",  # green r4
+    "scalar_subquery_filter",  # green r4
+    "session_paths",  # green r4
+    "set_ops",  # green r4
+    "string_funcs",  # green r4
+    "text_repetition",  # green r4
+    "unpivot_metrics",  # green r4
+    "window_range_frame",  # green r4
+    "window_rank_funcs",  # green r4
+    "approx_count_distinct",  # green r5
+    "approx_quantiles",  # green r5
+    "asof_join",  # green r5
+    "contamination",  # green r5
+    "corpus_incremental_dedup",  # green r5
+    "cosine_pairs",  # green r5
+    "dedup_clusters",  # green r5
+    "deterministic_shuffle",  # green r5
+    "domain_cap",  # green r5
+    "domain_mixture",  # green r5
+    "embedding_norms",  # green r5
+    "exact_k_sample",  # green r5
+    "filter_agg_scalar",  # green r5
+    "gopher_quality",  # green r5
+    "hll_rollup",  # green r5
+    "kll_quantile_rollup",  # green r5
+    "local_supplier_volume",  # green r5
+    "near_dedup",  # green r5
+    "near_dedup_layered",  # green r5
+    "pii_scrub",  # green r5
+    "range_join",  # green r5
+    "returned_item_report",  # green r5
+    "revenue_topk_shipping",  # green r5
+    "salted_skew_join",  # green r5
+    "semantic_dedup",  # green r5
+    "sequence_pack",  # green r5
+    "sessionize",  # green r5
+    "sql_api",  # green r5
+    "stratified_sample",  # green r5
+    "string_funcs_extended",  # green r5
+    "text_chunks",  # green r5
+    "text_exact_dedup",  # green r5
+    "text_profile",  # green r5
+    "training_pipeline",  # green r5
+    "vector_quantize",  # green r5
+    "vector_topk",  # green r5
+    "vector_topk_ivf",  # green r5
+    "vector_topk_lsh",  # green r5
+    "ab_test_stats",  # green r6
+    "activity_streaks",  # green r6
+    "anti_join",  # green r6
+    "benford_profile",  # green r6
+    "cms_heavy_hitters",  # green r6
+    "completeness_gaps",  # green r6
+    "copurchase_pairs",  # green r6
+    "events_tumbling",  # green r6
+    "exists_subquery",  # green r6
+    "feature_scaling",  # green r6
+    "groupby_agg",  # green r6
+    "grouped_correlation",  # green r6
+    "incremental_rollup",  # green r6
+    "iqr_outliers",  # green r6
+    "ks_two_sample",  # green r6
+    "large_volume_customers",  # green r6
+    "mad_outliers",  # green r6
+    "market_share",  # green r6
+    "markov_transitions",  # green r6
+    "minhash_near_dup",  # green r6
+    "mom_revenue_growth",  # green r6
+    "multi_join",  # green r6
+    "pareto_classes",  # green r6
+    "point_in_time_join",  # green r6
+    "promo_revenue",  # green r6
+    "referential_integrity",  # green r6
+    "rfm_segments",  # green r6
+    "rolling_anomaly",  # green r6
+    "segment_boilerplate_dedup",  # green r6
+    "simhash_signatures",  # green r6
+    "stream_cms_heavy_hitters",  # green r6
+    "stream_dedup",  # green r6
+    "stream_session",  # green r6
+    "stream_stateful",  # green r6
+    "stream_static_join",  # green r6
+    "stream_stream_join",  # green r6
+    "stream_tumbling",  # green r6
+    "tf_idf",  # green r6
+    "time_grid_fill",  # green r6
+    "time_grid_interpolate",  # green r6
+    "top_supplier_revenue",  # green r6
+    "traffic_heatmap",  # green r6
+    "volume_shipping",  # green r6
+    "weighted_median",  # green r6
+    "weighted_sample",  # green r6
+    "windowed_funnel",  # green r6
 )
 
 

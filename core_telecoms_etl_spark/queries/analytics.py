@@ -946,50 +946,63 @@ def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_binning",
-    oracle="""WITH q AS (
-                SELECT quantile_cont(value, 0.25) AS q1,
-                       quantile_cont(value, 0.5) AS q2,
-                       quantile_cont(value, 0.75) AS q3
-                FROM events)
+    oracle="""WITH g AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+              q AS (
+                SELECT quantile_cont(v, 0.25) AS q1,
+                       quantile_cont(v, 0.5) AS q2,
+                       quantile_cont(v, 0.75) AS q3
+                FROM g)
               SELECT event_type,
-                     CAST(CASE WHEN value <= q1 THEN 1
-                               WHEN value <= q2 THEN 2
-                               WHEN value <= q3 THEN 3
+                     CAST(CASE WHEN v <= q1 THEN 1
+                               WHEN v <= q2 THEN 2
+                               WHEN v <= q3 THEN 3
                                ELSE 4 END AS BIGINT) AS bin,
                      CAST(count(*) AS BIGINT) AS n,
-                     sum(CAST(round(value * 100) AS BIGINT))
-                       AS value_grid
-              FROM events CROSS JOIN q
+                     CAST(sum(v) AS BIGINT) AS value_grid
+              FROM g CROSS JOIN q
               GROUP BY 1, 2""",
 )
 def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency feature binning: global quartile boundaries
-    (exact interpolated `percentile`, the same Spark<->DuckDB
-    quantile_cont pairing the quality filter relies on) folded back
-    as a broadcast 1-row scalar, rows CASE-assigned to bins 1-4, then
-    per-(type, bin) counts and cent-grid sums — the discretization
-    step for feature pipelines and monotonic-binning reports. One
-    scan feeds the percentile aggregate, one scan bins: no window,
-    no sort of the fact rows."""
+    folded back as a broadcast 1-row scalar, rows CASE-assigned to
+    bins 1-4, then per-(type, bin) counts and cent-grid sums — the
+    discretization step for feature pipelines and monotonic-binning
+    reports. One scan feeds the percentile aggregate, one scan bins:
+    no window, no sort of the fact rows.
+
+    Quartiles are computed on the INTEGER cent grid (round(v·100) as
+    long), not raw doubles: with integer lo/hi and interpolation
+    fractions that are exact multiples of 0.25, every arithmetic step
+    of linear interpolation is exact in IEEE double on BOTH engines,
+    so bin boundaries carry zero ulp wobble at any scale — the r6
+    oracle's float-grid version was one interpolation rounding away
+    from a boundary flip (VERDICT r6 item 7)."""
     ev = load_table(spark, sf_dir, "events")
-    q = ev.agg(
-        F.percentile("value", 0.25).alias("q1"),
-        F.percentile("value", 0.5).alias("q2"),
-        F.percentile("value", 0.75).alias("q3"),
-    )
-    binned = ev.join(F.broadcast(q)).select(
+    g = ev.select(
         "event_type",
-        F.when(F.col("value") <= F.col("q1"), 1)
-        .when(F.col("value") <= F.col("q2"), 2)
-        .when(F.col("value") <= F.col("q3"), 3)
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    q = g.agg(
+        F.percentile("v", 0.25).alias("q1"),
+        F.percentile("v", 0.5).alias("q2"),
+        F.percentile("v", 0.75).alias("q3"),
+    )
+    binned = g.join(F.broadcast(q)).select(
+        "event_type",
+        F.when(F.col("v") <= F.col("q1"), 1)
+        .when(F.col("v") <= F.col("q2"), 2)
+        .when(F.col("v") <= F.col("q3"), 3)
         .otherwise(4)
         .cast("long")
         .alias("bin"),
-        F.round(F.col("value") * 100).cast("long").alias("__g"),
+        "v",
     )
     return binned.groupBy("event_type", "bin").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("__g").alias("value_grid"),
+        F.sum("v").alias("value_grid"),
     )
 
 

@@ -147,10 +147,9 @@ def read_xml(
     one row per `row_tag` element, schema inferred unless given — the
     B2B/telco interchange format (TMF payloads, settlement files)
     that CSV/JSON sources don't cover. Schema inference costs an
-    extra pass, so production readers should pass `schema`. Avro
-    remains jar-gated (`spark-avro` is an external module; loud
-    AnalysisException without it) — not stubbed here because the
-    engine can't ship the jar."""
+    extra pass, so production readers should pass `schema`. Avro is
+    jar-gated (`spark-avro` is an external module) — see `read_avro`
+    for the guarded wrapper with an actionable error."""
     paths = [path] if isinstance(path, str) else list(path)
     r = spark.read.format("xml").option("rowTag", row_tag)
     if schema is not None:
@@ -486,3 +485,48 @@ def split_corrupt(
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = df.filter(F.col(corrupt_col).isNotNull())
     return clean, quarantine
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the 'avro' data source resolves on this session.
+
+    Probes Spark's OWN `DataSource.lookupDataSource` (the exact
+    resolution `spark.read.format("avro")` runs) rather than
+    Class.forName: the pyspark distribution ships some
+    `org.apache.spark.sql.avro` classes without registering the
+    provider, so a class-presence check false-positives."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(
+    spark: SparkSession, path: str | list[str], *, schema=None
+) -> DataFrame:
+    """Avro scan, guarded: spark-avro is an EXTERNAL Spark module
+    (`org.apache.spark:spark-avro_2.13:<spark-version>`), so without
+    the jar this raises a RuntimeError naming the exact --packages
+    coordinate instead of Spark's opaque 'Failed to find data source:
+    avro' AnalysisException deep in a job. With the jar present it is
+    a plain columnar scan — predicate pushdown and column pruning
+    work as for parquet (Avro is row-major, so pruning saves decode,
+    not IO; prefer parquet for analytics at rest, Avro for Kafka/
+    interchange). The last mainstream lake format gap from SURVEY
+    §2.1 S14 (VERDICT r6 item 6)."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath. Start the session "
+            "with --packages org.apache.spark:spark-avro_2.13:"
+            f"{spark.version} (or add the jar to spark.jars) and "
+            "retry. Avro support is an external Spark module and "
+            "cannot be bundled by this engine."
+        )
+    paths = [path] if isinstance(path, str) else list(path)
+    r = spark.read.format("avro")
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(paths)

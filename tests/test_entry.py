@@ -45,3 +45,31 @@ def test_check_order_is_exact_and_duplicate_free():
     assert not dups, f"duplicated in _CHECK_ORDER: {dups}"
     missing = set(q.REGISTRY) - set(q._CHECK_ORDER)
     assert not missing, f"registered but not in _CHECK_ORDER: {missing}"
+
+
+def test_r7_window_head_is_exactly_50():
+    """The driver samples the first 50 registry entries. The r6 window
+    comment claimed 'exactly 50' but the head was 51, silently dropping
+    quality_filter (ADVICE r6) — pin the intended boundary and the
+    rotation content: every r1-stale query (the MEASURED 33-query set
+    from tools/gen_inventory.last_green_rounds, not the VERDICT's
+    30-query narrative) must be inside the window."""
+    import sys
+
+    from core_telecoms_etl_spark import queries as q
+
+    q._load_all()
+    head = list(q._CHECK_ORDER[:50])
+    assert head[0] == "key_skew_profile"
+    assert "quality_filter" in head, "quality_filter dropped again"
+
+    sys.path.insert(0, "tools")
+    from gen_inventory import last_green_rounds
+
+    green = last_green_rounds()
+    r1_stale = {n for n in q.REGISTRY if green.get(n) == 1}
+    missed = r1_stale - set(head)
+    assert not missed, f"r1-stale queries outside the window: {missed}"
+    never_green = {n for n in q.REGISTRY if n not in green}
+    missed_new = never_green - set(head)
+    assert not missed_new, f"never-green queries outside: {missed_new}"

@@ -105,6 +105,25 @@ def test_snapshot_diff_include_unchanged_and_null_transitions(spark):
     assert out == {1: "update", 2: "update"}
 
 
+def test_snapshot_diff_null_key_component(spark):
+    # a business key with a NULL component must still match across
+    # snapshots (eqNullSafe join keys) — never a spurious
+    # insert+delete pair (ADVICE r6)
+    old = spark.createDataFrame(
+        [(1, None, 10.0), (2, "x", 20.0)], "k long, k2 string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, None, 15.0), (2, "x", 20.0)], "k long, k2 string, v double"
+    )
+    out = {
+        (r.k, r.k2): r.change_type
+        for r in snapshot_diff(
+            old, new, key_cols=["k", "k2"], include_unchanged=True
+        ).collect()
+    }
+    assert out == {(1, None): "update", (2, "x"): "unchanged"}
+
+
 def test_ab_test_one_row_and_partition(spark):
     ev = _series(spark, [1.0] * 4)
     ev = ev.union(
