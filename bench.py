@@ -65,6 +65,13 @@ HEADLINE = [
     "part_promotion_suppliers",
     "waiting_orders_suppliers",
     "sales_opportunity",
+    # r7 extension batch: bloom-pruned semi join, BM25 retrieval,
+    # winsorization, last-touch attribution, erasure cascade
+    "bloom_prune_semi_join",
+    "bm25_retrieval",
+    "winsorize_features",
+    "attribution_last_touch",
+    "erasure_cascade",
 ]
 
 

@@ -160,3 +160,88 @@ def theta_difference_estimate(a: str, b: str) -> Column:
     """|A \\ B| estimate. Error scales with the OPERAND sketches, not
     the (possibly tiny) result — bound tolerance relative to |A|."""
     return F.expr(f"theta_sketch_estimate(theta_difference({a}, {b}))")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set-membership pruning) — relational build, literal-array
+# probe. Spark's own bloom machinery (`bloom_filter_agg`/`might_contain`)
+# is internal-only (not SQL-registered, probed r7), and the runtime
+# bloom-join rule only fires on shuffle joins it selects itself — so the
+# engine exposes an explicit, deterministic bloom for semi-join pruning.
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> list[int]:
+    """Build a bloom bitmask over `df[key_col]`, returned as a list of
+    n_bits/64 long words.
+
+    Plan: explode each key into `n_hashes` (xxhash64(key, seed) mod
+    n_bits) positions, groupBy word-index with a map-side-combined
+    bit_or — ONE shuffle of at most n_bits/64 tiny rows regardless of
+    input size — then collect the words (n_bits=2^20 → 16384 longs =
+    128 KB, the same DQ-sized-aggregate collect budget as
+    operators/dq.py). The mask ships to probes as a LITERAL array
+    inside the plan (broadcast with it), so the probe side is pure
+    codegen'd JVM expression work: zero extra shuffles, zero joins.
+
+    Determinism: xxhash64 + seed column — no RNG, bit-stable across
+    retries and engines. False-positive rate ≈ (1-e^{-kn/m})^k; at the
+    default m=2^20, k=5 it stays < 1% up to ~10^5 keys — size m to the
+    expected distinct-key count, the collect stays KB-scale to m=2^27.
+    """
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(n_hashes)])
+    ).alias("seed")
+    pos = F.pmod(F.xxhash64(F.col(key_col), F.col("seed")), F.lit(n_bits))
+    words = (
+        df.select(F.col(key_col), seeds)
+        .select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+        .collect()
+    )
+    out = [0] * (n_bits // 64)
+    for r in words:
+        out[r.word] = r.mask
+    return out
+
+
+def bloom_might_contain(
+    key: Column | str,
+    mask: list[int],
+    *,
+    n_hashes: int = 5,
+) -> Column:
+    """Membership-test Column against a `bloom_build` mask: AND over
+    the n_hashes probed bits, each an element_at + bitwise-and on the
+    literal word array — whole-stage-codegen JVM work, no shuffle, no
+    join. NEVER false-negative; false positives per the build's rate,
+    so exact semantics require a verifying join AFTER this prune."""
+    c = F.col(key) if isinstance(key, str) else key
+    n_bits = len(mask) * 64
+    arr = F.lit(mask)
+    cond = F.lit(True)
+    for seed in range(n_hashes):
+        pos = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(n_bits))
+        word = F.element_at(arr, ((pos / 64).cast("int") + 1))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond

@@ -132,8 +132,16 @@ _CHECK_ORDER: tuple[str, ...] = (
     "order_count_distribution",  # green r3
     # ---- 50-query window boundary. Tail is ascending last-green
     # ---- too, so the r8 rotation head reads straight off the top:
-    # ---- session_window / star_fact_complaints / token_topk (r3)
-    # ---- did not fit this round, then the r4 block.
+    # ---- first the five NEW r7 extension queries that did not fit
+    # ---- (the window's 50 slots went to the changed/TPC-H/r1-stale
+    # ---- rotation; these five are differential-verified at
+    # ---- sf0.001/0.01/0.1 in the meantime), then session_window /
+    # ---- star_fact_complaints / token_topk (r3), then the r4 block.
+    "bloom_prune_semi_join",  # NEW r7
+    "bm25_retrieval",  # NEW r7
+    "winsorize_features",  # NEW r7
+    "attribution_last_touch",  # NEW r7
+    "erasure_cascade",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

@@ -1363,3 +1363,79 @@ def traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "winsorize_features",
+    oracle="""WITH g AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+              q AS (
+                SELECT event_type AS qt,
+                       CAST(round(quantile_cont(v, 0.05)) AS BIGINT)
+                         AS lo,
+                       CAST(round(quantile_cont(v, 0.95)) AS BIGINT)
+                         AS hi
+                FROM g GROUP BY 1)
+              SELECT g.event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN g.v < q.lo THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_clipped_low,
+                     CAST(sum(CASE WHEN g.v > q.hi THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_clipped_high,
+                     CAST(sum(CASE WHEN g.v < q.lo THEN q.lo
+                                   WHEN g.v > q.hi THEN q.hi
+                                   ELSE g.v END) AS DOUBLE) / 100.0
+                       AS sum_winsorized
+              FROM g JOIN q ON g.event_type = q.qt
+              GROUP BY 1""",
+)
+def winsorize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at the 5th/95th percentile) — the
+    outlier-robust feature transform every training pipeline applies
+    before scaling. Plan: per-type percentile bounds from ONE grouped
+    aggregate over the integer cent grid, broadcast back (group count
+    is event-type-sized, tiny), rows CASE-clipped JVM-side, then one
+    grouped sum — two fact passes total, no window, no sort of fact
+    rows.
+
+    Exactness: percentiles interpolate on exact integers and are then
+    ROUNDED to the grid (identical doubles → identical rounding both
+    engines), so clip bounds are exact BIGINTs, clipped values stay
+    on the integer grid, and the winsorized sum is exact long
+    arithmetic with one final divide — no float-summation-order risk
+    at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    q = g.groupBy(F.col("event_type").alias("qt")).agg(
+        F.round(F.percentile("v", 0.05)).cast("bigint").alias("lo"),
+        F.round(F.percentile("v", 0.95)).cast("bigint").alias("hi"),
+    )
+    clipped = g.join(
+        F.broadcast(q), g["event_type"] == F.col("qt")
+    ).select(
+        "event_type",
+        "v",
+        "lo",
+        "hi",
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+        .alias("w"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        (F.sum("w").cast("double") / F.lit(100.0)).alias(
+            "sum_winsorized"
+        ),
+    )

@@ -360,3 +360,71 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_error_bound"),
         )
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""WITH attrib AS (
+                SELECT event_type, value,
+                       coalesce(
+                         last_value(CASE WHEN event_type <> 'purchase'
+                                         THEN event_type END
+                                    IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW),
+                         'direct') AS channel
+                FROM events)
+              SELECT channel,
+                     CAST(count(*) AS BIGINT) AS n_purchases,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS attributed_value
+              FROM attrib
+              WHERE event_type = 'purchase'
+              GROUP BY 1""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding non-purchase event type (the
+    'channel'), 'direct' when none precedes — the revenue-attribution
+    readout behind campaign dashboards. Plan: ONE per-user window
+    (running `last(..., ignorenulls)` over a forward frame — no
+    self-join per touchpoint), then a grouped sum over the purchase
+    rows; attributed revenue on the exact cent grid. Ordering is made
+    deterministic by the (ts, event_id) tiebreak so same-timestamp
+    events attribute identically on both engines. At 100 TB: one
+    shuffle on user_id, partitions bounded by per-user event counts
+    (`key_skew_profile` measures exactly this key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attrib = ev.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.last(
+                F.when(
+                    F.col("event_type") != "purchase", F.col("event_type")
+                ),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("direct"),
+        ).alias("channel"),
+    )
+    return (
+        attrib.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("attributed_value"),
+        )
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.queries import query
-from core_telecoms_etl_spark.sources.readers import load_table
+from core_telecoms_etl_spark.sources.readers import load_table, load_tables
 
 
 @query(
@@ -473,5 +473,66 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_high"),
             F.min("q1").alias("q1"),
             F.min("q3").alias("q3"),
+        )
+    )
+
+
+@query(
+    "erasure_cascade",
+    oracle="""WITH erase AS (
+                SELECT DISTINCT c_custkey FROM customer
+                WHERE c_acctbal < 0),
+              ord AS (
+                SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM erase))
+              SELECT 'customer' AS entity,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM customer
+              WHERE c_custkey IN (SELECT c_custkey FROM erase)
+              UNION ALL
+              SELECT 'orders', CAST(count(*) AS BIGINT) FROM ord
+              UNION ALL
+              SELECT 'lineitem', CAST(count(*) AS BIGINT)
+              FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM ord)""",
+)
+def erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact report (GDPR Art. 17 / CCPA delete):
+    given a subject key set (here: negative-balance customers), count
+    every row that a cascading delete would purge across the
+    foreign-key chain customer → orders → lineitem — the dry-run
+    report a governed lake produces BEFORE rewriting files. Plan:
+    the subject key set is distinct-collapsed once and broadcast into
+    LEFT SEMI joins down the chain (the derived order-key set is
+    itself the semi-join output, reused for the lineitem leg); each
+    leg is one scan + one count, no full-table joins, no fact
+    shuffle beyond the semi joins. The same chain with `left_anti`
+    IS the purge (writers.write_parquet on the survivors)."""
+    cust, orders, li = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    erase = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+        .distinct()
+    )
+    ord_keys = orders.join(
+        F.broadcast(erase), orders["o_custkey"] == erase["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    n_cust = cust.join(
+        F.broadcast(erase), "c_custkey", "left_semi"
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    n_ord = ord_keys.agg(F.count("*").cast("long").alias("n_rows"))
+    n_li = li.join(
+        ord_keys.hint("broadcast"),
+        li["l_orderkey"] == ord_keys["o_orderkey"],
+        "left_semi",
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    return (
+        n_cust.select(F.lit("customer").alias("entity"), "n_rows")
+        .unionAll(n_ord.select(F.lit("orders").alias("entity"), "n_rows"))
+        .unionAll(
+            n_li.select(F.lit("lineitem").alias("entity"), "n_rows")
         )
     )

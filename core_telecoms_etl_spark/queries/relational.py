@@ -2592,3 +2592,56 @@ def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "bloom_prune_semi_join",
+    oracle="""SELECT l.l_returnflag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(l.l_quantity) AS BIGINT))
+                          AS BIGINT) AS total_qty
+              FROM lineitem l
+              WHERE l.l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    WHERE s_acctbal < 2000)
+              GROUP BY 1""",
+)
+def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (§2.15 shuffle-strategy family): the
+    fact is pre-filtered by a bloom bitmask of the qualifying dim
+    keys BEFORE the verifying semi join, so at 100 TB the exchange
+    carries only rows that (probably) match — the explicit form of
+    the runtime-filter optimization Spark's own bloom-join applies
+    only to joins it selects itself (its `might_contain` is not
+    SQL-registered; probed r7, `operators/sketches.py`).
+
+    Plan: bloom build = one shuffle of ≤ n_bits/64 tiny bit_or rows +
+    a 128 KB DQ-budget collect; the mask rides the plan as a literal
+    array, so the probe is whole-stage-codegen expression work — no
+    broadcast exchange, no extra join. Bloom passes then verify
+    through an exact LEFT SEMI join against the (broadcast) key set:
+    false positives are removed, false negatives are impossible, so
+    the result is EXACTLY the plain semi join the oracle runs."""
+    from core_telecoms_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    li, sup = load_tables(spark, sf_dir, "lineitem", "supplier")
+    bad = sup.filter(F.col("s_acctbal") < 2000).select("s_suppkey")
+    mask = bloom_build(bad, "s_suppkey", n_bits=1 << 17, n_hashes=5)
+    pruned = li.filter(bloom_might_contain("l_suppkey", mask, n_hashes=5))
+    return (
+        pruned.join(
+            F.broadcast(bad),
+            pruned["l_suppkey"] == bad["s_suppkey"],
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+        )
+    )

@@ -1094,3 +1094,106 @@ def segment_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_tokens=10,
         max_df=2,
     )
+
+
+_BM25_TERMS = "['join', 'window', 'spark']"
+
+
+@query(
+    "bm25_retrieval",
+    oracle=f"""WITH toks AS (
+                 SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+               dl AS (
+                 SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                 FROM toks GROUP BY doc_id),
+               stats AS (
+                 SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+                 FROM dl),
+               tf AS (
+                 SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                 FROM toks
+                 WHERE list_contains({_BM25_TERMS}, token)
+                 GROUP BY doc_id, token),
+               df AS (
+                 SELECT token,
+                        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM tf GROUP BY token),
+               scored AS (
+                 SELECT tf.doc_id,
+                        sum(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df
+                                      + 0.5) / (CAST(df.df AS DOUBLE)
+                                      + 0.5))
+                            * (CAST(tf.tf AS DOUBLE) * 2.2)
+                            / (CAST(tf.tf AS DOUBLE)
+                               + 1.2 * (0.25 + 0.75
+                                        * CAST(dl.len AS DOUBLE)
+                                        / s.avgdl))) AS score
+                 FROM tf
+                 JOIN df ON tf.token = df.token
+                 JOIN dl ON tf.doc_id = dl.doc_id
+                 CROSS JOIN stats s
+                 GROUP BY tf.doc_id)
+               SELECT doc_id, round(score, 6) AS bm25
+               FROM scored
+               ORDER BY round(score, 6) DESC, doc_id
+               LIMIT 20""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed term set —
+    the lexical-search scoring behind RAG/eval retrieval pipelines
+    (Robertson & Spärck Jones probabilistic relevance; k1=1.2,
+    b=0.75). Plan: doc lengths and the (n_docs, avgdl) scalar come
+    from ONE exploded-token aggregation pass; term frequencies are
+    computed ONLY for the query terms (filter pushes below the tf
+    aggregate, so the shuffle carries query-term postings, never the
+    vocabulary); per-term df and the 1-row stats broadcast back;
+    TakeOrderedAndProject keeps the top-k without a global sort.
+
+    Engine parity: every float factor is the same mirrored IEEE
+    expression on exact BIGINT inputs (tf, df, len, n_docs); the only
+    cross-engine wobble source is ln(), absorbed by the same 6-dp
+    round the tf_idf oracle uses, and the k-boundary is made
+    deterministic by the (rounded score, doc_id) tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["join", "window", "spark"]
+    k1, b = 1.2, 0.75
+    toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy(F.col("token").alias("__t")).agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_term = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("len").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), tf["token"] == F.col("__t"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_term).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

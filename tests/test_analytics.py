@@ -195,3 +195,62 @@ def test_upsert_same_version_update_wins(spark):
         target, updates, key_cols=["id"], version_col="ver"
     ).collect()
     assert len(out) == 1 and out[0].v == "new"
+
+
+def test_attribution_first_event_purchase_is_direct(spark, tmp_path):
+    """A purchase with no preceding non-purchase event must credit
+    'direct', and same-timestamp ordering must follow the event_id
+    tiebreak (the determinism contract in the query docstring)."""
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.queries.events import (
+        attribution_last_touch,
+    )
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: purchase FIRST (direct), then click -> purchase
+        (1, t, 1, "purchase", 10.0, "{}"),
+        (2, t, 1, "click", 0.0, "{}"),  # same ts: event_id orders it
+        (3, t, 1, "purchase", 20.0, "{}"),
+        # user 2: view -> purchase
+        (4, t, 2, "view", 0.0, "{}"),
+        (5, t, 2, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {
+        r.channel: (r.n_purchases, r.attributed_value)
+        for r in attribution_last_touch(spark, sf).collect()
+    }
+    assert out == {"direct": (1, 10.0), "click": (1, 20.0),
+                   "view": (1, 5.0)}
+
+
+def test_winsorize_degenerate_group_all_equal(spark, tmp_path):
+    """A group whose values are all equal clips nothing and sums
+    exactly (lo == hi == v for every row)."""
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.queries.analytics import (
+        winsorize_features,
+    )
+
+    t = datetime(2024, 1, 1)
+    rows = [(i, t, 1, "flat", 2.5, "{}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    row = winsorize_features(spark, sf).collect()[0]
+    assert row.n == 10
+    assert row.n_clipped_low == 0 and row.n_clipped_high == 0
+    assert row.sum_winsorized == 25.0

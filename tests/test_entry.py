@@ -70,6 +70,18 @@ def test_r7_window_head_is_exactly_50():
     r1_stale = {n for n in q.REGISTRY if green.get(n) == 1}
     missed = r1_stale - set(head)
     assert not missed, f"r1-stale queries outside the window: {missed}"
+    # The five r7 extension queries deliberately yield their window
+    # slots to the 33-query r1-stale rotation (the r6 VERDICT's
+    # explicit priority); they lead the r8 rotation instead and are
+    # differential-verified at sf0.001/0.01/0.1 in the meantime.
+    deferred_to_r8 = {
+        "bloom_prune_semi_join", "bm25_retrieval", "winsorize_features",
+        "attribution_last_touch", "erasure_cascade",
+    }
     never_green = {n for n in q.REGISTRY if n not in green}
-    missed_new = never_green - set(head)
+    missed_new = never_green - set(head) - deferred_to_r8
     assert not missed_new, f"never-green queries outside: {missed_new}"
+    assert list(q._CHECK_ORDER[50:55]) == sorted(
+        deferred_to_r8,
+        key=list(q._CHECK_ORDER).index,
+    ), "deferred queries must lead the r8 rotation (slots 51-55)"

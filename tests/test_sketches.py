@@ -206,3 +206,24 @@ def test_theta_agg_rejects_bad_lg(spark):
         sk.theta_agg("k", lg_nom_entries=3)
     with _pytest.raises(ValueError):
         sk.theta_agg("k", lg_nom_entries=27)
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 5000).select(F.col("id").alias("k"))
+    mask = sk.bloom_build(keys, "k", n_bits=1 << 16, n_hashes=5)
+    hits = keys.filter(sk.bloom_might_contain("k", mask)).count()
+    assert hits == 5000  # every inserted key MUST pass
+
+
+def test_bloom_prunes_disjoint_keys(spark):
+    keys = spark.range(0, 1000).select(F.col("id").alias("k"))
+    mask = sk.bloom_build(keys, "k", n_bits=1 << 17, n_hashes=5)
+    probe = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+    fp = probe.filter(sk.bloom_might_contain("k", mask)).count()
+    # m=2^17, k=5, n=1000 -> theoretical fp ~ 1e-8; allow generous slack
+    assert fp < 50, f"false-positive rate too high: {fp}/50000"
+
+
+def test_bloom_rejects_bad_bits(spark):
+    with pytest.raises(ValueError):
+        sk.bloom_build(spark.range(1), "id", n_bits=100)
