@@ -142,6 +142,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "winsorize_features",  # NEW r7
     "attribution_last_touch",  # NEW r7
     "erasure_cascade",  # NEW r7
+    "stream_sliding",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

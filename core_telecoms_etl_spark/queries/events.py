@@ -11,6 +11,7 @@ from core_telecoms_etl_spark.operators.multimodal import binary_metadata
 from core_telecoms_etl_spark.queries import query
 from core_telecoms_etl_spark.sources.readers import load_table
 from core_telecoms_etl_spark.streaming.events import (
+    run_stream_sliding,
     run_stream_tumbling,
     sessionize,
     tumbling_agg,
@@ -30,6 +31,27 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 15-minute event-time aggregation (batch plan; identical
     logical plan drives the streaming variant below)."""
     return tumbling_agg(load_table(spark, sf_dir, "events"), "15 minutes")
+
+
+_SLIDING_ORACLE = """
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events,
+         unnest([time_bucket(INTERVAL '15 minutes', ts),
+                 time_bucket(INTERVAL '15 minutes', ts)
+                   - INTERVAL '15 minutes']) AS t(ws)
+    GROUP BY ws, event_type"""
+
+
+@query("stream_sliding", oracle=_SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation (30m window / 15m slide — the
+    batch `events_sliding` plan) executed through Structured Streaming
+    and checked against the same oracle: completes the batch/stream
+    parity pairs (tumbling r1, session r4, sliding r7). Overlap state
+    is bounded by width/slide windows per key, watermark-evictable on
+    a live stream."""
+    return run_stream_sliding(spark, f"{sf_dir}/events.parquet")
 
 
 @query("stream_tumbling", oracle=_TUMBLING_ORACLE)

@@ -141,6 +141,57 @@ def run_stream_tumbling(
     return spark.table(query_name)
 
 
+def sliding_agg(
+    events: DataFrame,
+    width: str = "30 minutes",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (width/slide overlapping copies per
+    event — Spark's window generator expands them; 2 per event at
+    30m/15m): count + 2-decimal-snapped value sum per (window, type).
+    Identical plan batch or streaming — the batch/stream parity
+    contract the whole events family keeps."""
+    return (
+        events.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_stream_sliding(
+    spark: SparkSession,
+    path: str,
+    *,
+    width: str = "30 minutes",
+    slide: str = "15 minutes",
+    query_name: str = "stream_sliding_out",
+) -> DataFrame:
+    """Drive the sliding aggregation through Structured Streaming over
+    the parquet folder (complete-mode memory sink, same rationale as
+    run_stream_tumbling: one historical batch must emit every window)."""
+    stream = events_file_stream(spark, path)
+    agg = sliding_agg(stream, width, slide)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def stateful_user_totals(
     stream: DataFrame, *, user_col: str = "user_id"
 ) -> DataFrame:

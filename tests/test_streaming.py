@@ -377,3 +377,34 @@ def test_stream_upsert_foreachbatch_converges_to_batch_merge(spark, tmp_path):
     )
     again = {(r.k): (r.v, r.ver) for r in spark.read.parquet(target).collect()}
     assert again == expect
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    """Sliding-window batch/stream parity (the r7 pair completing the
+    tumbling/session/sliding trio): identical results through the
+    streaming path."""
+    from core_telecoms_etl_spark.sources.readers import load_table
+    from core_telecoms_etl_spark.streaming.events import (
+        run_stream_sliding,
+        sliding_agg,
+    )
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in sliding_agg(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in run_stream_sliding(
+            spark,
+            f"{sf_dir}/events.parquet",
+            query_name="test_stream_sliding_out",
+        ).collect()
+    }
+    assert streamed == batch
+    # width/slide = 2 overlapping windows per event: total n_events
+    # across windows is exactly 2× the event count
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(v[0] for v in batch.values()) == 2 * n_events

@@ -151,5 +151,92 @@ def main() -> None:
     )
 
 
+    # -- r7: last-touch attribution vs the same algorithm in pandas
+    # (sort + groupby-ffill — the single-process formulation)
+    def pandas_attribution(pdf: pd.DataFrame) -> dict:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        ch = pdf["event_type"].where(pdf["event_type"] != "purchase")
+        pdf = pdf.assign(
+            channel=ch.groupby(pdf["user_id"]).ffill().fillna("direct"),
+            cents=(pdf["value"] * 100).round().astype("int64"),
+        )
+        pur = pdf[pdf["event_type"] == "purchase"]
+        g = pur.groupby("channel").agg(
+            n=("channel", "size"), cents=("cents", "sum")
+        )
+        return {
+            str(k): (int(r.n), int(r.cents)) for k, r in g.iterrows()
+        }
+
+    from core_telecoms_etl_spark.queries.events import (
+        attribution_last_touch,
+    )
+    from pyspark.sql import functions as F
+
+    attrib_results = {}
+    # attribution is cheap enough per row that pandas' vectorized
+    # ffill wins until well past 8x - probe to 64x for the crossover
+    for mult in (1, 8, 64):
+        pdf = pd.read_parquet(ev_path)
+        if mult > 1:
+            parts = [pdf]
+            for i in range(1, mult):
+                p = pdf.copy()
+                p["user_id"] += i * 10_000_000
+                p["event_id"] += i * 10_000_000
+                parts.append(p)
+            pdf = pd.concat(parts, ignore_index=True)
+        t0 = time.time()
+        expect = pandas_attribution(pdf)
+        pandas_sec = round(time.time() - t0, 2)
+
+        if mult == 1:
+            src_dir = sf_dir
+        else:
+            src_dir = f"/tmp/spark_graft_attrib{mult}"
+            if not os.path.exists(f"{src_dir}/events.parquet"):
+                os.makedirs(src_dir, exist_ok=True)
+                base = spark.read.parquet(ev_path)
+                df = base
+                for i in range(1, mult):
+                    df = df.unionByName(
+                        base.withColumn(
+                            "user_id", F.col("user_id") + i * 10_000_000
+                        ).withColumn(
+                            "event_id", F.col("event_id") + i * 10_000_000
+                        )
+                    )
+                df.repartition(32).write.mode("overwrite").parquet(
+                    f"{src_dir}/events.parquet"
+                )
+        plan = attribution_last_touch(spark, src_dir)
+        plan.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        rows = plan.collect()
+        spark_sec = round(time.time() - t0, 2)
+        got = {
+            r.channel: (
+                r.n_purchases,
+                int(round(r.attributed_value * 100)),
+            )
+            for r in rows
+        }
+        assert got == expect, (got, expect)
+        attrib_results[f"{mult}x"] = {
+            "channels": len(got),
+            "pandas_sec": pandas_sec,
+            "spark_sec": spark_sec,
+            "speedup": round(pandas_sec / max(spark_sec, 0.01), 2),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "attribution_vs_pandas",
+                "results": attrib_results,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     main()
