@@ -339,3 +339,129 @@ def test_snapshot_diff_matches_python_oracle(spark, tables):
         else:
             expect[k] = "unchanged"
     assert got == expect
+
+
+bloom_keys = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(keys=bloom_keys)
+@_settings
+def test_bloom_never_false_negative_property(spark, keys):
+    """Structural bloom guarantee under arbitrary long keys (negative,
+    huge, adversarially close): every inserted key passes the probe."""
+    from core_telecoms_etl_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    mask = sk.bloom_build(df, "k", n_bits=1 << 12, n_hashes=4)
+    assert (
+        df.filter(sk.bloom_might_contain("k", mask, n_hashes=4)).count()
+        == len(keys)
+    )
+
+
+attrib_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # user
+        st.integers(min_value=0, max_value=50),    # ts offset (collides!)
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=0, max_value=10_000),  # value cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=attrib_events)
+@_settings
+def test_attribution_matches_python_oracle(spark, events, tmp_path_factory):
+    """Last-touch attribution vs a direct Python fold over the same
+    (ts, event_id)-ordered stream — including colliding timestamps,
+    purchase-first users, and purchase-only users."""
+    from core_telecoms_etl_spark.queries.events import (
+        attribution_last_touch,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=off), u, typ, cents / 100.0, "{}")
+        for i, (u, off, typ, cents) in enumerate(events)
+    ]
+    # python oracle: per user, ordered by (ts, event_id)
+    expect: dict[str, list[int]] = {}
+    last: dict[int, str] = {}
+    for eid, ts, u, typ, val, _ in sorted(
+        rows, key=lambda r: (r[2], r[1], r[0])
+    ):
+        if typ != "purchase":
+            last[u] = typ
+        else:
+            ch = last.get(u, "direct")
+            agg = expect.setdefault(ch, [0, 0])
+            agg[0] += 1
+            agg[1] += round(val * 100)
+    sf = str(tmp_path_factory.mktemp("attrib"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        r.channel: [r.n_purchases, int(round(r.attributed_value * 100))]
+        for r in attribution_last_touch(spark, sf).collect()
+    }
+    assert got == expect
+
+
+winsor_vals = st.lists(
+    st.integers(min_value=-(10**6), max_value=10**6),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=winsor_vals)
+@_settings
+def test_winsorize_invariants(spark, vals, tmp_path_factory):
+    """Winsorization invariants on arbitrary cent-grid data: clipped
+    counts match direct comparison against the rounded percentile
+    bounds, and the winsorized sum is within the clip bounds' reach."""
+    from core_telecoms_etl_spark.queries.analytics import (
+        winsorize_features,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base, 1, "t", v / 100.0, "{}") for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path_factory.mktemp("winsor"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    row = winsorize_features(spark, sf).collect()[0]
+    import math
+
+    import numpy as np
+
+    def round_half_away(x: float) -> int:
+        # Spark F.round and DuckDB round() both round half AWAY from
+        # zero; Python's round() banker's-rounds (14.5 -> 14) and
+        # flagged a false mismatch here
+        return int(math.floor(x + 0.5)) if x >= 0 else int(
+            math.ceil(x - 0.5)
+        )
+
+    a = np.array(sorted(vals), dtype=float)
+    lo = round_half_away(float(np.percentile(a, 5)))
+    hi = round_half_away(float(np.percentile(a, 95)))
+    assert row.n == len(vals)
+    assert row.n_clipped_low == int((a < lo).sum())
+    assert row.n_clipped_high == int((a > hi).sum())
+    w = np.clip(a, lo, hi)
+    assert abs(row.sum_winsorized - w.sum() / 100.0) < 1e-6
