@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from core_telecoms_etl_spark.caching import cache_scoped
 from core_telecoms_etl_spark.operators.text import (
     content_sha256,
     shingles_of,
@@ -107,7 +108,7 @@ def jaccard_pairs(
                 F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
             ).alias("shingles"),
         )
-    sh = sh.cache()
+    sh = cache_scoped("dedup.jaccard.shingles", sh)
     post = sh.select(
         "doc",
         F.size("shingles").alias("n_shingles"),
@@ -172,7 +173,7 @@ def contamination_pairs(
     At cluster scale switch the train side to persist(DISK_ONLY) or a
     checkpoint — or accept the 2-3× recompute and drop the cache."""
 
-    def _posts(df: DataFrame) -> DataFrame:
+    def _posts(df: DataFrame, slot: str) -> DataFrame:
         sh = _shingled(df, id_col, text_col, n)
         if hash_shingles:
             # see jaccard_pairs: keep hashed arrays distinct so in-doc
@@ -183,12 +184,13 @@ def contamination_pairs(
                     F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
                 ).alias("shingles"),
             )
-        return sh.cache().select(
+        # one slot per SIDE: train/test caches must stay live together
+        return cache_scoped(slot, sh).select(
             "doc", F.explode("shingles").alias("shingle")
         )
 
-    tr = _posts(train)
-    te = _posts(test)
+    tr = _posts(train, "dedup.decontam.train")
+    te = _posts(test, "dedup.decontam.test")
     pairs = (
         tr.select(F.col("doc").alias("train_id"), "shingle")
         .join(
@@ -308,7 +310,10 @@ def minhash_lsh_pairs(
     (band, bucket), then estimate jaccard as matching-minhash fraction
     and filter. Sub-quadratic: pairs form only inside LSH buckets."""
     r = k // bands
-    sig = minhash_signature(df, id_col, text_col, n=n, k=k).cache()
+    sig = cache_scoped(
+        "dedup.minhash.sig",
+        minhash_signature(df, id_col, text_col, n=n, k=k),
+    )
     banded = sig.select(
         "doc",
         F.posexplode(
@@ -397,7 +402,9 @@ def simhash_pairs(
     starts = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     # signature computation is the expensive pass; the blocking self-join
     # reads it twice → cache
-    sig = simhash_signatures(df, id_col, text_col).cache()
+    sig = cache_scoped(
+        "dedup.simhash.sig", simhash_signatures(df, id_col, text_col)
+    )
     chunks = sig.select(
         F.col(id_col).alias("doc"),
         "simhash",

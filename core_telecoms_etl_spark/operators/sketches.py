@@ -177,6 +177,7 @@ def bloom_build(
     *,
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    key_type: str = "bigint",
 ) -> list[int]:
     """Build a bloom bitmask over `df[key_col]`, returned as a list of
     n_bits/64 long words.
@@ -194,13 +195,23 @@ def bloom_build(
     retries and engines. False-positive rate ≈ (1-e^{-kn/m})^k; at the
     default m=2^20, k=5 it stays < 1% up to ~10^5 keys — size m to the
     expected distinct-key count, the collect stays KB-scale to m=2^27.
+
+    `key_type` pins the hash input type on BOTH sides: xxhash64 is
+    type-sensitive (xxhash64(7::INT) != xxhash64(7::BIGINT)), so a mask
+    built over an int column and probed with a bigint column would
+    false-negative on EVERY key. Build and probe therefore cast to the
+    same declared type (default bigint; pass "string" for text keys) —
+    the never-false-negative guarantee is enforced, not assumed.
     """
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
     seeds = F.explode(
         F.array(*[F.lit(i) for i in range(n_hashes)])
     ).alias("seed")
-    pos = F.pmod(F.xxhash64(F.col(key_col), F.col("seed")), F.lit(n_bits))
+    pos = F.pmod(
+        F.xxhash64(F.col(key_col).cast(key_type), F.col("seed")),
+        F.lit(n_bits),
+    )
     words = (
         df.select(F.col(key_col), seeds)
         .select(pos.alias("pos"))
@@ -227,13 +238,17 @@ def bloom_might_contain(
     mask: list[int],
     *,
     n_hashes: int = 5,
+    key_type: str = "bigint",
 ) -> Column:
     """Membership-test Column against a `bloom_build` mask: AND over
     the n_hashes probed bits, each an element_at + bitwise-and on the
     literal word array — whole-stage-codegen JVM work, no shuffle, no
-    join. NEVER false-negative; false positives per the build's rate,
-    so exact semantics require a verifying join AFTER this prune."""
-    c = F.col(key) if isinstance(key, str) else key
+    join. NEVER false-negative — PROVIDED `key_type` matches the
+    build's (both default bigint); the cast pins xxhash64's
+    type-sensitive input so int-vs-bigint column drift cannot silently
+    zero the probe. False positives per the build's rate, so exact
+    semantics require a verifying join AFTER this prune."""
+    c = (F.col(key) if isinstance(key, str) else key).cast(key_type)
     n_bits = len(mask) * 64
     arr = F.lit(mask)
     cond = F.lit(True)

@@ -53,6 +53,15 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Bounded slot-scoped caching for queries that pin a catalog-bounded
+# relation (see core_telecoms_etl_spark/caching.py for the rationale);
+# re-exported here so query modules and tools share one namespace.
+from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
+    cache_scoped,
+    release_caches,
+)
+
+
 # Declaration order presented to the driver. The driver's correctness
 # harness checks a bounded prefix of the registry (historically the
 # first 50), so the prefix is curated and EVERY registry entry is listed

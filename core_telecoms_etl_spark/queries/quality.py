@@ -503,11 +503,17 @@ def erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreign-key chain customer → orders → lineitem — the dry-run
     report a governed lake produces BEFORE rewriting files. Plan:
     the subject key set is distinct-collapsed once and broadcast into
-    LEFT SEMI joins down the chain (the derived order-key set is
-    itself the semi-join output, reused for the lineitem leg); each
-    leg is one scan + one count, no full-table joins, no fact
-    shuffle beyond the semi joins. The same chain with `left_anti`
-    IS the purge (writers.write_parquet on the survivors)."""
+    LEFT SEMI joins down the chain; the derived order-key set feeds
+    the lineitem leg as a PLANNER-CHOSEN semi join — it is a constant
+    fraction of the orders fact, so forcing a broadcast would ship an
+    unbounded key set (and hit Spark's broadcast hard limit) at
+    exactly the scale this report exists for. AQE broadcasts it when
+    it measures small, shuffles when it doesn't. The ord_keys subtree
+    is consumed twice (its count + the lineitem leg) — both are
+    column-pruned scans of orders against the broadcast subject set,
+    deliberately recomputed rather than pinned in cache. The same
+    chain with `left_anti` IS the purge (writers.write_parquet on
+    the survivors)."""
     cust, orders, li = load_tables(
         spark, sf_dir, "customer", "orders", "lineitem"
     )
@@ -525,7 +531,7 @@ def erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("n_rows"))
     n_ord = ord_keys.agg(F.count("*").cast("long").alias("n_rows"))
     n_li = li.join(
-        ord_keys.hint("broadcast"),
+        ord_keys,
         li["l_orderkey"] == ord_keys["o_orderkey"],
         "left_semi",
     ).agg(F.count("*").cast("long").alias("n_rows"))

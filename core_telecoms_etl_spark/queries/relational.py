@@ -17,7 +17,7 @@ from core_telecoms_etl_spark.operators.cleaning import (
     dedup_latest_by_key,
     rename_columns,
 )
-from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.queries import cache_scoped, query
 from core_telecoms_etl_spark.sources.readers import (
     load_table,
     load_tables,
@@ -2221,18 +2221,22 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the per-part aggregate: it feeds BOTH the scalar total and
     # the filtered output, and the differing column pruning of the two
     # consumers defeats canonicalized exchange reuse (measured: the
-    # un-cached plan scans + aggregates the fact twice). The cached
+    # un-cached plan scans + aggregates the fact twice; re-measured
+    # post-exec under AQE — no runtime stage reuse either). The cached
     # relation is |parts|-sized — bounded by the catalog, never fact
     # rows; at cluster scale persist(DISK) per the dedup.py pattern.
-    val = (
+    # cache_scoped bounds the pin to ONE relation across invocations
+    # (a bare .cache() would accumulate per call in long-lived
+    # bench/checker sessions).
+    val = cache_scoped(
+        "important_stock.val",
         li.join(F.broadcast(eu), li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
             .cast("bigint")
             .alias("value_grid")
-        )
-        .cache()
+        ),
     )
     tot = val.agg(
         F.sum("value_grid").cast("bigint").alias("total_grid"),

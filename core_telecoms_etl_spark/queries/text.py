@@ -1096,7 +1096,11 @@ def segment_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_TERMS = "['join', 'window', 'spark']"
+# Single source of truth for the BM25 query terms: the Spark side
+# iterates the Python list, the DuckDB oracle literal is derived
+# from the SAME list — editing one cannot silently desync the other.
+_BM25_QUERY_TERMS = ["join", "window", "spark"]
+_BM25_TERMS = "[" + ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS) + "]"
 
 
 @query(
@@ -1156,7 +1160,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     round the tf_idf oracle uses, and the k-boundary is made
     deterministic by the (rounded score, doc_id) tiebreak."""
     d = load_table(spark, sf_dir, "documents")
-    terms = ["join", "window", "spark"]
+    terms = _BM25_QUERY_TERMS
     k1, b = 1.2, 0.75
     toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))

@@ -494,14 +494,48 @@ def avro_available(spark: SparkSession) -> bool:
     resolution `spark.read.format("avro")` runs) rather than
     Class.forName: the pyspark distribution ships some
     `org.apache.spark.sql.avro` classes without registering the
-    provider, so a class-presence check false-positives."""
+    provider, so a class-presence check false-positives.
+
+    Only the lookup's own Java failure (provider not found) maps to
+    False; anything else — a Connect session with no `_jvm`, the
+    internal reflection path moving in a future Spark — PROPAGATES
+    rather than being misreported as 'jar missing' forever."""
     try:
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+        jvm = spark._jvm
+    except AttributeError as exc:  # Spark Connect: no JVM bridge
+        raise RuntimeError(
+            "avro_available requires a classic (JVM-bridged) "
+            "SparkSession; on Spark Connect probe the server with "
+            'spark.read.format("avro") directly.'
+        ) from exc
+    from py4j.protocol import Py4JJavaError
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "avro", spark._jsparkSession.sessionState().conf()
         )
         return True
-    except Exception:
+    except (Py4JJavaError, AnalysisException):
+        # pyspark's gateway hook converts the Java FAILED_TO_FIND_
+        # DATA_SOURCE failure into AnalysisException; both spellings
+        # mean 'provider not found'. Anything else propagates.
         return False
+
+
+_AVRO_HINT = (
+    "spark-avro is not on the classpath. Start the session with "
+    "--packages org.apache.spark:spark-avro_2.13:{v} (or add the jar "
+    "to spark.jars) and retry. Avro support is an external Spark "
+    "module and cannot be bundled by this engine."
+)
+
+
+def require_avro(spark: SparkSession) -> None:
+    """Shared guard for read_avro/write_avro: one maintained message."""
+    if not avro_available(spark):
+        raise RuntimeError(_AVRO_HINT.format(v=spark.version))
 
 
 def read_avro(
@@ -517,14 +551,7 @@ def read_avro(
     not IO; prefer parquet for analytics at rest, Avro for Kafka/
     interchange). The last mainstream lake format gap from SURVEY
     §2.1 S14 (VERDICT r6 item 6)."""
-    if not avro_available(spark):
-        raise RuntimeError(
-            "spark-avro is not on the classpath. Start the session "
-            "with --packages org.apache.spark:spark-avro_2.13:"
-            f"{spark.version} (or add the jar to spark.jars) and "
-            "retry. Avro support is an external Spark module and "
-            "cannot be bundled by this engine."
-        )
+    require_avro(spark)
     paths = [path] if isinstance(path, str) else list(path)
     r = spark.read.format("avro")
     if schema is not None:

@@ -129,15 +129,9 @@ def write_xml(
 
 
 def write_avro(df: DataFrame, path: str, *, mode: str = "error") -> None:
-    """Avro sink, guarded exactly like `readers.read_avro` — actionable
-    RuntimeError without the external spark-avro jar."""
-    from core_telecoms_etl_spark.sources.readers import avro_available
+    """Avro sink, guarded exactly like `readers.read_avro` — the shared
+    `require_avro` raises the one maintained actionable message."""
+    from core_telecoms_etl_spark.sources.readers import require_avro
 
-    if not avro_available(df.sparkSession):
-        raise RuntimeError(
-            "spark-avro is not on the classpath. Start the session "
-            "with --packages org.apache.spark:spark-avro_2.13:"
-            f"{df.sparkSession.version} (or add the jar to "
-            "spark.jars) and retry."
-        )
+    require_avro(df.sparkSession)
     df.write.format("avro").mode(mode).save(path)

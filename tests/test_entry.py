@@ -54,7 +54,8 @@ def test_r7_window_head_is_exactly_50():
     rotation content: every r1-stale query (the MEASURED 33-query set
     from tools/gen_inventory.last_green_rounds, not the VERDICT's
     30-query narrative) must be inside the window."""
-    import sys
+    import importlib.util
+    import os
 
     from core_telecoms_etl_spark import queries as q
 
@@ -63,8 +64,15 @@ def test_r7_window_head_is_exactly_50():
     assert head[0] == "key_skew_profile"
     assert "quality_filter" in head, "quality_filter dropped again"
 
-    sys.path.insert(0, "tools")
-    from gen_inventory import last_green_rounds
+    # import by absolute path (anchored to this file, not the cwd) so
+    # pytest runs from any directory and sys.path stays clean
+    inv_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "gen_inventory.py"
+    )
+    spec = importlib.util.spec_from_file_location("gen_inventory", inv_path)
+    gen_inventory = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_inventory)
+    last_green_rounds = gen_inventory.last_green_rounds
 
     green = last_green_rounds()
     r1_stale = {n for n in q.REGISTRY if green.get(n) == 1}

@@ -227,3 +227,32 @@ def test_bloom_prunes_disjoint_keys(spark):
 def test_bloom_rejects_bad_bits(spark):
     with pytest.raises(ValueError):
         sk.bloom_build(spark.range(1), "id", n_bits=100)
+
+
+def test_bloom_probe_type_drift_cannot_false_negative(spark):
+    """xxhash64 is type-sensitive (xxhash64(7::INT) != xxhash64(7::BIGINT)),
+    so an un-pinned probe over a narrower integer column than the build
+    side would silently zero out — build and probe both cast to the
+    shared key_type, making the never-false-negative guarantee real."""
+    ints = spark.createDataFrame(
+        [(i,) for i in range(200)], "k int"  # IntegerType build side
+    )
+    mask = sk.bloom_build(ints, "k", n_bits=1 << 14, n_hashes=4)
+    longs = spark.createDataFrame(
+        [(i,) for i in range(200)], "k long"  # LongType probe side
+    )
+    hits = longs.filter(
+        sk.bloom_might_contain("k", mask, n_hashes=4)
+    ).count()
+    assert hits == 200
+
+
+def test_bloom_string_keys_round_trip(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(300)], "k string")
+    mask = sk.bloom_build(
+        df, "k", n_bits=1 << 14, n_hashes=4, key_type="string"
+    )
+    hits = df.filter(
+        sk.bloom_might_contain("k", mask, n_hashes=4, key_type="string")
+    ).count()
+    assert hits == 300

@@ -71,11 +71,21 @@ def timed(fn, spark) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
+    # consume flags WITH their values so a flag value is never
+    # misparsed as a positional query name
+    argv, args, sf_dir = sys.argv[1:], [], "/root/testdata/sf0.1"
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            if i + 1 >= len(argv):
+                raise SystemExit("--sf requires a directory argument")
+            sf_dir = argv[i + 1]
+            i += 2
+        elif argv[i].startswith("--"):
+            raise SystemExit(f"unknown flag: {argv[i]}")
+        else:
+            args.append(argv[i])
+            i += 1
     from core_telecoms_etl_spark import get_spark
     from core_telecoms_etl_spark import queries as qmod
 
