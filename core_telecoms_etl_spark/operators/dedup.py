@@ -16,7 +16,7 @@ Scale design (the whole point of these at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.caching import cache_scoped
@@ -145,6 +145,113 @@ def jaccard_pairs(
         )
     )
     return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (SSJoin /
+    PPJoin candidate generation, Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08) — LOSSLESS, unlike `max_shingle_freq` capping: identical
+    result to uncapped `jaccard_pairs`, with a candidate join that
+    explodes only each doc's PREFIX instead of its full posting list.
+
+    The filter: order every doc's shingle set by one GLOBAL canonical
+    order — ascending document frequency, ties on the 64-bit shingle
+    hash — and keep the first |x| - ceil(t·|x|) + 1 shingles. Any pair
+    with jaccard ≥ t has |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so the
+    common shingles cannot all hide in both suffixes: the prefixes must
+    intersect, and candidates = prefix-postings self-join. Because the
+    canonical order puts the RAREST shingles first, prefix posting
+    lists are the shortest ones in the corpus — the quadratic stop-
+    shingle blowup that forces jaccard_pairs' cap never enters the
+    join at all.
+
+    Verification is set arithmetic on the per-doc shingle ARRAYS
+    (array_intersect of distinct sets — order-insensitive, so the
+    arrays never need re-sorting): the candidate set is tiny, so the
+    two verify joins move |candidates| rows, not postings. Shingles
+    are xxhash64 longs throughout (see jaccard_pairs on collisions).
+
+    Plan: one postings shuffle (df counts), one postings window
+    (row_number per doc over the canonical order — prefix selection),
+    one prefix-postings self-join, two array-lookup joins. At 100 TB
+    the prefix explode emits ~(1-t)·|shingles| of the index
+    jaccard_pairs builds, and every join key is 8 bytes.
+    """
+    sh = _shingled(df, id_col, text_col, n).select(
+        "doc",
+        F.array_distinct(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
+    sh = cache_scoped("dedup.prefix.shingles", sh)
+    post = sh.select(
+        "doc",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    freq = post.groupBy("shingle").agg(F.count("*").alias("df"))
+    # canonical rank of each shingle WITHIN its doc; prefix length
+    # |x| - ceil(t|x|) + 1 per doc
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    pref = (
+        post.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh"))
+            + 1
+        )
+        .select("doc", "shingle")
+    )
+    cand = (
+        pref.select(F.col("doc").alias("doc_a"), "shingle")
+        .join(pref.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arr = sh.select(
+        F.col("doc"),
+        F.col("shingles"),
+        F.size("shingles").alias("n_sh"),
+    )
+    out = (
+        cand.join(
+            arr.select(
+                F.col("doc").alias("doc_a"),
+                F.col("shingles").alias("__sa"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arr.select(
+                F.col("doc").alias("doc_b"),
+                F.col("shingles").alias("__sb"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("__sa", "__sb"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return out
 
 
 def contamination_pairs(

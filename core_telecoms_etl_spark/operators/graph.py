@@ -162,3 +162,84 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star: no convergence in {max_iter} iterations"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    damping: float = 0.85,
+    iterations: int = 5,
+    snap_dp: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set: (node, rank).
+
+    r_{t+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} r_t(u)/outdeg(u), run for a
+    FIXED iteration count (the form every SQL engine can mirror — no
+    convergence test, so the oracle unrolls the same recurrence).
+    Isolated nodes (in `nodes` but no in-edges) settle at (1-d)/N;
+    rank mass parked on dangling nodes is not redistributed — the
+    conventional simplification when ranks are used ordinally.
+
+    Determinism across engines: each iteration's rank is SNAPPED to
+    `snap_dp` decimals on both sides. The per-node contribution sum is
+    the one order-dependent float reduction in the recurrence; its
+    error (≤ ~k·eps·Σ|x| for k in-neighbors, ~1e-15 here) sits ~1e6
+    below the 1e-9 half-grid, so the snap absorbs engine summation
+    order instead of letting it compound across iterations. The
+    teleport term is written (1.0 - damping)/N — NOT a pre-folded
+    literal, because 1.0-0.85 in IEEE is not the double 0.15, and the
+    oracle must run the same expression tree.
+
+    Plan per iteration: one join ranks⋈edges on the source key + one
+    groupBy(dst) partial-aggregated sum + one left join back onto the
+    node set — ranks and edges shuffle on node id, exactly the
+    Pregel-style exchange GraphX runs. `localCheckpoint` cuts the
+    per-iteration lineage (at cluster scale: `checkpoint` to
+    distributed storage, per connected_components above); the
+    degree-annotated edge relation is checkpointed once up front so
+    the 5-iteration loop re-reads it instead of re-deriving it.
+
+    N is taken with one driver-side count() of the node relation — a
+    single catalog-bounded scalar, the sanctioned DQ-size action.
+    """
+    n = float(nodes.count())
+    deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    ew = (
+        edges.join(deg, src)
+        .select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            "__deg",
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes.select(
+        F.col(node_col).alias("node"),
+        (F.lit(1.0) / F.lit(n)).alias("rank"),
+    )
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew["__src"] == ranks["node"])
+            .groupBy("__dst")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__s"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(contrib, F.col("node") == F.col("__dst"), "left")
+            .select(
+                "node",
+                F.round(
+                    teleport
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__s"), F.lit(0.0)),
+                    snap_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

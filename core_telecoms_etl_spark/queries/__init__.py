@@ -152,6 +152,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "attribution_last_touch",  # NEW r7
     "erasure_cascade",  # NEW r7
     "stream_sliding",  # NEW r7
+    "prefix_filter_near_dup",  # NEW r7
+    "pagerank_copurchase",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

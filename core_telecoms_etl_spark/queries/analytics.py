@@ -1439,3 +1439,108 @@ def winsorize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_winsorized"
         ),
     )
+
+
+# PageRank oracle: the recurrence is UNROLLED to the same fixed
+# iteration count the Spark operator runs, generated from one Python
+# loop so the two sides cannot desync on depth or constants. All float
+# literals are CAST to DOUBLE in SQL: DuckDB parses bare 0.85 / 1.0 as
+# DECIMAL, and decimal arithmetic (1.0 - 0.85 = exact 0.15) yields a
+# DIFFERENT double than the IEEE subtraction Spark runs.
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int) -> str:
+    sql = """WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+              edges AS (
+                SELECT src, dst FROM pairs
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM pairs),
+              deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY src),
+              ew AS (
+                SELECT e.src, e.dst, d.deg
+                FROM edges e JOIN deg d USING (src)),
+              nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM part),
+              r0 AS (
+                SELECT p_partkey AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                FROM part CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+              c{i} AS (
+                SELECT e.dst, sum(r.rank / e.deg) AS s
+                FROM r{i - 1} r JOIN ew e ON r.node = e.src
+                GROUP BY e.dst),
+              r{i} AS (
+                SELECT p.p_partkey AS node,
+                       round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                               / nn.n
+                             + CAST(0.85 AS DOUBLE) * COALESCE(c.s,
+                                   CAST(0.0 AS DOUBLE)), 9) AS rank
+                FROM part p CROSS JOIN nn
+                LEFT JOIN c{i} c ON c.dst = p.p_partkey)"""
+    sql += f"""
+              SELECT node, rank FROM r{iters}
+              ORDER BY rank DESC, node LIMIT 25"""
+    return sql
+
+
+@query("pagerank_copurchase", oracle=_pagerank_oracle(_PR_ITERS))
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph — which parts sit
+    at the center of the basket network (cross-sell hubs), the iterative
+    graph workload every native engine with recursion runs and Spark
+    expresses as a driver-coordinated join loop (operators/graph.py
+    pagerank; same Pregel shape GraphX uses).
+
+    Graph build reuses the copurchase_pairs plan: ONE fact shuffle into
+    per-order sorted baskets, pair expansion via two Generate operators
+    (never a fact self-join), then distinct + symmetrize. Nodes are the
+    full part catalog, so never-co-purchased parts settle at the
+    teleport floor and the oracle's node set is closed. 5 iterations,
+    d=0.85, each iteration snapped at 9dp (see operator docstring for
+    the cross-engine determinism argument); top-25 by (rank, node) via
+    TakeOrderedAndProject. The ORACLE unrolls the identical recurrence
+    as 5 chained CTEs — a genuinely iterative algorithm under the full
+    typed-hash gate, not a rows-only check."""
+    from core_telecoms_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__parts")
+    )
+    pairs = (
+        baskets.select(
+            F.posexplode("__parts").alias("__i", "src"), "__parts"
+        )
+        .select(
+            "src",
+            F.explode(
+                F.slice(
+                    "__parts",
+                    F.col("__i") + 2,
+                    F.greatest(
+                        F.size("__parts") - F.col("__i") - 1, F.lit(0)
+                    ),
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(
+        edges,
+        part.select(F.col("p_partkey").alias("node")),
+        damping=0.85,
+        iterations=_PR_ITERS,
+        snap_dp=9,
+    )
+    return ranks.orderBy(F.desc("rank"), "node").limit(25)

@@ -188,6 +188,36 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("prefix_filter_near_dup", oracle=_EXACT_JACCARD_08_ORACLE)
+def prefix_filter_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 fourth path — prefix-filtered set-similarity join (SSJoin/
+    PPJoin candidate generation): shingles globally ordered by
+    ascending document frequency, only each doc's |x|-ceil(0.8|x|)+1
+    rarest shingles enter the candidate self-join, then exact
+    verification by array intersection on the candidate pairs only.
+    LOSSLESS by the prefix-filter theorem (unlike posting-list caps),
+    so it is checked against the SAME exact-jaccard oracle as
+    near_dedup / minhash_near_dup / simhash — any missed pair is a red
+    driver row, the strongest form of the recall claim. The scale win
+    over near_dedup's full inverted index: the join only ever sees the
+    corpus's rarest shingles (stop-shingles never reach it), and the
+    verify joins move |candidates| rows, not postings."""
+    return dd.prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
 @query(
     "simhash_signatures",
     oracle=f"""SELECT count(*) AS n_exact_pairs,

@@ -377,3 +377,92 @@ def test_segment_dedup_drops_boilerplate_preserves_order(spark):
     # order: head segment precedes tail segment after reassembly
     assert out[2].clean_text == "one two three four five six"
     assert all(out[i].n_kept < out[i].n_segs for i in (1, 2, 3))
+
+
+def test_prefix_filter_matches_uncapped_jaccard_pairs(spark):
+    """Losslessness of the prefix filter: on docs engineered with
+    shared rare AND shared stop shingles, the prefix-filtered pair set
+    must EQUAL the uncapped inverted-index result (same threshold)."""
+    from core_telecoms_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one two"),
+        (2, base + " one three"),          # near-dup of 1
+        (3, base + " four five"),          # shares only the stop-prefix
+        (4, "totally different words entirely here now " + base),
+        (5, base + " one two"),            # exact dup of 1
+        (6, "unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        exact = {
+            (r.doc_a, r.doc_b, r.n_common)
+            for r in jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        pf = {
+            (r.doc_a, r.doc_b, r.n_common)
+            for r in prefix_filter_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert pf == exact, f"threshold {t}: {pf ^ exact}"
+
+
+def test_pagerank_star_hub_and_mass(spark):
+    """Star graph: the hub must out-rank every leaf; the isolated node
+    sits at the teleport floor; total mass settles at the documented
+    dangling-leak fixpoint (the isolated node receives teleport mass
+    but re-emits nothing): T = (1-d) + d·(T - r_iso) → 0.915 here."""
+    from core_telecoms_etl_spark.operators.graph import pagerank
+
+    hub, leaves, isolated = 0, list(range(1, 9)), 99
+    directed = [(hub, v) for v in leaves] + [(v, hub) for v in leaves]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(hub,)] + [(v,) for v in leaves] + [(isolated,)], "node long"
+    )
+    r = {
+        row.node: row.rank
+        for row in pagerank(edges, nodes, iterations=10).collect()
+    }
+    n = len(r)
+    assert r[hub] > max(r[v] for v in leaves)
+    assert abs(r[isolated] - 0.15 / n) < 1e-9  # teleport floor
+    # dangling leak fixpoint: T = 0.15 + 0.85*(T - 0.15/n) -> 0.915
+    assert abs(sum(r.values()) - 0.915) < 1e-6
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """5 snapped iterations vs the same recurrence in numpy on a small
+    asymmetric graph (chain + shortcut), including a dangling node."""
+    import numpy as np
+
+    from core_telecoms_etl_spark.operators.graph import pagerank
+
+    edges_py = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 5 dangling-free? 4->1 only; add dangling 5
+    nodes_py = [1, 2, 3, 4, 5]  # 5 has no out-edges (dangling) and no in-edges
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in nodes_py], "node long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, nodes, iterations=5).collect()
+    }
+    n = len(nodes_py)
+    outdeg = {u: sum(1 for a, _ in edges_py if a == u) for u in nodes_py}
+    rank = {v: 1.0 / n for v in nodes_py}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes_py}
+        for u, v in edges_py:
+            contrib[v] += rank[u] / outdeg[u]
+        rank = {
+            v: round((1.0 - 0.85) / n + 0.85 * contrib[v], 9)
+            for v in nodes_py
+        }
+    for v in nodes_py:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
