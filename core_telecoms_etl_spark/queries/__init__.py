@@ -141,9 +141,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "order_count_distribution",  # green r3
     # ---- 50-query window boundary. Tail is ascending last-green
     # ---- too, so the r8 rotation head reads straight off the top:
-    # ---- first the five NEW r7 extension queries that did not fit
+    # ---- first the NEW r7 extension queries that did not fit
     # ---- (the window's 50 slots went to the changed/TPC-H/r1-stale
-    # ---- rotation; these five are differential-verified at
+    # ---- rotation; each is differential-verified at
     # ---- sf0.001/0.01/0.1 in the meantime), then session_window /
     # ---- star_fact_complaints / token_topk (r3), then the r4 block.
     "bloom_prune_semi_join",  # NEW r7
@@ -154,6 +154,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stream_sliding",  # NEW r7
     "prefix_filter_near_dup",  # NEW r7
     "pagerank_copurchase",  # NEW r7
+    "grouping_sets_agg",  # NEW r7
+    "zorder_locality",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

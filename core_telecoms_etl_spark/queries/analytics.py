@@ -1544,3 +1544,102 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap_dp=9,
     )
     return ranks.orderBy(F.desc("rank"), "node").limit(25)
+
+
+def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+    """DuckDB bit-interleave expression mirroring
+    operators/layout.py::interleave_bits, generated from the same loop
+    structure so the two cannot desync."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_locality",
+    oracle=f"""WITH g AS (
+                 SELECT user_id AS a,
+                        CAST(round(value * 100) AS BIGINT) AS b
+                 FROM events),
+               bounds AS (
+                 SELECT CAST(min(a) AS BIGINT) AS amin,
+                        CAST(max(a) AS BIGINT) AS amax,
+                        CAST(min(b) AS BIGINT) AS bmin,
+                        CAST(max(b) AS BIGINT) AS bmax
+                 FROM g),
+               norm AS (
+                 SELECT CAST(floor(((a - amin) * 256)
+                                   / (amax - amin + 1)) AS BIGINT) AS an,
+                        CAST(floor(((b - bmin) * 256)
+                                   / (bmax - bmin + 1)) AS BIGINT) AS bn
+                 FROM g CROSS JOIN bounds),
+               keyed AS (
+                 SELECT an, bn,
+                        ({_morton_sql('an', 'bn')}) AS zkey
+                 FROM norm)
+               SELECT CAST(zkey >> 10 AS BIGINT) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(min(an) AS BIGINT) AS a_lo,
+                      CAST(max(an) AS BIGINT) AS a_hi,
+                      CAST(min(bn) AS BIGINT) AS b_lo,
+                      CAST(max(bn) AS BIGINT) AS b_hi
+               FROM keyed GROUP BY 1""",
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering report — the layout-maintenance diagnostic
+    behind `operators/layout.py::zorder_by` (the OPTIMIZE ZORDER
+    analog): events mapped onto the Morton curve of (user_id, value),
+    curve split into 64 equal key ranges (the file boundaries a
+    z-ordered rewrite would produce), and per range the min/max span
+    of BOTH normalized dimensions — exactly the parquet footer
+    tightness that decides multi-dimensional data skipping. Every
+    bucket's spans sit near 1/8 of each dimension (√64 cells per
+    axis), where a 1-D sort would show one tight dimension and the
+    other spanning the full range.
+
+    All arithmetic is exact: integer min/max normalization
+    (floor-div of exactly representable longs), a pure shift/and/or
+    Morton key inside whole-stage codegen, one 1-row bounds broadcast,
+    one groupBy of 64 buckets. The bit-interleave SQL is GENERATED
+    from the same loop as the Spark expression."""
+    from core_telecoms_etl_spark.operators.layout import (
+        interleave_bits,
+        normalize_minmax,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.col("user_id").cast("long").alias("a"),
+        F.round(F.col("value") * 100).cast("long").alias("b"),
+    )
+    bounds = g.agg(
+        F.min("a").alias("amin"),
+        F.max("a").alias("amax"),
+        F.min("b").alias("bmin"),
+        F.max("b").alias("bmax"),
+    )
+    norm = g.crossJoin(F.broadcast(bounds)).select(
+        normalize_minmax(
+            F.col("a"), F.col("amin"), F.col("amax"), bits=8
+        ).alias("an"),
+        normalize_minmax(
+            F.col("b"), F.col("bmin"), F.col("bmax"), bits=8
+        ).alias("bn"),
+    )
+    keyed = norm.withColumn(
+        "zkey", interleave_bits(F.col("an"), F.col("bn"), bits=8)
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright("zkey", 10).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("an").cast("long").alias("a_lo"),
+            F.max("an").cast("long").alias("a_hi"),
+            F.min("bn").cast("long").alias("b_lo"),
+            F.max("bn").cast("long").alias("b_hi"),
+        )
+    )

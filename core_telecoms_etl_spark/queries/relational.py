@@ -683,6 +683,47 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_agg",
+    oracle="""SELECT l_returnflag, l_linestatus,
+                     CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                       AS gid,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                      (l_linestatus), ())""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6b — explicit GROUPING SETS with an ASYMMETRIC set list:
+    ((returnflag, linestatus), (linestatus), ()) — the (linestatus)
+    marginal WITHOUT its (returnflag) parent, which neither ROLLUP nor
+    any column reordering of it can produce (CUBE could, at 2× the
+    Expand fan-out). Spark's `DataFrame.groupingSets` (4.0+) plans the
+    same single Expand + one shuffle as cube/rollup — rows are
+    replicated only into the 3 requested sets, not all 4 cube cells.
+    grouping_id() disambiguates the NULL-as-total rows from genuine
+    NULL group keys on both engines (DuckDB's GROUPING uses the same
+    leftmost-column-is-MSB bitmask)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
     "percentile_agg",
     oracle="""SELECT l_returnflag,
                      quantile_cont(l_quantity, 0.5) AS p50_qty,
