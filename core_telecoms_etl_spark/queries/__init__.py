@@ -156,6 +156,10 @@ _CHECK_ORDER: tuple[str, ...] = (
     "pagerank_copurchase",  # NEW r7
     "grouping_sets_agg",  # NEW r7
     "zorder_locality",  # NEW r7
+    "chi_square_independence",  # NEW r7
+    "entropy_by_group",  # NEW r7
+    "cusum_changepoint",  # NEW r7
+    "grouped_trend",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3
@@ -300,6 +304,7 @@ def _load_all() -> None:
         return
     from core_telecoms_etl_spark.queries import (  # noqa: F401
         analytics,
+        inferential,
         relational,
         scalar_funcs,
         quality,
