@@ -33,6 +33,7 @@ __all__ = [
     "rfm_segments",
     "merge_partial_rollup",
     "ks_two_sample",
+    "mann_whitney_u",
 ]
 
 
@@ -367,5 +368,144 @@ def ks_two_sample(
             "d_scaled",
             d.alias("d_stat"),
             (d > thresh).cast("long").alias("reject_h0"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 256,
+    critical: float = 1.96,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test (normal approximation with tie
+    correction) — the nonparametric "are these two cohorts' values from
+    the same distribution" companion to `ks_two_sample`. Returns ONE
+    row: n_a, n_b, the exact doubled statistic 2·U_a (integer), U_a,
+    the tie-corrected z, and a 0/1 reject flag at `critical`.
+
+    Exactness: with per-value counts t(v) = a(v)+b(v) and C<(v) the
+    cumulative count strictly below v, the doubled rank sum is the
+    all-integer  2R_a = Σ_v a(v)·(2·C<(v) + t(v) + 1)  (average ranks
+    fold to integers at 2×), so 2U_a = 2R_a − n_a(n_a+1) and the tie
+    term Σ(t³−t) are engine-exact; only σ and z are (mirrored) IEEE.
+    Bounds: 2R_a ≤ 2n² and t³ ≤ n³ keep int64 to n ≈ 2×10⁶ rows in the
+    test — beyond that cast the two accumulators to DECIMAL(38,0).
+
+    Scale: identical shape to `ks_two_sample` — one shuffle to
+    per-value counts, the global C<(v) order built with the two-level
+    range-bucketed prefix sum (within-bucket windows parallelize, only
+    the B-row bucket-totals table prefix-sums single-partition), and
+    every post-CDF fold runs on bucket totals, never fact rows."""
+    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per_value = filt.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("__a"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("__b"),
+    )
+    span = per_value.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    bucketed = per_value.join(F.broadcast(span)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("__v") - F.col("__lo"))
+                        * n_buckets
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("__a") + F.col("__b")
+    cum = bucketed.select(
+        "__bkt",
+        "__a",
+        t.alias("__t"),
+        (F.sum(t).over(w_in) - t).alias("__cin"),  # strictly-below, in-bucket
+    )
+    totals = bucketed.groupBy("__bkt").agg(
+        F.sum("__a").alias("__ta"),
+        F.sum("__b").alias("__tb"),
+        F.sum(t).alias("__tt"),
+        F.count("*").alias("__nv"),
+    )
+    wg = (
+        Window.partitionBy(F.pmod(F.col("__bkt"), F.lit(1)))
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "__bkt", (F.sum("__tt").over(wg) - F.col("__tt")).alias("__off")
+    )
+    n = totals.agg(
+        F.sum("__ta").cast("long").alias("n_a"),
+        F.sum("__tb").cast("long").alias("n_b"),
+        F.sum("__nv").cast("long").alias("__nvals"),
+    )
+    sums = (
+        cum.join(F.broadcast(offsets), "__bkt")
+        .agg(
+            F.sum(
+                F.col("__a")
+                * (
+                    F.lit(2) * (F.col("__off") + F.col("__cin"))
+                    + F.col("__t")
+                    + F.lit(1)
+                )
+            )
+            .cast("long")
+            .alias("__s2r"),
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            )
+            .cast("long")
+            .alias("__ties"),
+        )
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    nn = na + nb
+    s2u = F.col("__s2r") - na * (na + F.lit(1))
+    # tie-corrected variance, every operand derived from exact integers
+    sigma2 = (na.cast("double") * nb / F.lit(12.0)) * (
+        (nn + F.lit(1)).cast("double")
+        - F.col("__ties").cast("double")
+        / (nn.cast("double") * (nn - F.lit(1)))
+    )
+    # all-integer guard: both sides non-empty AND >1 distinct value
+    # (all-tied data has sigma = 0 — no test, NULL instead of 0/0)
+    ok = (na > 0) & (nb > 0) & (F.col("__nvals") > 1)
+    z = F.when(
+        ok,
+        (s2u.cast("double") - na.cast("double") * nb)
+        / (F.lit(2.0) * F.sqrt(sigma2)),
+    )
+    return (
+        sums.join(F.broadcast(n))
+        .select(
+            "n_a",
+            "n_b",
+            s2u.alias("u2_scaled"),
+            (s2u.cast("double") / F.lit(2.0)).alias("u_a"),
+            z.alias("z"),
+            (F.abs(z) > F.lit(critical)).cast("long").alias("reject_h0"),
         )
     )

@@ -160,6 +160,10 @@ _CHECK_ORDER: tuple[str, ...] = (
     "entropy_by_group",  # NEW r7
     "cusum_changepoint",  # NEW r7
     "grouped_trend",  # NEW r7
+    "mann_whitney_u",  # NEW r7
+    "gini_concentration",  # NEW r7
+    "seasonal_naive_forecast",  # NEW r7
+    "kaplan_meier",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

@@ -387,3 +387,373 @@ def grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""WITH pv AS (
+                SELECT value AS v,
+                       CAST(sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS b
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1),
+              c AS (
+                SELECT a, (a + b) AS t,
+                       CAST(sum(a + b) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - (a + b) AS BIGINT) AS cb
+                FROM pv),
+              s AS (
+                SELECT CAST(sum(a * (2 * cb + t + 1)) AS BIGINT) AS s2r,
+                       CAST(sum(t * t * t - t) AS BIGINT) AS ties,
+                       CAST(sum(a) AS BIGINT) AS na,
+                       CAST(sum(t) - sum(a) AS BIGINT) AS nb,
+                       count(*) AS nvals
+                FROM c)
+              SELECT na AS n_a, nb AS n_b,
+                     (s2r - na * (na + 1)) AS u2_scaled,
+                     CAST(s2r - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+                     CASE WHEN na > 0 AND nb > 0 AND nvals > 1 THEN
+                       (CAST(s2r - na * (na + 1) AS DOUBLE)
+                        - CAST(na AS DOUBLE) * nb)
+                       / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                           * (CAST(na + nb + 1 AS DOUBLE)
+                              - CAST(ties AS DOUBLE)
+                                / (CAST(na + nb AS DOUBLE)
+                                   * (na + nb - 1)))))
+                     END AS z,
+                     CAST(CASE WHEN na > 0 AND nb > 0 AND nvals > 1 THEN
+                       abs((CAST(s2r - na * (na + 1) AS DOUBLE)
+                            - CAST(na AS DOUBLE) * nb)
+                           / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                               * (CAST(na + nb + 1 AS DOUBLE)
+                                  - CAST(ties AS DOUBLE)
+                                    / (CAST(na + nb AS DOUBLE)
+                                       * (na + nb - 1)))))) > 1.96
+                     END AS BIGINT) AS reject_h0
+              FROM s""",
+)
+def mann_whitney_u_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between click and purchase event
+    values (operators/stats.py mann_whitney_u — exact doubled integer
+    statistic + tie-corrected z; the oracle's single-node window and
+    the engine's two-level bucketed prefix sum produce the identical
+    BIGINT 2·U)."""
+    from core_telecoms_etl_spark.operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(
+        ev,
+        value_col="value",
+        group_col="event_type",
+        group_a="click",
+        group_b="purchase",
+    )
+
+
+@query(
+    "gini_concentration",
+    oracle="""WITH pc AS (
+                SELECT o_custkey AS k,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              s AS (SELECT c_mktsegment AS segment, k, x
+                    FROM pc JOIN customer ON k = c_custkey),
+              r AS (SELECT segment, x,
+                           row_number() OVER (PARTITION BY segment
+                                              ORDER BY x, k) AS i
+                    FROM s),
+              g AS (SELECT segment, count(*) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(i * x) AS BIGINT) AS a
+                    FROM r GROUP BY 1)
+              SELECT segment, n AS n_customers,
+                     round(CAST(sx AS DOUBLE) / 100, 2) AS total_revenue,
+                     CASE WHEN sx > 0 THEN
+                       round(CAST(2 * a - (n + 1) * sx AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * sx), 6)
+                     END AS gini
+              FROM g ORDER BY segment""",
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue per market segment
+    — "how concentrated is this segment's revenue" (pairs with
+    `pareto_classes`; a telecom revenue-assurance staple).
+
+    Exactness: G = (2·Σiｘᵢ − (n+1)·Σx)/(n·Σx) over cent-grid BIGINT
+    revenues and exact ranks — the i-weighted sum is tie-invariant
+    (equal x values contribute identically under any tie order), so
+    the engines' different tie placements cannot diverge; one final
+    mirrored double division. Bounds: Σiｘᵢ ≤ n²·x̄ ≈ 5e15 at sf0.1 —
+    DECIMAL(38,0) beyond ~sf1.
+
+    Scale: ranks come from the same two-level range-bucketed prefix
+    sum as KS/MWU, PARTITIONED BY SEGMENT: within-(segment, bucket)
+    row_numbers parallelize and only the segments×B bucket-count table
+    windows single-partition; Σiｘᵢ folds per bucket as
+    off·Σx + Σrᵢₙｘ — the global rank is never materialized per row
+    outside its bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n_buckets = 256
+    pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    s = pc.join(cust, pc.k == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "k", "x"
+    )
+    span = s.groupBy("segment").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    bucketed = s.join(F.broadcast(span), "segment").withColumn(
+        "bkt",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        * F.lit(n_buckets)
+                        / (F.col("hi") - F.col("lo"))
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_in = Window.partitionBy("segment", "bkt").orderBy("x", "k")
+    per_bkt = (
+        bucketed.withColumn("r_in", F.row_number().over(w_in).cast("long"))
+        .groupBy("segment", "bkt")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("r_in") * F.col("x")).alias("srx"),
+        )
+    )
+    w_off = (
+        Window.partitionBy("segment")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = per_bkt.withColumn(
+        "off", F.sum("cnt").over(w_off) - F.col("cnt")
+    )
+    g = with_off.groupBy("segment").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum(F.col("off") * F.col("sx") + F.col("srx")).alias("a"),
+    )
+    num = F.lit(2) * F.col("a") - (F.col("n") + F.lit(1)) * F.col("sx")
+    return g.select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sx").cast("double") / F.lit(100), 2).alias(
+            "total_revenue"
+        ),
+        F.when(
+            F.col("sx") > 0,
+            F.round(
+                num.cast("double") / (F.col("n").cast("double") * F.col("sx")),
+                6,
+            ),
+        ).alias("gini"),
+    ).orderBy("segment")
+
+
+@query(
+    "seasonal_naive_forecast",
+    oracle="""WITH monthly AS (
+                SELECT l_returnflag AS flag,
+                       CAST((year(l_shipdate) - 1995) * 12
+                            + (month(l_shipdate) - 1) AS BIGINT) AS mi,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS y
+                FROM lineitem GROUP BY 1, 2),
+              bt AS (
+                SELECT m.flag, count(*) AS n,
+                       CAST(sum(abs(m.y - p.y)) AS BIGINT) AS sae,
+                       CAST(sum(m.y) AS BIGINT) AS sy,
+                       CAST(sum(p.y) AS BIGINT) AS sf
+                FROM monthly m
+                JOIN monthly p ON p.flag = m.flag AND p.mi = m.mi - 12
+                GROUP BY 1)
+              SELECT flag AS l_returnflag, n AS n_months_tested,
+                     CASE WHEN sy > 0 THEN
+                       round(CAST(sae AS DOUBLE) / CAST(sy AS DOUBLE), 6)
+                     END AS wape,
+                     CASE WHEN sf > 0 THEN
+                       round(CAST(sy - sf AS DOUBLE) / CAST(sf AS DOUBLE), 6)
+                     END AS bias
+              FROM bt ORDER BY flag""",
+)
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue
+    per return flag as the same month LAST YEAR and score WAPE
+    (Σ|err|/Σactual) + bias over the overlap — the baseline every
+    real forecasting pipeline must beat, as a query.
+
+    Exactness: monthly revenue is the 4-dec-grid BIGINT; the backtest
+    join is on exact integer month indexes (equi-join, robust to gaps
+    where lag(12) over a dense-ranked window is not); Σ|err|, Σy are
+    BIGINT; WAPE/bias are single mirrored divisions. Guards all-int.
+
+    Scale: one fact shuffle to (flag, month) grain, then a self-join
+    of the tiny aggregated relation and a |flags|-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (
+            (F.year("l_shipdate") - F.lit(1995)) * F.lit(12)
+            + (F.month("l_shipdate") - F.lit(1))
+        )
+        .cast("long")
+        .alias("mi"),
+    ).agg(F.sum(_disc_price_grid()).alias("y"))
+    m = monthly.alias("m")
+    p = monthly.alias("p")
+    bt = (
+        m.join(
+            p,
+            (F.col("p.flag") == F.col("m.flag"))
+            & (F.col("p.mi") == F.col("m.mi") - F.lit(12)),
+        )
+        .groupBy(F.col("m.flag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.abs(F.col("m.y") - F.col("p.y"))).alias("sae"),
+            F.sum(F.col("m.y")).alias("sy"),
+            F.sum(F.col("p.y")).alias("sf"),
+        )
+    )
+    return bt.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").alias("n_months_tested"),
+        F.when(
+            F.col("sy") > 0,
+            F.round(F.col("sae").cast("double") / F.col("sy").cast("double"), 6),
+        ).alias("wape"),
+        F.when(
+            F.col("sf") > 0,
+            F.round(
+                (F.col("sy") - F.col("sf")).cast("double")
+                / F.col("sf").cast("double"),
+                6,
+            ),
+        ).alias("bias"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "kaplan_meier",
+    oracle="""WITH pu AS (
+                SELECT user_id,
+                       date_diff('day', min(ts), max(ts)) AS dur,
+                       CASE WHEN arg_max(event_type, ts) = 'error'
+                            THEN 1 ELSE 0 END AS observed
+                FROM events GROUP BY user_id),
+              byt AS (
+                SELECT CAST(dur AS BIGINT) AS t,
+                       CAST(sum(observed) AS BIGINT) AS d,
+                       count(*) AS c
+                FROM pu GROUP BY 1),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM byt),
+              km AS (
+                SELECT t, d,
+                       n - (CAST(sum(c) OVER w AS BIGINT) - c) AS nr
+                FROM byt CROSS JOIN tot
+                WINDOW w AS (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              lt AS (
+                SELECT t, d, nr,
+                       CAST(max(CASE WHEN nr = d THEN 1 ELSE 0 END)
+                            OVER w AS BIGINT) AS hit_zero,
+                       sum(CASE WHEN nr > d AND d > 0 THEN
+                             ln(CAST(nr - d AS DOUBLE) / CAST(nr AS DOUBLE))
+                           ELSE 0.0 END) OVER w AS lsum
+                FROM km
+                WINDOW w AS (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT t AS duration_days, nr AS n_risk, d AS n_events,
+                     CASE WHEN hit_zero = 1 THEN 0.0
+                          ELSE round(exp(lsum), 6) END AS survival
+              FROM lt WHERE d > 0 ORDER BY t""",
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime (first event →
+    last event), where a lifetime ending in an 'error' event counts as
+    an observed churn and anything else is right-censored — the
+    standard retention/survival curve, as a query. One row per event
+    time: duration, risk-set size, churn count, S(t).
+
+    Input contract: (user_id, ts) unique (holds for the events table;
+    max_by tie order is otherwise engine-specific).
+
+    Exactness: durations, risk sets and event counts are exact BIGINT
+    (n_risk via the cumulative-below trick, no per-row subqueries);
+    S(t) = exp(Σ ln((nᵢ−dᵢ)/nᵢ)) where each log term derives from
+    exact integers and the cumulative sum runs in the SAME ascending
+    expanding frame on both engines, rounded at 6dp (the repo's ln
+    absorption). A risk set consumed to zero pins S = 0.0 exactly via
+    an all-integer flag instead of ln(0).
+
+    Scale: one shuffle to per-user grain, one to the duration grain;
+    the expanding windows run single-partition over the DURATION
+    relation — bounded by the day span, not user count (pmod idiom
+    suppresses the global-window warn)."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+        (F.max_by("event_type", "ts") == F.lit("error"))
+        .cast("long")
+        .alias("observed"),
+    )
+    byt = pu.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("observed").alias("d"), F.count("*").alias("c")
+    )
+    tot = byt.agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = (
+        byt.join(F.broadcast(tot))
+        .withColumn(
+            "nr", F.col("n") - (F.sum("c").over(w) - F.col("c"))
+        )
+        .withColumn(
+            "hit_zero",
+            F.max((F.col("nr") == F.col("d")).cast("long")).over(w),
+        )
+        .withColumn(
+            "lsum",
+            F.sum(
+                F.when(
+                    (F.col("nr") > F.col("d")) & (F.col("d") > 0),
+                    F.log(
+                        (F.col("nr") - F.col("d")).cast("double")
+                        / F.col("nr").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w),
+        )
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("duration_days"),
+            F.col("nr").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("lsum")), 6))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )

@@ -89,6 +89,8 @@ def test_r7_window_head_is_exactly_50():
         "grouping_sets_agg", "zorder_locality",
         "chi_square_independence", "entropy_by_group",
         "cusum_changepoint", "grouped_trend",
+        "mann_whitney_u", "gini_concentration",
+        "seasonal_naive_forecast", "kaplan_meier",
     }
     never_green = {n for n in q.REGISTRY if n not in green}
     missed_new = never_green - set(head) - deferred_to_r8

@@ -157,3 +157,189 @@ def test_grouped_trend_skips_degenerate_groups(spark):
         and not math.isnan(r.slope_money_per_month)
         for r in rows
     )
+
+
+def test_mann_whitney_hand_value(spark, tmp_path):
+    """Classic no-tie example: A = {1,2,3}, B = {4,5,6} -> U_a = 0,
+    2R_a = 2*(1+2+3) = 12, ties = 0."""
+    from core_telecoms_etl_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(float(v), "a") for v in (1, 2, 3)]
+        + [(float(v), "b") for v in (4, 5, 6)],
+        ["value", "grp"],
+    )
+    row = mann_whitney_u(
+        df, value_col="value", group_col="grp", group_a="a", group_b="b"
+    ).collect()[0]
+    assert (row.n_a, row.n_b) == (3, 3)
+    assert row.u2_scaled == 0  # 2*U_a
+    assert row.u_a == 0.0
+    # z = (0 - 4.5)/sqrt(3*3*7/12) = -4.5/2.2913 = -1.9640
+    assert abs(row.z - (-1.9640)) < 1e-3
+    assert row.reject_h0 == 1
+
+
+def test_mann_whitney_identical_groups_z_zero(spark):
+    """The same values in both groups give U_a = n^2/2, z = 0."""
+    from core_telecoms_etl_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(float(v), g) for v in (1, 2, 3, 4) for g in ("a", "b")],
+        ["value", "grp"],
+    )
+    row = mann_whitney_u(
+        df, value_col="value", group_col="grp", group_a="a", group_b="b"
+    ).collect()[0]
+    assert row.u_a == 8.0  # 4*4/2
+    assert row.z == 0.0
+    assert row.reject_h0 == 0
+
+
+def test_mann_whitney_degenerate_all_tied_is_null(spark):
+    """A single distinct value has sigma = 0: z must be NULL via the
+    all-integer guard, not an ANSI divide error."""
+    from core_telecoms_etl_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(5.0, "a")] * 3 + [(5.0, "b")] * 3, ["value", "grp"]
+    )
+    row = mann_whitney_u(
+        df, value_col="value", group_col="grp", group_a="a", group_b="b"
+    ).collect()[0]
+    assert row.z is None
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """Equal revenues -> G = 0; one customer holding everything ->
+    G = (n-1)/n."""
+    from core_telecoms_etl_spark.queries.inferential import gini_concentration
+
+    cust = spark.createDataFrame(
+        [(i, "EQ") for i in range(4)] + [(10 + i, "ONE") for i in range(4)],
+        ["c_custkey", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame(
+        [(i, i, 50.0) for i in range(4)]  # EQ: everyone 50
+        + [(100, 10, 200.0)]  # ONE: cust 10 has it all...
+        + [(101 + i, 11 + i, 0.0) for i in range(3)],  # ...rest zero
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    d = tmp_path / "star"
+    cust.write.parquet(str(d / "customer.parquet"))
+    orders.write.parquet(str(d / "orders.parquet"))
+    out = {r.segment: r for r in gini_concentration(spark, str(d)).collect()}
+    assert out["EQ"].gini == 0.0
+    assert abs(out["ONE"].gini - 0.75) < 1e-9  # (n-1)/n, n=4
+    assert out["EQ"].total_revenue == 200.0
+
+
+def test_gini_bucketed_rank_matches_plain_window(spark):
+    """The two-level bucketed rank-weighted sum must equal the naive
+    per-segment global window on the real table."""
+    from pyspark.sql import Window as W
+
+    from core_telecoms_etl_spark.queries.inferential import gini_concentration
+
+    out = {r.segment: r.gini for r in gini_concentration(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    s = pc.join(cust, pc.o_custkey == cust.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    g = (
+        s.withColumn("i", F.row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("a"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(
+                (
+                    F.lit(2) * F.col("a")
+                    - (F.col("n") + F.lit(1)) * F.col("sx")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("sx")),
+                6,
+            ).alias("gini"),
+        )
+    )
+    naive = {r.c_mktsegment: r.gini for r in g.collect()}
+    assert out == naive
+
+
+def test_seasonal_naive_perfect_seasonality_zero_wape(spark, tmp_path):
+    """A series that repeats exactly year-over-year backtests to
+    WAPE = 0 and bias = 0."""
+    from core_telecoms_etl_spark.queries.inferential import (
+        seasonal_naive_forecast,
+    )
+
+    rows = []
+    k = 0
+    for year in (1995, 1996):
+        for mo in range(1, 13):
+            rows.append((k, "N", f"{year}-{mo:02d}-10 00:00:00", 100.0 + mo, 0.0))
+            k += 1
+    li = spark.createDataFrame(
+        rows,
+        ["l_orderkey", "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    d = tmp_path / "star"
+    li.write.parquet(str(d / "lineitem.parquet"))
+    row = seasonal_naive_forecast(spark, str(d)).collect()[0]
+    assert row.n_months_tested == 12
+    assert row.wape == 0.0
+    assert row.bias == 0.0
+
+
+def test_kaplan_meier_hand_curve(spark, tmp_path):
+    """3 users: durations 1 (error=churn), 2 (error), 3 (censored):
+    S(1) = 2/3, S(2) = 1/3; the censored user never drops the curve."""
+    from core_telecoms_etl_spark.queries.inferential import kaplan_meier
+
+    rows = []
+    # user 1: day0 signup, day1 error (observed churn at t=1)
+    rows += [(1, 1, "2020-01-01 00:00:00", "signup"),
+             (2, 1, "2020-01-02 00:00:00", "error")]
+    # user 2: day0 signup, day2 error (observed at t=2)
+    rows += [(3, 2, "2020-01-01 00:00:00", "signup"),
+             (4, 2, "2020-01-03 00:00:00", "error")]
+    # user 3: day0 signup, day3 purchase (censored at t=3)
+    rows += [(5, 3, "2020-01-01 00:00:00", "signup"),
+             (6, 3, "2020-01-04 00:00:00", "purchase")]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    out = kaplan_meier(spark, str(d)).collect()
+    assert [(r.duration_days, r.n_risk, r.n_events) for r in out] == [
+        (1, 3, 1),
+        (2, 2, 1),
+    ]
+    assert abs(out[0].survival - 2 / 3) < 1e-6
+    assert abs(out[1].survival - 1 / 3) < 1e-6
+
+
+def test_kaplan_meier_hits_zero_exactly(spark, tmp_path):
+    """When every user churns, the curve ends at exactly 0.0 (integer
+    flag), not exp(ln(0))."""
+    from core_telecoms_etl_spark.queries.inferential import kaplan_meier
+
+    rows = []
+    for u in (1, 2):
+        rows += [(10 * u, u, "2020-01-01 00:00:00", "signup"),
+                 (10 * u + 1, u, f"2020-01-0{u + 1} 00:00:00", "error")]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    out = kaplan_meier(spark, str(d)).collect()
+    assert out[-1].survival == 0.0
