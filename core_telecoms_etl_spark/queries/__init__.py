@@ -164,6 +164,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "gini_concentration",  # NEW r7
     "seasonal_naive_forecast",  # NEW r7
     "kaplan_meier",  # NEW r7
+    "triangle_count",  # NEW r7
+    "node_jaccard_similarity",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

@@ -1643,3 +1643,150 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bn").cast("long").alias("b_hi"),
         )
     )
+
+
+@query(
+    "triangle_count",
+    oracle="""WITH pl AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+              e AS (
+                SELECT DISTINCT a.p AS a, b.p AS b
+                FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+              deg AS (
+                SELECT v, count(*) AS d
+                FROM (SELECT a AS v FROM e
+                      UNION ALL SELECT b AS v FROM e)
+                GROUP BY 1),
+              tri AS (
+                SELECT count(*) AS t
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+              base AS (
+                SELECT count(*) AS n_nodes,
+                       CAST(CAST(sum(d) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+                       CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT)
+                         AS n_wedges
+                FROM deg)
+              SELECT n_nodes, n_edges, n_wedges,
+                     CAST(t AS BIGINT) AS n_triangles,
+                     CASE WHEN n_wedges > 0 THEN
+                       round(3.0 * CAST(t AS DOUBLE)
+                             / CAST(n_wedges AS DOUBLE), 6)
+                     END AS clustering_coeff
+              FROM base CROSS JOIN tri""",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the
+    co-purchase graph (parts linked when one order contains both) —
+    the standard "how cliquish is this affinity graph" readout.
+    Degree-ordered orientation in `operators/graph.py triangle_stats`
+    bounds the wedge self-join fan-out by out-degree ≤ O(√m) — the
+    oracle states the naive a<b triple join declaratively; both count
+    each triangle exactly once."""
+    from core_telecoms_etl_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__parts")
+    )
+    edges = (
+        baskets.select(
+            F.posexplode("__parts").alias("__i", "src"), "__parts"
+        )
+        .select(
+            "src",
+            F.explode(
+                F.slice(
+                    "__parts",
+                    F.col("__i") + 2,
+                    F.greatest(
+                        F.size("__parts") - F.col("__i") - 1, F.lit(0)
+                    ),
+                )
+            ).alias("dst"),
+        )
+    )
+    return triangle_stats(edges)
+
+
+@query(
+    "node_jaccard_similarity",
+    oracle="""WITH pl AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+              deg AS (SELECT p, count(*) AS d FROM pl GROUP BY 1),
+              pairs AS (
+                SELECT a.p AS pa, b.p AS pb, count(*) AS c
+                FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2),
+              j AS (
+                SELECT pa, pb, c, da.d AS da, db.d AS db
+                FROM pairs
+                JOIN deg da ON pa = da.p
+                JOIN deg db ON pb = db.p)
+              SELECT pa AS part_a, pb AS part_b,
+                     c AS n_common, (da + db - c) AS n_union,
+                     round(CAST(c AS DOUBLE) / (da + db - c), 6) AS jaccard
+              FROM j
+              ORDER BY jaccard DESC, pa, pb LIMIT 25""",
+)
+def node_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap part similarity: Jaccard of the ORDER SETS
+    of two parts (structural "bought in the same baskets" affinity, the
+    graph analogue of the text near-dup jaccard). Top-25 pairs with a
+    full (jaccard, a, b) tiebreak.
+
+    Exactness: common/degree/union counts are exact BIGINT (pairs only
+    form inside shared baskets — the bipartite inverted index, never
+    all |parts|² pairs); jaccard is one mirrored double division.
+
+    Scale: ONE fact shuffle to sorted basket arrays, pair expansion via
+    the two bounded Generate operators (the measured copurchase plan),
+    degree joins on part key, TakeOrderedAndProject top-25."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = pl.groupBy("p").agg(F.count("*").alias("d"))
+    baskets = pl.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("__parts"))
+    pairs = (
+        baskets.select(
+            F.posexplode("__parts").alias("__i", "pa"), "__parts"
+        )
+        .select(
+            "pa",
+            F.explode(
+                F.slice(
+                    "__parts",
+                    F.col("__i") + 2,
+                    F.greatest(
+                        F.size("__parts") - F.col("__i") - 1, F.lit(0)
+                    ),
+                )
+            ).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    j = (
+        pairs.join(
+            deg.select(F.col("p").alias("pa"), F.col("d").alias("da")), "pa"
+        )
+        .join(
+            deg.select(F.col("p").alias("pb"), F.col("d").alias("db")), "pb"
+        )
+    )
+    uni = F.col("da") + F.col("db") - F.col("c")
+    return (
+        j.select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("c").alias("n_common"),
+            uni.alias("n_union"),
+            F.round(F.col("c").cast("double") / uni, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(25)
+    )

@@ -254,3 +254,59 @@ def test_winsorize_degenerate_group_all_equal(spark, tmp_path):
     assert row.n == 10
     assert row.n_clipped_low == 0 and row.n_clipped_high == 0
     assert row.sum_winsorized == 25.0
+
+
+def test_triangle_stats_hand_graphs(spark):
+    """K3 -> 1 triangle, clustering 1.0; a 4-path -> 0 triangles; K4 ->
+    4 triangles; duplicate/reversed edges collapse."""
+    from core_telecoms_etl_spark.operators.graph import triangle_stats
+
+    k3 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], ["src", "dst"]  # one dup reversed
+    )
+    r = triangle_stats(k3).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+    assert r.clustering_coeff == 1.0
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    r = triangle_stats(path).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (3, 2, 0)
+    assert r.clustering_coeff == 0.0
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["src", "dst"]
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (6, 4)
+
+
+def test_triangle_stats_hub_graph_counts_once(spark):
+    """A star plus one rim edge: exactly 1 triangle regardless of hub
+    degree (the degree-ordered orientation handles the skewed hub)."""
+    from core_telecoms_etl_spark.operators.graph import triangle_stats
+
+    edges = [(0, i) for i in range(1, 20)] + [(1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = triangle_stats(df).collect()[0]
+    assert r.n_triangles == 1
+    assert r.n_nodes == 20
+
+
+def test_node_jaccard_similarity_values(spark):
+    """Two parts always bought together -> jaccard 1.0 and they top the
+    ranking at sf0.001... or at least every score is in (0, 1] and
+    common <= min(deg)."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["node_jaccard_similarity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(rows) <= 25
+    prev = None
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common <= r.n_union
+        assert r.part_a < r.part_b
+        if prev is not None:
+            assert (prev.jaccard, ) >= (r.jaccard, )  # descending
+        prev = r
