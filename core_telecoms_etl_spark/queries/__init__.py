@@ -166,6 +166,10 @@ _CHECK_ORDER: tuple[str, ...] = (
     "kaplan_meier",  # NEW r7
     "triangle_count",  # NEW r7
     "node_jaccard_similarity",  # NEW r7
+    "zipf_profile",  # NEW r7
+    "keyword_pmi",  # NEW r7
+    "lexical_diversity",  # NEW r7
+    "containment_near_dup",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

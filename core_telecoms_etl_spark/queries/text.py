@@ -1231,3 +1231,337 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "zipf_profile",
+    oracle="""WITH toks AS (
+                SELECT unnest(list_filter(string_split(trim(text), ' '),
+                              t -> t <> '')) AS tok
+                FROM documents),
+              tc AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+              tot AS (SELECT count(*) AS n_types,
+                             CAST(sum(n) AS BIGINT) AS n_tokens
+                      FROM tc),
+              top AS (SELECT tok, n,
+                             row_number() OVER (ORDER BY n DESC, tok)
+                               AS r
+                      FROM tc ORDER BY n DESC, tok LIMIT 200),
+              s AS (SELECT count(*) AS k,
+                           round(sum(ln(CAST(r AS DOUBLE))), 6) AS sx,
+                           round(sum(ln(CAST(n AS DOUBLE))), 6) AS sy,
+                           round(sum(ln(CAST(r AS DOUBLE))
+                                     * ln(CAST(n AS DOUBLE))), 6) AS sxy,
+                           round(sum(ln(CAST(r AS DOUBLE))
+                                     * ln(CAST(r AS DOUBLE))), 6) AS sxx
+                    FROM top)
+              SELECT n_types, n_tokens, k AS k_top,
+                     round((CAST(k AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(k AS DOUBLE) * sxx - sx * sx), 6)
+                       AS zipf_slope,
+                     round((sy - (CAST(k AS DOUBLE) * sxy - sx * sy)
+                                 / (CAST(k AS DOUBLE) * sxx - sx * sx)
+                                 * sx) / CAST(k AS DOUBLE), 6)
+                       AS zipf_intercept
+              FROM tot CROSS JOIN s""",
+)
+def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — corpus Zipf fit: OLS slope of ln(freq) vs ln(rank) over the
+    top-200 token frequencies (a natural corpus has slope ≈ −1;
+    machine-generated or templated text bends it — a cheap corpus-level
+    quality screen to sit beside the per-doc Gopher rules).
+
+    Exactness: token counts and ranks are exact integers with a full
+    (n DESC, token) tiebreak; the four 200-term ln sums are rounded at
+    6dp (the repo's ln absorption) BEFORE the closed-form slope, so
+    both engines combine identical rounded intermediates.
+
+    Scale: one shuffle to corpus token counts (map-side combined),
+    TakeOrdered top-200, and a 200-row single-partition window/fold
+    (bounded by K, pmod idiom)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tc.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+    )
+    top = tc.orderBy(F.desc("n"), "tok").limit(200)
+    w = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy(
+        F.desc("n"), "tok"
+    )
+    ranked = top.withColumn("r", F.row_number().over(w).cast("long"))
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    s = ranked.agg(
+        F.count("*").cast("long").alias("k"),
+        F.round(F.sum(lx), 6).alias("sx"),
+        F.round(F.sum(ly), 6).alias("sy"),
+        F.round(F.sum(lx * ly), 6).alias("sxy"),
+        F.round(F.sum(lx * lx), 6).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return tot.join(F.broadcast(s)).select(
+        "n_types",
+        "n_tokens",
+        F.col("k").alias("k_top"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / kd, 6
+        ).alias("zipf_intercept"),
+    )
+
+
+@query(
+    "keyword_pmi",
+    oracle="""WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(text), ' '),
+                                   t -> t <> '') AS ts
+                FROM documents),
+              uni AS (
+                SELECT unnest(ts) AS tok FROM toks),
+              uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+              m AS (SELECT CAST(sum(c) AS BIGINT) AS m_tokens FROM uc),
+              bi AS (
+                SELECT unnest([ts[i] || ' ' || ts[i+1]
+                               for i in range(1, len(ts))]) AS bg
+                FROM toks WHERE len(ts) >= 2),
+              bc AS (SELECT bg, count(*) AS cxy FROM bi GROUP BY 1),
+              nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_bigrams FROM bc),
+              j AS (
+                SELECT bg, cxy,
+                       string_split(bg, ' ')[1] AS w1,
+                       string_split(bg, ' ')[2] AS w2
+                FROM bc WHERE cxy >= 5)
+              SELECT bg AS bigram, cxy AS n_pair,
+                     l.c AS n_left, r.c AS n_right,
+                     round(ln(CAST(cxy AS DOUBLE) * m_tokens * m_tokens
+                              / (CAST(n_bigrams AS DOUBLE) * l.c * r.c)),
+                           6) AS pmi
+              FROM j
+              JOIN uc l ON j.w1 = l.tok
+              JOIN uc r ON j.w2 = r.tok
+              CROSS JOIN m CROSS JOIN nb
+              ORDER BY pmi DESC, bigram LIMIT 25""",
+)
+def keyword_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — collocation extraction: top-25 adjacent word pairs by PMI
+    (min pair count 5) — the classic keyword/phrase miner, and the
+    building block of phrase-aware tokenization in training pipelines.
+
+    Exactness: unigram/bigram counts are exact BIGINT; PMI is ONE
+    mirrored expression ln(c_xy·M²/(N·c_x·c_y)) — integer-product
+    double ratio, then a single ln, rounded at 6dp (full tiebreak).
+
+    Scale: two corpus shuffles (unigram + bigram counts, both map-side
+    combined); the two unigram joins key on the bigram's words; totals
+    are 1-row broadcasts; TakeOrdered top-25. No windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tx.tokens("text").alias("ts"))
+    uc = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    m = uc.agg(F.sum("c").alias("m_tokens"))
+    bc = (
+        toks.filter(F.size("ts") >= 2)
+        .select(F.explode(tx.ngram_windows(F.col("ts"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cxy"))
+    )
+    nb = bc.agg(F.sum("cxy").alias("n_bigrams"))
+    j = bc.filter(F.col("cxy") >= 5).select(
+        "bg",
+        "cxy",
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    out = (
+        j.join(uc.select(F.col("tok").alias("w1"), F.col("c").alias("cl")), "w1")
+        .join(uc.select(F.col("tok").alias("w2"), F.col("c").alias("cr")), "w2")
+        .join(F.broadcast(m))
+        .join(F.broadcast(nb))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("cxy").cast("double")
+            * F.col("m_tokens")
+            * F.col("m_tokens")
+            / (
+                F.col("n_bigrams").cast("double")
+                * F.col("cl")
+                * F.col("cr")
+            )
+        ),
+        6,
+    )
+    return (
+        out.select(
+            F.col("bg").alias("bigram"),
+            F.col("cxy").alias("n_pair"),
+            F.col("cl").alias("n_left"),
+            F.col("cr").alias("n_right"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(25)
+    )
+
+
+@query(
+    "lexical_diversity",
+    oracle="""WITH toks AS (
+                SELECT source,
+                       unnest(list_filter(string_split(trim(text), ' '),
+                              t -> t <> '')) AS tok
+                FROM documents),
+              tc AS (SELECT source, tok, count(*) AS n
+                     FROM toks GROUP BY 1, 2),
+              s AS (SELECT source,
+                           count(*) AS n_types,
+                           CAST(sum(n) AS BIGINT) AS n_tokens,
+                           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_hapax,
+                           CAST(sum(n * length(tok)) AS BIGINT) AS n_chars
+                    FROM tc GROUP BY 1)
+              SELECT source, n_types, n_tokens, n_hapax,
+                     round(CAST(n_types AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                     round(CAST(n_hapax AS DOUBLE)
+                           / CAST(n_types AS DOUBLE), 6) AS hapax_ratio,
+                     round(CAST(n_chars AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len
+              FROM s ORDER BY source""",
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-source lexical diversity: type-token ratio, hapax
+    (frequency-1) ratio, and mean token length — the vocabulary-health
+    screen that separates natural prose from templated/boilerplate
+    sources in a training mix.
+
+    Exactness: everything accumulates as BIGINT at the (source, token)
+    grain; the three ratios are single mirrored divisions.
+
+    Scale: one corpus shuffle to (source, token) counts (map-side
+    combined), then a |sources|-row rollup. No windows, no arrays
+    crossing the exchange — tokens explode map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    s = tc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.col("n") * F.length("tok")).alias("n_chars"),
+    )
+    return s.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("mean_token_len"),
+    ).orderBy("source")
+
+
+@query(
+    "containment_near_dup",
+    oracle="""WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(text), ' '), t -> t <> '') AS ts
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                      for i in range(1, len(ts) - 1)]) AS shingles
+                FROM toks WHERE len(ts) >= 3),
+              ex AS (
+                SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n,
+                       unnest(shingles) AS shingle
+                FROM sh),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common,
+                       any_value(a.n) AS n_a, any_value(b.n) AS n_b
+                FROM ex a JOIN ex b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+              bidir AS (
+                SELECT doc_a AS doc_src, doc_b AS doc_dst,
+                       n_common, n_a AS n_src FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a, n_common, n_b FROM pairs)
+              SELECT doc_src, doc_dst, n_common, n_src,
+                     round(CAST(n_common AS DOUBLE) / n_src, 6) AS containment
+              FROM bidir
+              WHERE CAST(n_common AS DOUBLE) / n_src >= 0.9
+              ORDER BY doc_src, doc_dst""",
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — ASYMMETRIC containment near-dup: |S(a)∩S(b)|/|S(a)| ≥ 0.9
+    catches quote-inclusion and subset documents that symmetric jaccard
+    misses (a short doc fully embedded in a long one has low jaccard
+    but containment 1.0) — the dedup direction C4/RefinedWeb apply to
+    boilerplate-wrapped copies.
+
+    Exactness: one unordered inverted-index pair pass (the
+    `jaccard_pairs` machinery at threshold 0 — counts identical under
+    xxhash64 shingle hashing), each pair then emits BOTH directions
+    with its own denominator; containment is a single mirrored
+    division. Scale: same sub-quadratic posting-join shape as
+    `near_dedup`; direction expansion is a 2× map on the PAIR relation,
+    not the postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0
+    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    fwd = pairs.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        "n_common",
+        F.col("n_a").alias("n_src"),
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        "n_common",
+        F.col("n_b").alias("n_src"),
+    )
+    both = fwd.unionByName(rev)
+    cont = F.col("n_common").cast("double") / F.col("n_src")
+    return (
+        both.filter(cont >= 0.9)
+        .select(
+            "doc_src",
+            "doc_dst",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_src").cast("long").alias("n_src"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("doc_src", "doc_dst")
+    )

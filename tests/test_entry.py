@@ -92,6 +92,8 @@ def test_r7_window_head_is_exactly_50():
         "mann_whitney_u", "gini_concentration",
         "seasonal_naive_forecast", "kaplan_meier",
         "triangle_count", "node_jaccard_similarity",
+        "zipf_profile", "keyword_pmi",
+        "lexical_diversity", "containment_near_dup",
     }
     never_green = {n for n in q.REGISTRY if n not in green}
     missed_new = never_green - set(head) - deferred_to_r8

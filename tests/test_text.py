@@ -202,3 +202,86 @@ def test_bigram_surprisal_ranks_boilerplate_below_novel(spark, tmp_path):
     # a rare context outranks text the corpus has seen ten times
     assert rows[1].surprisal < rows[3].surprisal < rows[2].surprisal
     assert rows[2].surprisal > 0.0
+
+
+def test_zipf_profile_shape_and_slope(spark):
+    """Natural-ish corpus: slope negative, k_top bounded, types <=
+    tokens."""
+    import __spark_entry__ as e
+
+    row = e.queries()["zipf_profile"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.k_top <= 200
+    assert row.n_types <= row.n_tokens
+    assert row.zipf_slope < 0  # frequencies fall with rank
+
+
+def test_keyword_pmi_hand_corpus(spark, tmp_path):
+    """A bigram that always co-occurs scores ln(M^2/(N*c_x*c_y)) with
+    c_xy = c_x = c_y; filler tokens dilute everything else below it."""
+    import math
+
+    from core_telecoms_etl_spark.queries.text import keyword_pmi
+
+    docs = []
+    # 6 docs "alpha beta", 6 docs of 2 shared filler tokens
+    for i in range(6):
+        docs.append((i, "alpha beta", "en", "s", 10))
+    for i in range(6, 12):
+        docs.append((i, "zz zz", "en", "s", 5))
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "c"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = keyword_pmi(spark, str(d)).collect()
+    by = {r.bigram: r for r in out}
+    assert "alpha beta" in by
+    r = by["alpha beta"]
+    # M = 24 tokens, N = 12 bigrams, c_xy = 6, c_x = c_y = 6
+    expect = math.log(6 * 24 * 24 / (12 * 6 * 6))
+    assert abs(r.pmi - expect) < 1e-5
+    assert r.pmi > by["zz zz"].pmi
+
+
+def test_lexical_diversity_hand_values(spark, tmp_path):
+    """One source with all-distinct tokens (ttr = 1, hapax = 1), one
+    with a single repeated token (ttr -> 0, hapax = 0)."""
+    from core_telecoms_etl_spark.queries.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd", "en", "uniq", 11),
+            (2, "xx xx xx xx xx", "en", "rep", 14),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "c"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = {r.source: r for r in lexical_diversity(spark, str(d)).collect()}
+    u = out["uniq"]
+    assert (u.n_types, u.n_tokens, u.n_hapax) == (4, 4, 4)
+    assert u.ttr == 1.0 and u.hapax_ratio == 1.0 and u.mean_token_len == 2.0
+    r = out["rep"]
+    assert (r.n_types, r.n_tokens, r.n_hapax) == (1, 5, 0)
+    assert r.ttr == 0.2 and r.hapax_ratio == 0.0
+
+
+def test_containment_catches_subset_doc(spark, tmp_path):
+    """A short doc fully contained in a long one: containment 1.0 in
+    the short->long direction, below threshold the other way — the
+    asymmetry jaccard misses."""
+    from core_telecoms_etl_spark.queries.text import containment_near_dup
+
+    short = "one two three four five"
+    long_ = short + " six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, short, "en", "s", len(short)), (2, long_, "en", "s", len(long_))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "c"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = containment_near_dup(spark, str(d)).collect()
+    assert [(r.doc_src, r.doc_dst) for r in out] == [(1, 2)]
+    assert out[0].containment == 1.0
