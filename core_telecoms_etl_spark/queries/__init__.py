@@ -170,6 +170,10 @@ _CHECK_ORDER: tuple[str, ...] = (
     "keyword_pmi",  # NEW r7
     "lexical_diversity",  # NEW r7
     "containment_near_dup",  # NEW r7
+    "knn_classify",  # NEW r7
+    "order_price_consistency",  # NEW r7
+    "functional_dependency",  # NEW r7
+    "interarrival_stats",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

@@ -542,3 +542,175 @@ def erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_li.select(F.lit("lineitem").alias("entity"), "n_rows")
         )
     )
+
+
+@query(
+    "order_price_consistency",
+    oracle="""WITH per_line AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                       * CAST(round((1 + l_tax) * 100) AS BIGINT) AS g6
+                FROM lineitem),
+              per_order AS (
+                SELECT l_orderkey,
+                       CAST(sum(g6) AS BIGINT) AS comp_g6
+                FROM per_line GROUP BY 1),
+              cmp AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS head_cents,
+                       CAST(round(CAST(comp_g6 AS DOUBLE) / 1e4) AS BIGINT)
+                         AS comp_cents
+                FROM orders JOIN per_order ON o_orderkey = l_orderkey)
+              SELECT o_orderpriority,
+                     count(*) AS n_orders,
+                     CAST(sum(CASE WHEN head_cents <> comp_cents
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+                     CAST(max(abs(head_cents - comp_cents)) AS BIGINT)
+                       AS max_abs_diff_cents,
+                     round(CAST(CAST(sum(head_cents - comp_cents) AS BIGINT)
+                           AS DOUBLE) / 100, 2) AS total_drift
+              FROM cmp GROUP BY 1 ORDER BY 1""",
+)
+def order_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — cross-table arithmetic consistency audit: does the order
+    header's o_totalprice equal the recomputed
+    Σ extendedprice·(1−discount)·(1+tax) over its lines? The classic
+    "header vs detail drift" DQ check every revenue pipeline runs
+    (the reference's dbt tests only cover nulls/uniqueness —
+    `models/facts/schema.yml`; this is the arithmetic layer they
+    skip). Per priority: order count, mismatch count, worst absolute
+    gap, signed total drift.
+
+    Exactness: the recomputed total accumulates on the exact 6-decimal
+    grid (three 2-dec factors as BIGINTs, ≈1e12/line — int64 holds
+    ~10⁶ lines/order), snapped to cents with ONE mirrored
+    divide-and-round; header cents are exact. Every reported number is
+    then integer-derived.
+
+    Scale: one lineitem shuffle to order grain (map-side combined),
+    one join to headers, a |priorities|-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    g6 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+        * F.round((F.lit(1) + F.col("l_tax")) * 100).cast("long")
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(g6).alias("comp_g6"))
+    cmp_df = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("head_cents"),
+        F.round(F.col("comp_g6").cast("double") / F.lit(1e4))
+        .cast("long")
+        .alias("comp_cents"),
+    )
+    diff = F.col("head_cents") - F.col("comp_cents")
+    return (
+        cmp_df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("head_cents") != F.col("comp_cents")).cast("int"))
+            .cast("long")
+            .alias("n_mismatch"),
+            F.max(F.abs(diff)).cast("long").alias("max_abs_diff_cents"),
+            F.round(F.sum(diff).cast("double") / F.lit(100), 2).alias(
+                "total_drift"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "functional_dependency",
+    oracle="""WITH checks AS (
+                SELECT 'n_nationkey->n_regionkey' AS fd,
+                       CAST(n_nationkey AS VARCHAR) AS lhs,
+                       CAST(n_regionkey AS VARCHAR) AS rhs
+                FROM nation
+                UNION ALL
+                SELECT 'p_type->p_size',
+                       p_type, CAST(p_size AS VARCHAR) FROM part
+                UNION ALL
+                SELECT 'o_orderstatus->o_orderpriority',
+                       o_orderstatus, o_orderpriority FROM orders),
+              cells AS (
+                SELECT fd, lhs, rhs, count(*) AS n
+                FROM checks GROUP BY 1, 2, 3),
+              grp AS (
+                SELECT fd, lhs,
+                       count(*) AS n_rhs,
+                       CAST(sum(n) AS BIGINT) AS n_rows,
+                       CAST(max(n) AS BIGINT) AS n_major
+                FROM cells GROUP BY 1, 2)
+              SELECT fd,
+                     count(*) AS n_lhs,
+                     CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_violating_lhs,
+                     CAST(sum(n_rows - n_major) AS BIGINT) AS min_repair_rows,
+                     CAST(CASE WHEN sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                               = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+              FROM grp GROUP BY 1 ORDER BY 1""",
+)
+def functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — functional-dependency audit: for each declared candidate
+    FD X→Y, how many X-groups carry more than one Y, and the MINIMAL
+    number of row repairs (rows outside each group's majority Y) to
+    make it hold — the schema-inference/constraint-mining DQ check
+    (reference capability gap: dbt's `schema.yml` can only assert
+    declared uniqueness, not discover dependency violations). Checked
+    here: nation→region (holds), part type→size and order
+    status→priority (violated by construction).
+
+    Exactness: pure BIGINT counting at (fd, lhs, rhs) grain; the
+    majority count is max-of-counts (well-defined under ties).
+
+    Scale: each FD is one map-side-combined shuffle of its OWN
+    table's two columns (the union happens after projection — three
+    narrow scans, no fact-wide union); then a tiny per-lhs rollup."""
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    checks = (
+        nat.select(
+            F.lit("n_nationkey->n_regionkey").alias("fd"),
+            F.col("n_nationkey").cast("string").alias("lhs"),
+            F.col("n_regionkey").cast("string").alias("rhs"),
+        )
+        .unionByName(
+            part.select(
+                F.lit("p_type->p_size").alias("fd"),
+                F.col("p_type").alias("lhs"),
+                F.col("p_size").cast("string").alias("rhs"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_orderstatus->o_orderpriority").alias("fd"),
+                F.col("o_orderstatus").alias("lhs"),
+                F.col("o_orderpriority").alias("rhs"),
+            )
+        )
+    )
+    cells = checks.groupBy("fd", "lhs", "rhs").agg(F.count("*").alias("n"))
+    grp = cells.groupBy("fd", "lhs").agg(
+        F.count("*").alias("n_rhs"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("n_major"),
+    )
+    viol = F.sum((F.col("n_rhs") > 1).cast("int")).cast("long")
+    return (
+        grp.groupBy("fd")
+        .agg(
+            F.count("*").alias("n_lhs"),
+            viol.alias("n_violating_lhs"),
+            F.sum(F.col("n_rows") - F.col("n_major"))
+            .cast("long")
+            .alias("min_repair_rows"),
+            (viol == 0).cast("long").alias("holds"),
+        )
+        .orderBy("fd")
+    )

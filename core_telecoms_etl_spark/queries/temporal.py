@@ -433,3 +433,63 @@ def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_threshold=3,
         grid=100,
     )
+
+
+@query(
+    "interarrival_stats",
+    oracle="""WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id, event_type ORDER BY ts)
+                         AS gap_us
+                FROM events)
+              SELECT event_type,
+                     count(*) AS n_gaps,
+                     round(CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE)
+                           / count(*) / 1e6, 3) AS mean_gap_s,
+                     round(quantile_cont(gap_us, 0.5) / 1e6, 3) AS p50_gap_s,
+                     round(quantile_cont(gap_us, 0.9) / 1e6, 3) AS p90_gap_s
+              FROM g WHERE gap_us IS NOT NULL
+              GROUP BY 1 ORDER BY 1""",
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival cadence: for each user's stream of
+    one event type, the gap to the previous occurrence; aggregated to
+    count / mean / exact interpolated p50 / p90 seconds — the arrival-
+    process profile behind retention and anomaly baselines (and the
+    input to choosing stream watermark widths).
+
+    Input contract: (user_id, ts) unique (events table guarantee).
+
+    Exactness: gaps are exact BIGINT microseconds (unix_micros ↔
+    epoch_us); mean = Σ/n/1e6 mirrored; percentiles use the proven
+    percentile↔quantile_cont interpolation pairing on integer inputs;
+    all outputs rounded at 1e-3 s.
+
+    Scale: the lag window partitions by (user, type) — per-user
+    partitions, never global; then one shuffle to the |types|-row
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("*") / F.lit(1e6), 3
+            ).alias("mean_gap_s"),
+            F.round(F.percentile("gap_us", 0.5) / F.lit(1e6), 3).alias(
+                "p50_gap_s"
+            ),
+            F.round(F.percentile("gap_us", 0.9) / F.lit(1e6), 3).alias(
+                "p90_gap_s"
+            ),
+        )
+        .orderBy("event_type")
+    )

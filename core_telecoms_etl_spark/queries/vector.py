@@ -315,3 +315,103 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("qvec")).alias("qvec_csv"),
         "max_abs_err",
     )
+
+
+@query(
+    "knn_classify",
+    oracle=f"""WITH q AS (
+                 SELECT vec_id AS qid, embedding AS qv, label AS qlab
+                 FROM embeddings WHERE vec_id % 20 = 0),
+               c AS (
+                 SELECT vec_id AS nid, embedding AS cv, label AS nlab
+                 FROM embeddings WHERE vec_id % 20 <> 0),
+               scored AS (
+                 SELECT qid, qlab, nid, nlab,
+                        round(list_dot_product(CAST(qv AS DOUBLE[]),
+                                               CAST(cv AS DOUBLE[])), 6)
+                        / sqrt(round(list_dot_product(CAST(qv AS DOUBLE[]),
+                                                      CAST(qv AS DOUBLE[])), 6)
+                             * round(list_dot_product(CAST(cv AS DOUBLE[]),
+                                                      CAST(cv AS DOUBLE[])), 6))
+                          AS cos
+                 FROM q CROSS JOIN c),
+               topk AS (
+                 SELECT qid, qlab, nlab FROM (
+                   SELECT qid, qlab, nlab,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos DESC, nid) AS r
+                   FROM scored) WHERE r <= 10),
+               votes AS (
+                 SELECT qid, qlab, nlab, count(*) AS cnt
+                 FROM topk GROUP BY 1, 2, 3),
+               win AS (
+                 SELECT qid, qlab, nlab AS pred,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cnt DESC, nlab) AS vr
+                 FROM votes)
+               SELECT qid AS query_id,
+                      CAST(qlab AS BIGINT) AS true_label,
+                      CAST(pred AS BIGINT) AS pred_label,
+                      CAST(CASE WHEN pred = qlab THEN 1 ELSE 0 END AS BIGINT)
+                        AS correct
+               FROM win WHERE vr = 1 ORDER BY qid""",
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — k-NN label prediction readout: every 20th vector becomes a
+    query, classified by majority label of its 10 exact-cosine nearest
+    corpus neighbors (ties → smallest label) — the standard
+    embedding-quality eval a training pipeline runs after each encoder
+    change. One row per query: true label, predicted label, 0/1 hit.
+
+    Exactness: cosine uses the repo's rounded-fold discipline (dot and
+    norms rounded at 6dp); neighbor and vote ranks carry full
+    deterministic tiebreaks (cosine DESC, id) / (count DESC, label);
+    labels cast BIGINT both sides.
+
+    Scale: the exact all-pairs scorer is the declared baseline —
+    broadcast(queries) × corpus, partial WindowGroupLimit keeps only
+    k rows per query ahead of the exchange; swap the scorer for
+    `ivf_topk`/`lsh_topk` at corpus scale (same downstream vote)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlab"),
+        _rounded_n2("embedding").alias("qn2"),
+    )
+    c = e.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("nlab"),
+        _rounded_n2("embedding").alias("cn2"),
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q)).select(
+        "qid",
+        "qlab",
+        "nid",
+        "nlab",
+        _rounded_cosine_from_norms("qv", "cv", "qn2", "cn2").alias("cos"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    topk = (
+        scored.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= 10)
+        .select("qid", "qlab", "nlab")
+    )
+    votes = topk.groupBy("qid", "qlab", "nlab").agg(
+        F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), "nlab")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlab").cast("long").alias("true_label"),
+            F.col("nlab").cast("long").alias("pred_label"),
+            (F.col("nlab") == F.col("qlab")).cast("long").alias("correct"),
+        )
+        .orderBy("query_id")
+    )

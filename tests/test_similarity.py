@@ -241,3 +241,23 @@ def test_quantize_vectors_codes_and_error_bound(spark):
         math.floor(-2.0 / s + 0.5),
         math.floor(0.5 / s + 0.5),
     ]
+
+
+def test_knn_classify_separable_clusters(spark, tmp_path):
+    """Two orthogonal label clusters classify perfectly; output is one
+    row per query with a 0/1 hit flag."""
+    from core_telecoms_etl_spark.queries.vector import knn_classify
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 4
+        # label by parity: even ids cluster on axis 0, odd on axis 1
+        base[0 if i % 2 == 0 else 1] = 1.0 + (i % 5) * 0.01
+        rows.append((i, [float(x) for x in base], i % 2))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    d = tmp_path / "emb"
+    df.write.parquet(str(d / "embeddings.parquet"))
+    out = knn_classify(spark, str(d)).collect()
+    assert len(out) == 2  # vec_id 0 and 20
+    assert all(r.correct == 1 for r in out)
+    assert all(r.pred_label == r.true_label for r in out)

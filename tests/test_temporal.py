@@ -208,3 +208,26 @@ def test_time_grid_lerp_interpolates_between_observations(spark):
     assert out[45] == 40.0
     assert out[60] == 99.0
     assert len(out) == 5
+
+
+def test_interarrival_stats_hand_gaps(spark, tmp_path):
+    """Gaps of 10s and 30s: mean 20s, p50 20s (interpolated), p90 28s."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.temporal import interarrival_stats
+
+    rows = [
+        (1, 1, "2020-01-01 00:00:00", "click"),
+        (2, 1, "2020-01-01 00:00:10", "click"),
+        (3, 1, "2020-01-01 00:00:40", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    row = interarrival_stats(spark, str(d)).collect()[0]
+    assert row.n_gaps == 2
+    assert row.mean_gap_s == 20.0
+    assert row.p50_gap_s == 20.0
+    assert row.p90_gap_s == 28.0
