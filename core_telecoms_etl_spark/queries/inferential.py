@@ -757,3 +757,152 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+# Poisson(1) CDF literals for the bootstrap weights — fixed literal
+# doubles on BOTH engines (never engine exp()/factorial), same idiom as
+# benford's literal shares
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+_BOOT_B = 200
+
+
+def _pois_w_sql(u: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {u} > {t!r} THEN 1 ELSE 0 END" for t in _POIS1_CDF
+    )
+
+
+@query(
+    "bootstrap_ci",
+    oracle=f"""WITH pc AS (
+                 SELECT o_custkey AS k,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS x
+                 FROM orders GROUP BY 1),
+               reps AS (SELECT unnest(generate_series(1, {_BOOT_B})) AS rep),
+               drawn AS (
+                 SELECT rep, x,
+                        (CAST(('0x' || substr(md5('bs:' ||
+                               CAST(rep AS VARCHAR) || ':' ||
+                               CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT)
+                         + 1.0) / 4294967296.0 AS u
+                 FROM pc CROSS JOIN reps),
+               w AS (SELECT rep, x, {_pois_w_sql('u')} AS wt FROM drawn),
+               means AS (
+                 SELECT rep,
+                        CAST(sum(wt) AS BIGINT) AS n_r,
+                        CAST(sum(wt * x) AS BIGINT) AS s_r
+                 FROM w GROUP BY 1),
+               dist AS (
+                 SELECT CAST(s_r AS DOUBLE) / n_r / 100 AS m
+                 FROM means WHERE n_r > 0),
+               point AS (
+                 SELECT count(*) AS n_customers,
+                        CAST(sum(x) AS BIGINT) AS sx
+                 FROM pc)
+               SELECT n_customers,
+                      CAST({_BOOT_B} AS BIGINT) AS b_reps,
+                      round(CAST(sx AS DOUBLE) / n_customers / 100, 2)
+                        AS mean_revenue,
+                      round(quantile_cont(m, 0.025), 2) AS ci_lo,
+                      round(quantile_cont(m, 0.975), 2) AS ci_hi
+               FROM point CROSS JOIN dist
+               GROUP BY n_customers, sx""",
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean customer
+    lifetime revenue — the uncertainty band descriptive marts never
+    ship, computed WITHOUT replacement-resampling shuffles: each
+    (customer, replicate) draws a Poisson(1) weight (the standard
+    large-N bootstrap approximation, exact as N→∞) from a
+    deterministic md5 uniform, so the draw is retry-stable and the
+    oracle replays the identical arithmetic.
+
+    Exactness: weights come from comparing the mirrored md5 uniform
+    against LITERAL Poisson CDF thresholds (never engine exp());
+    per-replicate Σw and Σw·x are BIGINT; each replicate mean is one
+    mirrored division and the CI bounds use the proven
+    percentile↔quantile_cont pairing over the B=200 replicate means.
+
+    Scale: the replicate expansion happens on the AGGREGATED
+    per-customer relation (|customers|·B narrow rows, map-side
+    combined straight down to B partials); at extreme scale flip to
+    one-pass per-partition elementwise array partials instead of row
+    expansion — same statistic, no B× row blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    drawn = pc.select(
+        "k",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("rep"),
+    ).select(
+        "rep",
+        "x",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bs:"),
+                                F.col("rep").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    wt = None
+    for t in _POIS1_CDF:
+        term = F.when(F.col("u") > F.lit(t), 1).otherwise(0)
+        wt = term if wt is None else wt + term
+    means = (
+        drawn.withColumn("wt", wt)
+        .groupBy("rep")
+        .agg(
+            F.sum("wt").cast("long").alias("n_r"),
+            F.sum(F.col("wt") * F.col("x")).cast("long").alias("s_r"),
+        )
+        .filter(F.col("n_r") > 0)
+        .select(
+            (F.col("s_r").cast("double") / F.col("n_r") / F.lit(100)).alias(
+                "m"
+            )
+        )
+    )
+    point = pc.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("x").alias("sx"),
+    )
+    dist = means.agg(
+        F.round(F.percentile("m", 0.025), 2).alias("ci_lo"),
+        F.round(F.percentile("m", 0.975), 2).alias("ci_hi"),
+    )
+    return point.join(F.broadcast(dist)).select(
+        "n_customers",
+        F.lit(_BOOT_B).cast("long").alias("b_reps"),
+        F.round(
+            F.col("sx").cast("double") / F.col("n_customers") / F.lit(100), 2
+        ).alias("mean_revenue"),
+        "ci_lo",
+        "ci_hi",
+    )

@@ -343,3 +343,62 @@ def test_kaplan_meier_hits_zero_exactly(spark, tmp_path):
     ev.write.parquet(str(d / "events.parquet"))
     out = kaplan_meier(spark, str(d)).collect()
     assert out[-1].survival == 0.0
+
+
+def test_bootstrap_ci_brackets_the_mean_and_is_stable(spark):
+    """The 95% CI brackets the point estimate, is positive-width, and
+    is bit-identical across two runs (md5 draws, no RNG)."""
+    from core_telecoms_etl_spark.queries.inferential import bootstrap_ci
+
+    r1 = bootstrap_ci(spark, SF).collect()[0]
+    r2 = bootstrap_ci(spark, SF).collect()[0]
+    assert r1 == r2
+    assert r1.b_reps == 200
+    assert r1.ci_lo < r1.mean_revenue < r1.ci_hi
+    assert r1.ci_lo > 0
+
+
+def test_bootstrap_poisson_weights_mean_one(spark):
+    """Across customers x replicates the Poisson(1) weights must
+    average ~1 (the resample preserves expected mass)."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries import inferential as inf
+
+    pc = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("x"))
+    )
+    drawn = pc.select(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(50))).alias("rep")
+    ).select(
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bs:"),
+                                F.col("rep").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(4294967296.0)
+        ).alias("u")
+    )
+    wt = None
+    for t in inf._POIS1_CDF:
+        term = F.when(F.col("u") > F.lit(t), 1).otherwise(0)
+        wt = term if wt is None else wt + term
+    m = drawn.select(wt.alias("w")).agg(F.avg("w")).collect()[0][0]
+    assert abs(m - 1.0) < 0.05
