@@ -175,6 +175,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "functional_dependency",  # NEW r7
     "interarrival_stats",  # NEW r7
     "bootstrap_ci",  # NEW r7
+    "ewma_control_chart",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

@@ -106,7 +106,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but an empty (seg, pri) cell still contributes (0−e)²/e — build
     # the full margin grid and left-join the observed counts
     grid = (
-        rt.crossJoin(ct)
+        rt.crossJoin(F.broadcast(ct))  # |segments|×|priorities| margin grid
         .join(cells, ["seg", "pri"], "left")
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     )
@@ -906,3 +906,78 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@query(
+    "ewma_control_chart",
+    oracle="""WITH daily AS (
+                SELECT CAST(l_shipdate AS DATE) AS d,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1),
+              m AS (SELECT d, CAST(cents AS DOUBLE) / 100 AS x FROM daily),
+              w AS (
+                SELECT d, x,
+                       list_reduce(list(x) OVER (ORDER BY d
+                         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+                         (a, b) -> a * 0.8 + 0.2 * b) AS ew
+                FROM m)
+              SELECT d AS day, round(x, 2) AS revenue,
+                     round(ew, 2) AS ewma30,
+                     CAST(x > 1.15 * ew OR x < 0.85 * ew AS BIGINT)
+                       AS band_breach
+              FROM w ORDER BY d""",
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (α=0.2) on daily revenue with a ±15% breach
+    flag — the smoothed process-control companion to the rolling-z
+    anomaly screen (EWMA reacts to small sustained shifts a 3σ rule
+    misses).
+
+    Exactness: the EWMA recursion acc←0.8·acc+0.2·x is an ORDER-
+    SENSITIVE left fold — both engines run the IDENTICAL fold over the
+    identically-ordered trailing-30 window (Spark: `aggregate` seeded
+    with the window's first element over `sort_array`ed (day, x)
+    structs; DuckDB: `list_reduce`, whose seed is also the first
+    element), on per-day money values derived from exact cent sums —
+    bit-identical, rounded 2dp for display. The breach flag compares
+    the same doubles against literal band factors.
+
+    Scale: one fact shuffle to the calendar-day grain; the trailing
+    window runs single-partition over the DAY relation (date-span
+    bounded, pmod idiom) with a 30-element array per row — O(days·30)
+    work total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    m = daily.select("d", (F.col("cents").cast("double") / F.lit(100)).alias("x"))
+    w = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        .orderBy("d")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    # sort_array pins frame order explicitly (struct sorts by day first)
+    arr = F.transform(
+        F.sort_array(F.collect_list(F.struct("d", "x")).over(w)),
+        lambda s: s["x"],
+    )
+    ew = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x,
+    )
+    out = m.select("d", "x", ew.alias("ew"))
+    return out.select(
+        F.col("d").alias("day"),
+        F.round("x", 2).alias("revenue"),
+        F.round("ew", 2).alias("ewma30"),
+        (
+            (F.col("x") > F.lit(1.15) * F.col("ew"))
+            | (F.col("x") < F.lit(0.85) * F.col("ew"))
+        )
+        .cast("long")
+        .alias("band_breach"),
+    ).orderBy("day")

@@ -402,3 +402,36 @@ def test_bootstrap_poisson_weights_mean_one(spark):
         wt = term if wt is None else wt + term
     m = drawn.select(wt.alias("w")).agg(F.avg("w")).collect()[0][0]
     assert abs(m - 1.0) < 0.05
+
+
+def test_ewma_control_chart_hand_fold(spark, tmp_path):
+    """Constant series -> ewma == value, no breaches; a spike breaches
+    and the fold follows the recursion exactly."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.inferential import (
+        ewma_control_chart,
+    )
+
+    rows = []
+    for day in range(1, 8):
+        val = 100.0 if day != 6 else 200.0  # spike on day 6
+        rows.append((day, f"2020-01-{day:02d} 00:00:00", val, 0.0))
+    li = spark.createDataFrame(
+        rows, ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    d = tmp_path / "star"
+    li.write.parquet(str(d / "lineitem.parquet"))
+    out = ewma_control_chart(spark, str(d)).collect()
+    assert [r.band_breach for r in out[:5]] == [0, 0, 0, 0, 0]
+    assert out[0].ewma30 == 100.0
+    # day 6: window = [100]*5 + [200] -> ewma = 100*0.8 + 0.2*200 = 120
+    assert out[5].ewma30 == 120.0
+    assert out[5].band_breach == 1  # 200 > 1.15 * 120
+    # day 7: 120*0.8 + 0.2*100 = 116... but window restarts fold from
+    # its FIRST element (trailing-30 window, all 7 rows): verify by
+    # replaying the recursion
+    acc = 100.0
+    for v in [100.0, 100.0, 100.0, 100.0, 200.0, 100.0]:
+        acc = acc * 0.8 + 0.2 * v
+    assert abs(out[6].ewma30 - round(acc, 2)) < 1e-9
