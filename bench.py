@@ -72,6 +72,16 @@ HEADLINE = [
     "winsorize_features",
     "attribution_last_touch",
     "erasure_cascade",
+    # r7 second batch: inferential stats / graph / text / vector
+    # representatives (recorded rows in BASELINE.md "Round-7")
+    "mann_whitney_u",
+    "gini_concentration",
+    "bootstrap_ci",
+    "ewma_control_chart",
+    "triangle_count",
+    "keyword_pmi",
+    "containment_near_dup",
+    "knn_classify",
 ]
 
 

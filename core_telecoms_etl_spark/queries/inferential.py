@@ -16,10 +16,13 @@ Determinism design (repo rules, `queries/__init__.py`):
 
 Scale design: every query aggregates facts FIRST (one map-side-combined
 shuffle) and runs its windows/folds on the bounded aggregated relation —
-cells (|segments|×|priorities|), calendar days, nation×month — never on
-fact rows. The one single-partition window (CUSUM) is over the
-calendar-day relation, bounded by the date span, and uses the repo's
-pmod partition idiom.
+cells (|segments|×|priorities|), calendar days, nation×month, duration
+grain, replicate ids — never on fact rows. The single-partition windows
+(CUSUM, Kaplan–Meier, EWMA) are over calendar/duration relations,
+bounded by the date span, and use the repo's pmod partition idiom; the
+rank-weighted sums (Gini) and rank-sum CDFs (Mann–Whitney) use the
+two-level range-bucketed prefix sum so no fact- or entity-sized
+relation ever sorts in one task.
 """
 
 from __future__ import annotations
