@@ -176,6 +176,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "interarrival_stats",  # NEW r7
     "bootstrap_ci",  # NEW r7
     "ewma_control_chart",  # NEW r7
+    "recursive_hierarchy_walk",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

@@ -2690,3 +2690,44 @@ def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+@query(
+    "recursive_hierarchy_walk",
+    oracle="""WITH RECURSIVE walk(p, cur, depth) AS (
+                SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+                UNION ALL
+                SELECT p, cur // 10, depth + 1 FROM walk WHERE cur >= 10)
+              SELECT depth, count(*) AS n_parts,
+                     count(DISTINCT cur) AS n_roots
+              FROM walk WHERE cur < 10
+              GROUP BY depth ORDER BY depth""",
+)
+def recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy traversal (Spark 4's recursive CTE —
+    SQL-standard iteration INSIDE one statement, no driver loop):
+    every part walks its derived ancestor chain parent(p) = p div 10
+    to the single-digit root; the result profiles chain depth and
+    root fan-in — the org-chart / BOM-explosion query shape the
+    driver-coordinated loops in `operators/graph.py` predate.
+
+    Exactness: pure integer recursion (div/compare/count) — no floats
+    anywhere. The recursion depth is log₁₀(max key), data-bounded.
+
+    Scale: each recursion step is one narrow self-union (Catalyst
+    executes UnionLoop with per-step lineage management); rows shrink
+    every step as chains terminate. The walk relation is
+    |parts|·depth ≈ 5|parts| rows of three BIGINTs; the final rollup
+    is depth-grain. For graphs with unbounded or skewed depth the
+    large-star/small-star operator remains the escalation path."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """WITH RECURSIVE walk(p, cur, depth) AS (
+             SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+             UNION ALL
+             SELECT p, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10)
+           SELECT depth, count(*) AS n_parts,
+                  count(DISTINCT cur) AS n_roots
+           FROM walk WHERE cur < 10
+           GROUP BY depth ORDER BY depth"""
+    )

@@ -110,3 +110,22 @@ def test_heavy_hitters_sketch_is_exact_under_tracked_bound(spark, sf_dir):
     assert len(got) == 10
     for r in got:
         assert exact[r.item] == r.n, r
+
+
+def test_recursive_hierarchy_walk_depths(spark, tmp_path):
+    """Keys 1..999 walk to single-digit roots: depth = digits - 1,
+    counts match the decimal structure exactly."""
+    from core_telecoms_etl_spark.queries.relational import (
+        recursive_hierarchy_walk,
+    )
+
+    part = spark.createDataFrame(
+        [(i,) for i in range(1, 1000)], ["p_partkey"]
+    )
+    d = tmp_path / "star"
+    part.write.parquet(str(d / "part.parquet"))
+    out = {r.depth: r for r in recursive_hierarchy_walk(spark, str(d)).collect()}
+    assert out[0].n_parts == 9  # 1..9 are their own roots
+    assert out[1].n_parts == 90  # 10..99
+    assert out[2].n_parts == 900  # 100..999
+    assert out[2].n_roots == 9
