@@ -177,6 +177,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "bootstrap_ci",  # NEW r7
     "ewma_control_chart",  # NEW r7
     "recursive_hierarchy_walk",  # NEW r7
+    "log_rank_test",  # NEW r7
+    "lift_analysis",  # NEW r7
+    "cohort_ltv_curve",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

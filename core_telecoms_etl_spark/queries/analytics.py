@@ -1790,3 +1790,194 @@ def node_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(25)
     )
+
+
+@query(
+    "lift_analysis",
+    oracle="""WITH pl AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+              nt AS (SELECT count(DISTINCT o) AS n_orders FROM pl),
+              deg AS (SELECT p, count(*) AS d FROM pl GROUP BY 1),
+              pairs AS (
+                SELECT a.p AS pa, b.p AS pb, count(*) AS c
+                FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2),
+              j AS (
+                SELECT pa, pb, c, da.d AS da, db.d AS db, n_orders
+                FROM pairs
+                JOIN deg da ON pa = da.p
+                JOIN deg db ON pb = db.p
+                CROSS JOIN nt
+                WHERE c >= 3)
+              SELECT pa AS part_a, pb AS part_b,
+                     c AS n_both, da AS n_a, db AS n_b,
+                     round(CAST(c AS DOUBLE) / n_orders, 6) AS support,
+                     round(CAST(c AS DOUBLE) / da, 6) AS confidence_a_b,
+                     round(CAST(c AS DOUBLE) * n_orders
+                           / (CAST(da AS DOUBLE) * db), 6) AS lift
+              FROM j
+              ORDER BY lift DESC, pa, pb LIMIT 25""",
+)
+def lift_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support / confidence / lift for
+    part pairs with ≥3 co-occurrences, top-25 by lift — the
+    recommendation-rule readout on top of the co-purchase counts
+    (`copurchase_pairs` ranks by raw frequency; lift corrects for item
+    popularity).
+
+    Exactness: all counts exact BIGINT from the bipartite inverted
+    index (pairs only form inside shared baskets); the three ratios
+    are single mirrored double expressions with full (lift, a, b)
+    tiebreaks.
+
+    Scale: the measured copurchase plan — one fact shuffle to basket
+    arrays, bounded Generate pair expansion, degree joins on part key,
+    a 1-row broadcast total, TakeOrdered top-25."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nt = pl.agg(F.count_distinct("o").alias("n_orders"))
+    deg = pl.groupBy("p").agg(F.count("*").alias("d"))
+    baskets = pl.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("__parts")
+    )
+    pairs = (
+        baskets.select(
+            F.posexplode("__parts").alias("__i", "pa"), "__parts"
+        )
+        .select(
+            "pa",
+            F.explode(
+                F.slice(
+                    "__parts",
+                    F.col("__i") + 2,
+                    F.greatest(
+                        F.size("__parts") - F.col("__i") - 1, F.lit(0)
+                    ),
+                )
+            ).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    j = (
+        pairs.join(
+            deg.select(F.col("p").alias("pa"), F.col("d").alias("da")), "pa"
+        )
+        .join(
+            deg.select(F.col("p").alias("pb"), F.col("d").alias("db")), "pb"
+        )
+        .join(F.broadcast(nt))
+    )
+    return (
+        j.select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("c").alias("n_both"),
+            F.col("da").alias("n_a"),
+            F.col("db").alias("n_b"),
+            F.round(F.col("c").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c").cast("double") / F.col("da"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("c").cast("double")
+                * F.col("n_orders")
+                / (F.col("da").cast("double") * F.col("db")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""WITH first AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+                FROM events GROUP BY user_id),
+              sizes AS (SELECT cohort, count(*) AS n_users
+                        FROM first GROUP BY 1),
+              spend AS (
+                SELECT f.cohort,
+                       CAST(floor(date_diff('day', CAST(f.cohort AS
+                         TIMESTAMP), e.ts) / 7) AS BIGINT) AS age_week,
+                       CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events e JOIN first f ON e.user_id = f.user_id
+                WHERE e.event_type = 'purchase'
+                GROUP BY 1, 2),
+              cum AS (
+                SELECT cohort, age_week,
+                       CAST(sum(cents) OVER (PARTITION BY cohort
+                         ORDER BY age_week
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum_cents
+                FROM spend)
+              SELECT c.cohort, c.age_week, s.n_users,
+                     round(CAST(c.cum_cents AS DOUBLE) / 100
+                           / s.n_users, 4) AS ltv_per_user
+              FROM cum c JOIN sizes s ON c.cohort = s.cohort
+              ORDER BY c.cohort, c.age_week""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase value per user
+    by weekly cohort and cohort-age week — the revenue companion to
+    `cohort_retention` (retention counts who comes back; LTV says what
+    they're worth by age).
+
+    Exactness: purchase values snap to the cent grid per row (identical
+    double→round on both engines), cumulative sums are BIGINT in a
+    deterministically-ordered expanding frame, and the per-user ratio
+    is one mirrored division.
+
+    Scale: two grain-reducing shuffles (first-seen per user; (cohort,
+    age) cells) — the join keys on user_id before aggregation, and the
+    cumulative window partitions by cohort over the ≤
+    weeks²-sized cell relation, never event rows."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("ts"), F.col("cohort")) / F.lit(7)
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spend.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age_week",
+            "n_users",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.lit(100)
+                / F.col("n_users"),
+                4,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age_week")
+    )

@@ -984,3 +984,135 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("band_breach"),
     ).orderBy("day")
+
+
+@query(
+    "log_rank_test",
+    oracle="""WITH pu AS (
+                SELECT user_id,
+                       date_diff('day', min(ts), max(ts)) AS dur,
+                       CASE WHEN arg_max(event_type, ts) = 'error'
+                            THEN 1 ELSE 0 END AS observed,
+                       CASE WHEN bool_or(event_type = 'purchase')
+                            THEN 1 ELSE 0 END AS grp_a
+                FROM events GROUP BY user_id),
+              byt AS (
+                SELECT CAST(dur AS BIGINT) AS t,
+                       CAST(sum(observed) AS BIGINT) AS d,
+                       CAST(sum(observed * grp_a) AS BIGINT) AS d1,
+                       count(*) AS c,
+                       CAST(sum(grp_a) AS BIGINT) AS c1
+                FROM pu GROUP BY 1),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                             CAST(sum(c1) AS BIGINT) AS n1tot FROM byt),
+              km AS (
+                SELECT t, d, d1,
+                       n - (CAST(sum(c) OVER w AS BIGINT) - c) AS nr,
+                       n1tot - (CAST(sum(c1) OVER w AS BIGINT) - c1) AS nr1
+                FROM byt CROSS JOIN tot
+                WINDOW w AS (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              s AS (
+                SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                       round(sum(CAST(d AS DOUBLE) * nr1
+                                 / CAST(nr AS DOUBLE)), 6) AS e1,
+                       round(sum(CASE WHEN nr > 1 THEN
+                               CAST(d AS DOUBLE) * nr1 / CAST(nr AS DOUBLE)
+                               * (1.0 - CAST(nr1 AS DOUBLE) / nr)
+                               * (nr - d) / (nr - 1)
+                             ELSE 0.0 END), 6) AS v
+                FROM km WHERE d > 0)
+              SELECT (SELECT n1tot FROM tot) AS n_a,
+                     (SELECT n - n1tot FROM tot) AS n_b,
+                     o1 AS observed_a, e1 AS expected_a,
+                     CASE WHEN v > 0 THEN
+                       round((CAST(o1 AS DOUBLE) - e1)
+                             * (CAST(o1 AS DOUBLE) - e1) / v, 6)
+                     END AS chi2
+              FROM s""",
+)
+def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: does churn-time survival differ between users who
+    ever purchased (group A) and those who never did? The standard
+    two-cohort survival comparison that completes the Kaplan–Meier
+    family (same lifetime/censoring definitions as `kaplan_meier`;
+    same (user_id, ts)-unique input contract).
+
+    Exactness: risk sets (n, n₁), event counts (d, d₁) and O₁ are
+    exact BIGINT via the cumulative-below trick; E₁ and the
+    hypergeometric variance are duration-grain float sums of mirrored
+    int-derived terms, rounded at 6dp before the final mirrored
+    (O−E)²/V; an all-float-guard (V > 0 on the rounded value) keeps
+    degenerate data NULL on both engines.
+
+    Scale: identical shape to `kaplan_meier` — two grain-reducing
+    shuffles, then duration-bounded single-partition windows (pmod
+    idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+        (F.max_by("event_type", "ts") == F.lit("error"))
+        .cast("long")
+        .alias("observed"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "grp_a"
+        ),
+    )
+    byt = pu.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("observed").alias("d"),
+        F.sum(F.col("observed") * F.col("grp_a")).alias("d1"),
+        F.count("*").alias("c"),
+        F.sum("grp_a").alias("c1"),
+    )
+    tot = byt.agg(
+        F.sum("c").alias("n"), F.sum("c1").alias("n1tot")
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = (
+        byt.join(F.broadcast(tot))
+        .withColumn("nr", F.col("n") - (F.sum("c").over(w) - F.col("c")))
+        .withColumn(
+            "nr1", F.col("n1tot") - (F.sum("c1").over(w) - F.col("c1"))
+        )
+    )
+    e_term = (
+        F.col("d").cast("double")
+        * F.col("nr1")
+        / F.col("nr").cast("double")
+    )
+    v_term = F.when(
+        F.col("nr") > 1,
+        F.col("d").cast("double")
+        * F.col("nr1")
+        / F.col("nr").cast("double")
+        * (F.lit(1.0) - F.col("nr1").cast("double") / F.col("nr"))
+        * (F.col("nr") - F.col("d"))
+        / (F.col("nr") - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    s = km.filter(F.col("d") > 0).agg(
+        F.sum("d1").alias("o1"),
+        F.round(F.sum(e_term), 6).alias("e1"),
+        F.round(F.sum(v_term), 6).alias("v"),
+    )
+    return (
+        s.join(F.broadcast(tot))
+        .select(
+            F.col("n1tot").alias("n_a"),
+            (F.col("n") - F.col("n1tot")).alias("n_b"),
+            F.col("o1").alias("observed_a"),
+            F.col("e1").alias("expected_a"),
+            F.when(
+                F.col("v") > 0,
+                F.round(
+                    (F.col("o1").cast("double") - F.col("e1"))
+                    * (F.col("o1").cast("double") - F.col("e1"))
+                    / F.col("v"),
+                    6,
+                ),
+            ).alias("chi2"),
+        )
+    )

@@ -97,7 +97,8 @@ def test_r7_window_head_is_exactly_50():
         "knn_classify", "order_price_consistency",
         "functional_dependency", "interarrival_stats",
         "bootstrap_ci", "ewma_control_chart",
-        "recursive_hierarchy_walk",
+        "recursive_hierarchy_walk", "log_rank_test",
+        "lift_analysis", "cohort_ltv_curve",
     }
     never_green = {n for n in q.REGISTRY if n not in green}
     missed_new = never_green - set(head) - deferred_to_r8

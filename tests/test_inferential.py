@@ -435,3 +435,77 @@ def test_ewma_control_chart_hand_fold(spark, tmp_path):
     for v in [100.0, 100.0, 100.0, 100.0, 200.0, 100.0]:
         acc = acc * 0.8 + 0.2 * v
     assert abs(out[6].ewma30 - round(acc, 2)) < 1e-9
+
+
+def test_log_rank_identical_groups_chi2_zero(spark, tmp_path):
+    """If both cohorts churn identically, O == E and chi2 == 0."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.inferential import log_rank_test
+
+    rows = []
+    eid = 0
+    # users 1-4: two purchasers (1, 2), two not (3, 4), with group-
+    # BALANCED lifetimes — one of each group dies at day 2, the other
+    # at day 4 -> at every death time the A-share of events equals the
+    # A-share at risk -> O == E, chi2 == 0 (and V > 0 because deaths
+    # spread over two times with survivors at risk at the first)
+    for u in (1, 2, 3, 4):
+        rows.append((eid, u, "2020-01-01 00:00:00", "signup")); eid += 1
+        if u <= 2:
+            rows.append((eid, u, "2020-01-02 00:00:00", "purchase")); eid += 1
+        end = "2020-01-03" if u in (1, 3) else "2020-01-05"
+        rows.append((eid, u, f"{end} 00:00:00", "error")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    r = log_rank_test(spark, str(d)).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.observed_a == 2
+    assert abs(r.expected_a - 2.0) < 1e-9
+    assert r.chi2 == 0.0
+
+
+def test_lift_analysis_perfect_pair(spark, tmp_path):
+    """A pair always bought together in 3 of 6 baskets has
+    lift = N/max(da,db) when exclusive -> here 6/3 = 2.0."""
+    from core_telecoms_etl_spark.queries.analytics import lift_analysis
+
+    rows = []
+    # baskets 1-3: {10, 11}; baskets 4-6: {20}
+    for o in (1, 2, 3):
+        rows += [(o, 10), (o, 11)]
+    for o in (4, 5, 6):
+        rows += [(o, 20)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    d = tmp_path / "star"
+    li.write.parquet(str(d / "lineitem.parquet"))
+    out = lift_analysis(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.n_both) == (10, 11, 3)
+    assert r.support == 0.5
+    assert r.confidence_a_b == 1.0
+    assert r.lift == 2.0  # 3*6/(3*3)
+
+
+def test_cohort_ltv_is_cumulative_and_normalized(spark):
+    """Within each cohort the LTV curve is nondecreasing in age."""
+    from core_telecoms_etl_spark.queries.inferential import (  # noqa: F401
+        log_rank_test,
+    )
+    import __spark_entry__ as e
+
+    rows = e.queries()["cohort_ltv_curve"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by = {}
+    for r in rows:
+        by.setdefault(r.cohort, []).append((r.age_week, r.ltv_per_user))
+    for curve in by.values():
+        curve.sort()
+        vals = [v for _, v in curve]
+        assert vals == sorted(vals)  # cumulative -> nondecreasing
