@@ -2731,3 +2731,98 @@ def recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM walk WHERE cur < 10
            GROUP BY depth ORDER BY depth"""
     )
+
+
+@query(
+    "hll_sliding_distinct",
+    oracle="""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                FROM events GROUP BY 1),
+              ev7 AS (
+                SELECT g.day, CAST(sum(g2.n) AS BIGINT) AS n_events_7d
+                FROM daily g JOIN daily g2
+                  ON g2.day BETWEEN g.day - 6 AND g.day
+                GROUP BY 1),
+              ex AS (
+                SELECT g.day, count(DISTINCT e.user_id) AS exact_users_7d
+                FROM daily g
+                JOIN (SELECT CAST(ts AS DATE) AS d2, user_id
+                      FROM events) e
+                  ON e.d2 BETWEEN g.day - 6 AND g.day
+                GROUP BY 1)
+              SELECT ev7.day, n_events_7d, exact_users_7d,
+                     CAST(1 AS BIGINT) AS est_within_5pct
+              FROM ev7 JOIN ex ON ev7.day = ex.day
+              ORDER BY ev7.day""",
+)
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-over-window — the 100 TB SLIDING distinct-count pattern:
+    one HLL sketch per day, then each day's trailing-7-day distinct
+    users comes from `hll_union_agg` over a RANGE window of the daily
+    sketch table — no re-scan of event rows per window, no 7× blowup
+    join, and the same daily sketches serve any other window width.
+    The engine-specific estimate is projected to a deterministic 5%
+    tolerance flag against an exact range-join count (the hll_rollup
+    convention; lgConfigK=12 sparse mode is exact at these
+    cardinalities), with the exact count and the window event total as
+    fully-checked columns.
+
+    Scale: one fact shuffle to the day grain; the sketch-merge window
+    runs over the calendar-bounded daily relation (pmod idiom). The
+    exact side exists only as the verification column — at production
+    scale you ship the sketch column alone."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("dn", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long"))
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        .orderBy("dn")
+        .rangeBetween(-6, 0)
+    )
+    est = daily.select(
+        "day",
+        F.sum("n").over(w).alias("n_events_7d"),
+        # the WINDOW aggregate is the union; the estimate is a plain
+        # projection over the merged sketch column
+        F.expr("hll_union_agg(sk)").over(w).alias("__m"),
+    ).select(
+        "day",
+        "n_events_7d",
+        F.expr("hll_sketch_estimate(__m)").alias("__approx"),
+    )
+    ev_days = ev.select(
+        F.col("ts").cast("date").alias("d2"), "user_id"
+    )
+    grid = daily.select("day")
+    exact = (
+        grid.join(
+            ev_days,
+            (F.col("d2") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d2") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_users_7d"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "n_events_7d",
+            "exact_users_7d",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users_7d"))
+                / F.col("exact_users_7d")
+                <= 0.05
+            )
+            .cast("long")
+            .alias("est_within_5pct"),
+        )
+        .orderBy("day")
+    )

@@ -1565,3 +1565,56 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_src", "doc_dst")
     )
+
+
+@query(
+    "duplicate_rate_by_source",
+    oracle="""WITH h AS (
+                SELECT source,
+                       sha256(regexp_replace(trim(lower(text)),
+                                             '\\s+', ' ', 'g')) AS fp
+                FROM documents)
+              SELECT source,
+                     count(*) AS n_docs,
+                     count(DISTINCT fp) AS n_unique,
+                     CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+                       AS n_dup_docs,
+                     round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                           / count(*), 6) AS dup_rate
+              FROM h GROUP BY 1 ORDER BY 1""",
+)
+def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 companion — corpus-health report: per-source exact-duplicate
+    rate on the case/whitespace-normalized sha256 fingerprint (the
+    "which feed is sending us copies" screen every ingest pipeline
+    watches; C4 reported per-source dup rates the same way).
+
+    Exactness: the normalization (lower → trim → collapse whitespace)
+    and digest run identically in both engines (Java regex and RE2
+    agree on \\s+); counts exact BIGINT, rate one mirrored expression.
+
+    Scale: one shuffle keyed on (source, 32-byte digest) with map-side
+    partials — bodies never cross the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", tx.normalized_sha256("text").alias("fp"))
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -129,3 +129,31 @@ def test_recursive_hierarchy_walk_depths(spark, tmp_path):
     assert out[1].n_parts == 90  # 10..99
     assert out[2].n_parts == 900  # 100..999
     assert out[2].n_roots == 9
+
+
+def test_hll_sliding_distinct_window_semantics(spark, tmp_path):
+    """Hand events across 3 days with overlapping users: the trailing
+    window unions correctly and the sparse-mode estimate is exact."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.relational import (
+        hll_sliding_distinct,
+    )
+
+    rows = []
+    eid = 0
+    # day 1: users {1,2}; day 2: {2,3}; day 10: {9}
+    for day, users in [(1, [1, 2]), (2, [2, 3]), (10, [9])]:
+        for u in users:
+            rows.append((eid, u, f"2020-01-{day:02d} 08:00:00")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    out = {str(r.day): r for r in hll_sliding_distinct(spark, str(d)).collect()}
+    assert out["2020-01-01"].exact_users_7d == 2
+    assert out["2020-01-02"].exact_users_7d == 3  # {1,2,3}
+    assert out["2020-01-10"].exact_users_7d == 1  # window left days 1-2
+    assert all(r.est_within_5pct == 1 for r in out.values())
+    assert out["2020-01-02"].n_events_7d == 4

@@ -285,3 +285,25 @@ def test_containment_catches_subset_doc(spark, tmp_path):
     out = containment_near_dup(spark, str(d)).collect()
     assert [(r.doc_src, r.doc_dst) for r in out] == [(1, 2)]
     assert out[0].containment == 1.0
+
+
+def test_duplicate_rate_normalization_collapses_case_space(spark, tmp_path):
+    """'A  b' and 'a b ' are the same fingerprint; distinct text is
+    not."""
+    from core_telecoms_etl_spark.queries.text import duplicate_rate_by_source
+
+    df = spark.createDataFrame(
+        [
+            (1, "A  b", "en", "s1", 4),
+            (2, "a b ", "en", "s1", 4),
+            (3, "other", "en", "s1", 5),
+            (4, "x", "en", "s2", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "c"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = {r.source: r for r in duplicate_rate_by_source(spark, str(d)).collect()}
+    assert (out["s1"].n_docs, out["s1"].n_unique, out["s1"].n_dup_docs) == (3, 2, 1)
+    assert abs(out["s1"].dup_rate - (1 - 2 / 3)) < 1e-6
+    assert out["s2"].dup_rate == 0.0
