@@ -182,6 +182,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "cohort_ltv_curve",  # NEW r7
     "duplicate_rate_by_source",  # NEW r7
     "hll_sliding_distinct",  # NEW r7
+    "late_arrival_audit",  # NEW r7
+    "fulfillment_latency",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

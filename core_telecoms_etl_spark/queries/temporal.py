@@ -493,3 +493,158 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "late_arrival_audit",
+    oracle="""WITH arr AS (
+                SELECT event_type, value,
+                       epoch_us(ts) AS tus,
+                       max(epoch_us(ts)) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS high_water
+                FROM events)
+              SELECT event_type,
+                     count(*) AS n_events,
+                     CAST(sum(CASE WHEN tus < high_water - 3600000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+                     round(CAST(sum(CASE WHEN tus < high_water - 3600000000
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                           / CAST(count(*) AS DOUBLE), 6) AS p_late
+              FROM arr GROUP BY 1 ORDER BY 1""",
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy simulation on batch data: replay the stream in
+    ARRIVAL order (event_id — the ingest sequence) and count, per
+    event type, the rows a 1-hour watermark would have dropped (event
+    time below the running high-water mark minus the delay) — the
+    audit that sizes `withWatermark` before you commit to a threshold
+    (pairs with `interarrival_stats`).
+
+    Exactness: microsecond BIGINT timestamps, an integer prefix-MAX,
+    and integer comparisons; the rate is one mirrored division.
+
+    Scale: the running high-water mark is a global prefix max over
+    arrival order — computed with the repo's two-level bucketed shape
+    (prefix-MAX variant): arrival-id range buckets, within-bucket
+    running max windows parallelize, and only the B-row bucket-max
+    table prefix-maxes single-partition before broadcasting back. The
+    oracle states the single-window form declaratively."""
+    ev = load_table(spark, sf_dir, "events")
+    n_buckets = 256
+    base = ev.select(
+        "event_type",
+        F.col("event_id").alias("eid"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    span = base.agg(
+        F.min("eid").alias("lo"), F.max("eid").alias("hi")
+    )
+    bucketed = base.join(F.broadcast(span)).withColumn(
+        "bkt",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("eid") - F.col("lo"))
+                        * F.lit(n_buckets)
+                        / (F.col("hi") - F.col("lo"))
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.select(
+        "event_type",
+        "bkt",
+        "tus",
+        F.max("tus").over(w_in).alias("hw_in"),
+    )
+    totals = bucketed.groupBy("bkt").agg(F.max("tus").alias("bmax"))
+    w_off = (
+        Window.partitionBy(F.pmod(F.col("bkt"), F.lit(1)))
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bkt", F.max("bmax").over(w_off).alias("prev_max")
+    )
+    delay_us = F.lit(3600000000)
+    joined = cum.join(F.broadcast(offsets), "bkt").withColumn(
+        "high_water",
+        F.greatest(F.col("hw_in"), F.coalesce(F.col("prev_max"), F.col("hw_in"))),
+    )
+    late = (F.col("tus") < F.col("high_water") - delay_us).cast("int")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(late).cast("long").alias("n_late_1h"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late_1h",
+            F.round(
+                F.col("n_late_1h") / F.col("n_events").cast("double"), 6
+            ).alias("p_late"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "fulfillment_latency",
+    oracle="""WITH lat AS (
+                SELECT o_orderpriority,
+                       CAST(date_diff('day', o_orderdate, l_shipdate)
+                            AS BIGINT) AS days
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+              SELECT o_orderpriority,
+                     count(*) AS n_lines,
+                     round(CAST(CAST(sum(days) AS BIGINT) AS DOUBLE)
+                           / count(*), 4) AS mean_days,
+                     round(quantile_cont(days, 0.5), 4) AS p50_days,
+                     round(quantile_cont(days, 0.95), 4) AS p95_days,
+                     CAST(max(days) AS BIGINT) AS max_days
+              FROM lat GROUP BY 1 ORDER BY 1""",
+)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA readout per priority: mean / exact
+    interpolated p50 / p95 / max days between order and line shipment —
+    the operations-latency mart every fulfillment pipeline reports
+    (reference capability: its marts stop at complaint counts).
+
+    Exactness: day latencies are exact BIGINT; mean = Σ/n mirrored;
+    percentiles via the proven percentile↔quantile_cont pairing.
+
+    Scale: one orders⋈lineitem join on the order key (AQE picks the
+    strategy; at production bucketing co-locates both on orderkey —
+    SCALING.md), then a |priorities|-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum("days").cast("double") / F.count("*"), 4
+            ).alias("mean_days"),
+            F.round(F.percentile("days", 0.5), 4).alias("p50_days"),
+            F.round(F.percentile("days", 0.95), 4).alias("p95_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -231,3 +231,65 @@ def test_interarrival_stats_hand_gaps(spark, tmp_path):
     assert row.mean_gap_s == 20.0
     assert row.p50_gap_s == 20.0
     assert row.p90_gap_s == 28.0
+
+
+def test_late_arrival_audit_bucketed_prefix_max_matches_plain(spark):
+    """The two-level bucketed high-water mark must equal the naive
+    global window on the real table."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    out = {
+        r.event_type: (r.n_events, r.n_late_1h)
+        for r in e.queries()["late_arrival_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    # load_table, not a raw parquet read: the testdata timestamp
+    # encoding needs normalize_timestamps (verify-skill gotcha)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = (
+        ev.select(
+            "event_type",
+            F.unix_micros("ts").alias("tus"),
+            F.max(F.unix_micros("ts")).over(w).alias("hw"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("tus") < F.col("hw") - F.lit(3600000000)).cast("int")
+            )
+            .cast("long")
+            .alias("late"),
+        )
+    )
+    assert out == {r.event_type: (r.n, r.late) for r in naive.collect()}
+
+
+def test_late_arrival_audit_hand_case(spark, tmp_path):
+    """An out-of-order event older than the 1h watermark is counted
+    late; a slightly-late one is not."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.temporal import late_arrival_audit
+
+    rows = [
+        (1, 1, "2020-01-01 10:00:00", "click"),
+        (2, 1, "2020-01-01 12:00:00", "click"),  # advances high water
+        (3, 1, "2020-01-01 10:30:00", "click"),  # 1.5h late -> dropped
+        (4, 1, "2020-01-01 11:30:01", "click"),  # 0.99h late -> kept
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    r = late_arrival_audit(spark, str(d)).collect()[0]
+    assert r.n_events == 4
+    assert r.n_late_1h == 1
