@@ -1618,3 +1618,68 @@ def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "span_corruption",
+    oracle="""WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(text), ' '),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE doc_id < 50),
+              m AS (
+                SELECT doc_id,
+                       CAST(len(ts) AS BIGINT) AS n_tokens,
+                       [CASE WHEN (i + doc_id) % 7 = 0 THEN '<MASK>'
+                             ELSE ts[i] END
+                        for i in range(1, len(ts) + 1)] AS masked,
+                       [ts[i] for i in range(1, len(ts) + 1)
+                        if (i + doc_id) % 7 = 0] AS targets
+                FROM toks)
+              SELECT doc_id, n_tokens,
+                     CAST(len(targets) AS BIGINT) AS n_masked,
+                     array_to_string(masked, ' ') AS masked_text,
+                     array_to_string(targets, ' ') AS target_text
+              FROM m ORDER BY doc_id""",
+)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — denoising-objective data prep (T5-style span corruption,
+    deterministic variant): token i of doc d is masked when
+    (i + d) mod 7 == 0 — a content-independent, position-stable rule
+    (no RNG, reproducible across runs/engines/partitionings, ~14%
+    corruption rate), emitting the corrupted input and the target
+    sequence per document.
+
+    Exactness: pure integer index arithmetic + string assembly —
+    identical tokenization (the repo's whitespace rule) and identical
+    join separators on both engines.
+
+    Scale: a single projection — tokenize, one indexed transform, one
+    filter, two concat folds; no shuffle at all (the ORDER BY is the
+    driver-check projection). The doc_id < 50 cut bounds the checked
+    output; the operator itself is per-row and scale-free."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    )
+    ts = tx.tokens("text")
+    idx = F.sequence(F.lit(1), F.size(ts))
+    mask_hit = lambda i: ((i + F.col("doc_id")) % 7) == 0  # noqa: E731
+    masked = F.transform(
+        idx,
+        lambda i: F.when(mask_hit(i), F.lit("<MASK>")).otherwise(
+            F.element_at(ts, i)
+        ),
+    )
+    targets = F.transform(
+        F.filter(idx, mask_hit), lambda i: F.element_at(ts, i)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(ts).cast("long").alias("n_tokens"),
+            F.size(targets).cast("long").alias("n_masked"),
+            F.array_join(masked, " ").alias("masked_text"),
+            F.array_join(targets, " ").alias("target_text"),
+        )
+        .orderBy("doc_id")
+    )

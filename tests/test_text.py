@@ -307,3 +307,25 @@ def test_duplicate_rate_normalization_collapses_case_space(spark, tmp_path):
     assert (out["s1"].n_docs, out["s1"].n_unique, out["s1"].n_dup_docs) == (3, 2, 1)
     assert abs(out["s1"].dup_rate - (1 - 2 / 3)) < 1e-6
     assert out["s2"].dup_rate == 0.0
+
+
+def test_span_corruption_rule_and_roundtrip(spark, tmp_path):
+    """The mask rule hits exactly (i + doc_id) % 7 == 0 positions, the
+    masked text preserves token count, and targets line up with the
+    masked slots."""
+    from core_telecoms_etl_spark.queries.text import span_corruption
+
+    text = " ".join(f"w{i}" for i in range(1, 15))  # 14 tokens
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "c"
+    df.write.parquet(str(d / "documents.parquet"))
+    r = span_corruption(spark, str(d)).collect()[0]
+    toks = r.masked_text.split(" ")
+    assert len(toks) == 14 and r.n_tokens == 14
+    # doc 0: masked at i = 7, 14
+    assert [i + 1 for i, t in enumerate(toks) if t == "<MASK>"] == [7, 14]
+    assert r.target_text == "w7 w14"
+    assert r.n_masked == 2
