@@ -185,6 +185,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "late_arrival_audit",  # NEW r7
     "fulfillment_latency",  # NEW r7
     "span_corruption",  # NEW r7
+    "moments_profile",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

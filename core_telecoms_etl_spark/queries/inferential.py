@@ -1116,3 +1116,118 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2"),
         )
     )
+
+
+@query(
+    "moments_profile",
+    oracle="""WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS x
+                FROM events),
+              s AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(x) AS HUGEINT) AS s1,
+                       CAST(sum(x * x) AS HUGEINT) AS s2,
+                       CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT)
+                         AS s3,
+                       CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT)
+                         AS s4
+                FROM v GROUP BY 1),
+              k AS (
+                SELECT event_type, n, s1,
+                       (n * s2 - s1 * s1) AS k2,
+                       (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+                         AS k3,
+                       (n * n * n * s4 - 4 * n * n * s1 * s3
+                        + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+                         AS k4
+                FROM s)
+              SELECT event_type,
+                     CAST(n AS BIGINT) AS n_events,
+                     round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100, 4)
+                       AS mean_value,
+                     round(sqrt(CAST(k2 AS DOUBLE)) / CAST(n AS DOUBLE)
+                           / 100, 4) AS std_value,
+                     CASE WHEN k2 > 0 THEN
+                       round(CAST(k3 AS DOUBLE)
+                             / (CAST(k2 AS DOUBLE)
+                                * sqrt(CAST(k2 AS DOUBLE))), 6)
+                     END AS skewness,
+                     CASE WHEN k2 > 0 THEN
+                       round(CAST(k4 AS DOUBLE)
+                             / (CAST(k2 AS DOUBLE) * CAST(k2 AS DOUBLE))
+                             - 3.0, 6)
+                     END AS excess_kurtosis
+              FROM k ORDER BY event_type""",
+)
+def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profile per event type: mean, std,
+    skewness g₁ and excess kurtosis g₂ — the shape screen behind the
+    "is this metric even normal-ish" question every control chart and
+    z-test silently assumes.
+
+    Exactness: on the cent grid the four power sums Σx..Σx⁴ accumulate
+    EXACTLY in 128-bit integers (Spark DECIMAL(38,0) ↔ DuckDB
+    HUGEINT), and the cumulant identities reduce to the engine-neutral
+    closed forms g₁ = K₃/K₂^{3/2}, g₂ = K₄/K₂² − 3 with
+    K₂ = nΣ₂−Σ₁², K₃ = n²Σ₃−3nΣ₁Σ₂+2Σ₁³,
+    K₄ = n³Σ₄−4n²Σ₁Σ₃+6nΣ₁²Σ₂−3Σ₁⁴ — never the engines' own
+    streaming-moment aggregates (skewness()/kurtosis() internals
+    differ). √ via sqrt (correctly-rounded IEEE), never pow(x,1.5)
+    (libm ulp). Zero-variance groups → NULL via an all-integer guard.
+    Bounds: Σ₁⁴ ≤ 10³² at sf0.1 fits both 128-bit types to ~sf10.
+
+    Scale: ONE map-side-combined shuffle carrying five numeric
+    accumulators per group — the entire query."""
+    ev = load_table(spark, sf_dir, "events")
+    d = "decimal(38,0)"
+    x = F.round(F.col("value") * 100).cast("long")
+    v = ev.select("event_type", x.alias("x"))
+    s = v.groupBy("event_type").agg(
+        F.count("*").cast(d).alias("n"),
+        F.sum(F.col("x")).cast(d).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast(d).alias("s2"),
+        F.sum(F.col("x").cast(d) * F.col("x") * F.col("x")).cast(d).alias("s3"),
+        F.sum(F.col("x").cast(d) * F.col("x") * F.col("x") * F.col("x"))
+        .cast(d)
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    k = s.select(
+        "event_type",
+        n.alias("n"),
+        s1.alias("s1"),
+        (n * s2 - s1 * s1).alias("k2"),
+        (n * n * s3 - F.lit(3) * n * s1 * s2 + F.lit(2) * s1 * s1 * s1).alias(
+            "k3"
+        ),
+        (
+            n * n * n * s4
+            - F.lit(4) * n * n * s1 * s3
+            + F.lit(6) * n * s1 * s1 * s2
+            - F.lit(3) * s1 * s1 * s1 * s1
+        ).alias("k4"),
+    )
+    k2d = F.col("k2").cast("double")
+    return k.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(
+            F.col("s1").cast("double") / F.col("n").cast("double") / F.lit(100),
+            4,
+        ).alias("mean_value"),
+        F.round(
+            F.sqrt(k2d) / F.col("n").cast("double") / F.lit(100), 4
+        ).alias("std_value"),
+        F.when(
+            F.col("k2") > 0,
+            F.round(F.col("k3").cast("double") / (k2d * F.sqrt(k2d)), 6),
+        ).alias("skewness"),
+        F.when(
+            F.col("k2") > 0,
+            F.round(
+                F.col("k4").cast("double") / (k2d * k2d) - F.lit(3.0), 6
+            ),
+        ).alias("excess_kurtosis"),
+    ).orderBy("event_type")

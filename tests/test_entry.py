@@ -101,7 +101,7 @@ def test_r7_window_head_is_exactly_50():
         "lift_analysis", "cohort_ltv_curve",
         "duplicate_rate_by_source", "hll_sliding_distinct",
         "late_arrival_audit", "fulfillment_latency",
-        "span_corruption",
+        "span_corruption", "moments_profile",
     }
     never_green = {n for n in q.REGISTRY if n not in green}
     missed_new = never_green - set(head) - deferred_to_r8

@@ -509,3 +509,29 @@ def test_cohort_ltv_is_cumulative_and_normalized(spark):
         curve.sort()
         vals = [v for _, v in curve]
         assert vals == sorted(vals)  # cumulative -> nondecreasing
+
+
+def test_moments_profile_known_distribution(spark, tmp_path):
+    """A symmetric two-point distribution has skewness 0 and excess
+    kurtosis -2; a constant column guards to NULL."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.queries.inferential import moments_profile
+
+    rows = (
+        [(i, "sym", 10.0) for i in range(50)]
+        + [(100 + i, "sym", 20.0) for i in range(50)]
+        + [(200 + i, "const", 7.0) for i in range(10)]
+    )
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    out = {r.event_type: r for r in moments_profile(spark, str(d)).collect()}
+    s = out["sym"]
+    assert s.mean_value == 15.0
+    assert s.std_value == 5.0  # population std of the two-point mass
+    assert s.skewness == 0.0
+    assert s.excess_kurtosis == -2.0  # Bernoulli(1/2): kurtosis 1
+    c = out["const"]
+    assert c.std_value == 0.0
+    assert c.skewness is None and c.excess_kurtosis is None
