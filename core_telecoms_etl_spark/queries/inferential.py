@@ -1231,3 +1231,121 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+@query(
+    "mutual_information",
+    oracle="""WITH cells AS (
+                SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+                       count(*) AS n
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              rt AS (SELECT seg, CAST(sum(n) AS BIGINT) AS rn
+                     FROM cells GROUP BY 1),
+              ct AS (SELECT pri, CAST(sum(n) AS BIGINT) AS cn
+                     FROM cells GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+              hr AS (SELECT round(sum(CAST(rn AS DOUBLE)
+                                      * ln(CAST(rn AS DOUBLE))), 6)
+                            AS s_r FROM rt),
+              hc AS (SELECT round(sum(CAST(cn AS DOUBLE)
+                                      * ln(CAST(cn AS DOUBLE))), 6)
+                            AS s_c FROM ct),
+              mi AS (
+                SELECT round(sum((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+                                 * ln(CAST(nt AS DOUBLE) * CAST(n AS DOUBLE)
+                                      / (CAST(rn AS DOUBLE)
+                                         * CAST(cn AS DOUBLE)))), 6) AS mi,
+                       max(nt) AS nt
+                FROM cells
+                JOIN rt USING (seg) JOIN ct USING (pri) CROSS JOIN tot)
+              SELECT CAST(nt AS BIGINT) AS n_rows,
+                     mi AS mutual_info,
+                     round(ln(CAST(nt AS DOUBLE))
+                           - s_r / CAST(nt AS DOUBLE), 6) AS h_segment,
+                     round(ln(CAST(nt AS DOUBLE))
+                           - s_c / CAST(nt AS DOUBLE), 6) AS h_priority,
+                     CASE WHEN s_r / CAST(nt AS DOUBLE)
+                               < ln(CAST(nt AS DOUBLE))
+                           AND s_c / CAST(nt AS DOUBLE)
+                               < ln(CAST(nt AS DOUBLE)) THEN
+                       round(mi / sqrt((ln(CAST(nt AS DOUBLE))
+                                        - s_r / CAST(nt AS DOUBLE))
+                                       * (ln(CAST(nt AS DOUBLE))
+                                          - s_c / CAST(nt AS DOUBLE))), 6)
+                     END AS nmi
+              FROM mi CROSS JOIN hr CROSS JOIN hc""",
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(segment; priority) with marginal entropies
+    and the geometric-mean normalized MI — the effect-size companion to
+    `chi_square_independence` on the SAME contingency cells (capability
+    extension: chi2 says "is the association real", MI says "how many
+    nats does knowing the segment buy you").
+
+    Exactness: all cell/margin counts are exact BIGINT; only OBSERVED
+    cells contribute (lim p→0 of p·ln(…) = 0, so structural zeros drop
+    out — no margin grid needed, unlike chi-square). Each term is one
+    token-mirrored double expression; the ≤25-term MI sum and the
+    5-term marginal-entropy sums are rounded at 6dp before entering the
+    final mirrored NMI expression, so both engines combine identical
+    rounded intermediates. NMI guards degenerate marginals (H=0) to
+    NULL via the mirrored ln/total comparison, not a float == 0 test.
+
+    Scale: one fact shuffle (orders⋈customer → ≤25-cell hash agg with
+    map-side combine); margins and totals are tiny rollups of the cell
+    relation, broadcast back. No windows, no collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
+    ct = cells.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    hr = rt.agg(
+        F.round(
+            F.sum(F.col("rn").cast("double") * F.log(F.col("rn").cast("double"))),
+            6,
+        ).alias("s_r")
+    )
+    hc = ct.agg(
+        F.round(
+            F.sum(F.col("cn").cast("double") * F.log(F.col("cn").cast("double"))),
+            6,
+        ).alias("s_c")
+    )
+    nt_d = F.col("nt").cast("double")
+    term = (F.col("n").cast("double") / nt_d) * F.log(
+        nt_d
+        * F.col("n").cast("double")
+        / (F.col("rn").cast("double") * F.col("cn").cast("double"))
+    )
+    mi = (
+        cells.join(rt, "seg")
+        .join(F.broadcast(ct), "pri")
+        .join(F.broadcast(tot))
+        .agg(F.round(F.sum(term), 6).alias("mi"), F.max("nt").alias("nt"))
+    )
+    h_seg = F.log(nt_d) - F.col("s_r") / nt_d
+    h_pri = F.log(nt_d) - F.col("s_c") / nt_d
+    return (
+        mi.join(F.broadcast(hr))
+        .join(F.broadcast(hc))
+        .select(
+            F.col("nt").cast("long").alias("n_rows"),
+            F.col("mi").alias("mutual_info"),
+            F.round(h_seg, 6).alias("h_segment"),
+            F.round(h_pri, 6).alias("h_priority"),
+            F.when(
+                (F.col("s_r") / nt_d < F.log(nt_d))
+                & (F.col("s_c") / nt_d < F.log(nt_d)),
+                F.round(F.col("mi") / F.sqrt(h_seg * h_pri), 6),
+            ).alias("nmi"),
+        )
+    )

@@ -535,3 +535,48 @@ def test_moments_profile_known_distribution(spark, tmp_path):
     c = out["const"]
     assert c.std_value == 0.0
     assert c.skewness is None and c.excess_kurtosis is None
+
+
+def test_mutual_information_independent_and_dependent(spark, tmp_path):
+    """A balanced independent table has MI == 0; a perfectly dependent
+    2x2 diagonal table has MI == H == ln 2 and NMI == 1."""
+    import math
+
+    from core_telecoms_etl_spark.queries.inferential import (
+        mutual_information,
+    )
+
+    # independent: every (segment, priority) cell has exactly 3 orders
+    cust = spark.createDataFrame(
+        [(1, "A"), (2, "B")], ["c_custkey", "c_mktsegment"]
+    )
+    orders = spark.createDataFrame(
+        [
+            (100 * i + 10 * j + k, i, p)
+            for i in (1, 2)
+            for j, p in enumerate(["1", "2"])
+            for k in range(3)
+        ],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    d = tmp_path / "indep"
+    cust.write.parquet(str(d / "customer.parquet"))
+    orders.write.parquet(str(d / "orders.parquet"))
+    r = mutual_information(spark, str(d)).collect()[0]
+    assert r.n_rows == 12
+    assert r.mutual_info == 0.0
+    assert r.nmi == 0.0
+
+    # dependent: diagonal [[5, 0], [0, 5]] -> I = H_row = H_col = ln 2
+    orders2 = spark.createDataFrame(
+        [(i, 1, "1") for i in range(5)] + [(50 + i, 2, "2") for i in range(5)],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    d2 = tmp_path / "dep"
+    cust.write.parquet(str(d2 / "customer.parquet"))
+    orders2.write.parquet(str(d2 / "orders.parquet"))
+    r2 = mutual_information(spark, str(d2)).collect()[0]
+    ln2 = round(math.log(2.0), 6)
+    assert r2.mutual_info == ln2
+    assert r2.h_segment == ln2 and r2.h_priority == ln2
+    assert r2.nmi == 1.0
