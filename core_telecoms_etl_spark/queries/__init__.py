@@ -187,6 +187,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "span_corruption",  # NEW r7
     "moments_profile",  # NEW r7
     "mutual_information",  # NEW r7
+    "psi_drift",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

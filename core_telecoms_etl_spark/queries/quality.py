@@ -714,3 +714,132 @@ def functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+@query(
+    "psi_drift",
+    oracle="""WITH v AS (
+                SELECT event_type, epoch_us(ts) AS e,
+                       CAST(round(value * 100) AS BIGINT) AS x
+                FROM events),
+              st AS (
+                SELECT event_type,
+                       min(e) AS emn, max(e) AS emx,
+                       min(x) AS xmn, max(x) AS xmx
+                FROM v GROUP BY 1),
+              b AS (
+                SELECT v.event_type,
+                       CASE WHEN e <= (emn + emx) // 2
+                            THEN 0 ELSE 1 END AS period,
+                       (x - xmn) // ((xmx - xmn) // 10 + 1) AS bin
+                FROM v JOIN st USING (event_type)),
+              c AS (
+                SELECT event_type, bin,
+                       CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c1,
+                       CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c2
+                FROM b GROUP BY 1, 2),
+              grid AS (
+                SELECT st.event_type, g.bin,
+                       coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+                FROM st CROSS JOIN range(10) g(bin)
+                LEFT JOIN c
+                  ON c.event_type = st.event_type AND c.bin = g.bin),
+              n AS (
+                SELECT event_type,
+                       CAST(sum(c1) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2
+                FROM grid GROUP BY 1),
+              t AS (
+                SELECT g.event_type, n1, n2,
+                       ((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))
+                        - (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE)))
+                       * ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))
+                            / (CAST(c2 + 1 AS DOUBLE)
+                               / CAST(n2 + 10 AS DOUBLE))) AS term
+                FROM grid g JOIN n USING (event_type))
+              SELECT event_type,
+                     CAST(max(n1) AS BIGINT) AS n_first,
+                     CAST(max(n2) AS BIGINT) AS n_second,
+                     round(sum(term), 6) AS psi,
+                     round(sum(term), 6) > 0.1 AS drifted
+              FROM t GROUP BY 1 ORDER BY 1""",
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift audit (Q10, extension): per
+    event type, compare the value distribution of the first half of the
+    time range against the second half over ten equal-width bins —
+    PSI = Σ (p−q)·ln(p/q) with add-one smoothing, flagged at the
+    industry 0.1 "investigate" threshold. The model-monitoring /
+    feature-drift check every scoring pipeline runs between retrain
+    cycles; none of the reference's dbt tests look at distribution
+    shape at all.
+
+    Exactness: the time split compares exact BIGINT epoch-micros to the
+    integer midpoint (Spark `unix_micros` ↔ DuckDB `epoch_us`; `div` ↔
+    `//` truncate identically on non-negatives), and bin assignment is
+    pure integer arithmetic on the cent grid — width w = (max−min) div
+    10 + 1 guarantees bin ∈ [0,9] with no least() clamp (R div w ≤ 9
+    since w > R/10). Smoothed p/q are mirrored double expressions from
+    exact BIGINT counts; the 10-term PSI sum rounds at 6dp and the
+    drift flag compares that same ROUNDED value, so the boolean cannot
+    straddle an ulp. Empty bins matter (smoothing gives them mass) —
+    the |types|×10 grid is restored via CROSS JOIN before the fold.
+
+    Scale: two fact-scan aggregations, both map-side combined — (type)
+    min/max stats, then (type, period, bin) counts with the tiny stats
+    relation broadcast onto the fact scan; everything after runs on the
+    |types|×10 grid. No windows, no collect, no fact-row sort."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("e"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    st = v.groupBy("event_type").agg(
+        F.min("e").alias("emn"),
+        F.max("e").alias("emx"),
+        F.min("x").alias("xmn"),
+        F.max("x").alias("xmx"),
+    )
+    b = v.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        F.when(F.col("e") <= F.expr("(emn + emx) div 2"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("period"),
+        F.expr("(x - xmn) div ((xmx - xmn) div 10 + 1)").alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    bins = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    grid = (
+        st.select("event_type")
+        .crossJoin(F.broadcast(bins))
+        .join(c, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    n = grid.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10).cast("double")
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + 10).cast("double")
+    term = (p - q) * F.log(p / q)
+    return (
+        grid.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("long").alias("n_first"),
+            F.max("n2").cast("long").alias("n_second"),
+            F.round(F.sum(term), 6).alias("psi"),
+            (F.round(F.sum(term), 6) > 0.1).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )

@@ -171,3 +171,39 @@ def test_functional_dependency_minimal_repair_hand_case(spark, tmp_path):
     assert nk.n_violating_lhs == 1
     assert nk.min_repair_rows == 1
     assert nk.holds == 0
+
+
+def test_psi_drift_stable_vs_shifted(spark, tmp_path):
+    """Identical half-distributions give PSI exactly 0 (terms cancel
+    pairwise under add-one smoothing); a full mass shift between
+    disjoint value ranges trips the 0.1 drift flag."""
+    from datetime import datetime
+
+    from core_telecoms_etl_spark.queries.quality import psi_drift
+
+    t0 = datetime(2024, 1, 1, 0)
+    t1 = datetime(2024, 1, 1, 10)
+    rows = []
+    # stable: both halves put 5 rows at value 1.0 and 5 at value 50.0
+    for i in range(5):
+        rows += [
+            (i, t0, "stable", 1.0),
+            (100 + i, t0, "stable", 50.0),
+            (200 + i, t1, "stable", 1.0),
+            (300 + i, t1, "stable", 50.0),
+        ]
+    # shift: first half all at 1.0, second half all at 100.0
+    for i in range(10):
+        rows += [(400 + i, t0, "shift", 1.0), (500 + i, t1, "shift", 100.0)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    )
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    out = {r.event_type: r for r in psi_drift(spark, str(d)).collect()}
+    s = out["stable"]
+    assert (s.n_first, s.n_second) == (10, 10)
+    assert s.psi == 0.0 and not s.drifted
+    sh = out["shift"]
+    assert (sh.n_first, sh.n_second) == (10, 10)
+    assert sh.psi > 0.1 and sh.drifted
