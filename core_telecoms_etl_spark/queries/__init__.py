@@ -188,6 +188,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "moments_profile",  # NEW r7
     "mutual_information",  # NEW r7
     "psi_drift",  # NEW r7
+    "runs_test",  # NEW r7
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3

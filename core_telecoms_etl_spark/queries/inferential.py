@@ -1349,3 +1349,121 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "runs_test",
+    oracle="""WITH daily AS (
+                SELECT CAST(l_shipdate AS DATE) AS d,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS x
+                FROM lineitem GROUP BY 1),
+              g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t
+                    FROM daily),
+              s AS (SELECT d,
+                           CASE WHEN g.n * x > g.t THEN 1 ELSE 0 END AS sgn
+                    FROM daily CROSS JOIN g
+                    WHERE g.n * x <> g.t),
+              r AS (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev FROM s),
+              agg AS (SELECT
+                        CAST(coalesce(sum(CASE WHEN prev IS NULL
+                                               OR sgn <> prev
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                          AS runs,
+                        CAST(coalesce(sum(sgn), 0) AS BIGINT) AS n1,
+                        CAST(coalesce(sum(1 - sgn), 0) AS BIGINT) AS n2
+                      FROM r)
+              SELECT (n1 + n2) AS n_days, n1 AS n_above, n2 AS n_below,
+                     runs,
+                     CASE WHEN n1 + n2 > 0 THEN
+                       round(1.0 + 2.0 * CAST(n1 AS DOUBLE)
+                             * CAST(n2 AS DOUBLE)
+                             / CAST(n1 + n2 AS DOUBLE), 6)
+                     END AS expected_runs,
+                     CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) > 0
+                          THEN round(
+                       (CAST(runs AS DOUBLE)
+                        - (1.0 + 2.0 * CAST(n1 AS DOUBLE)
+                           * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))
+                       / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                              * CAST(2 * n1 * n2 - (n1 + n2) AS DOUBLE)
+                              / (CAST(n1 + n2 AS DOUBLE)
+                                 * CAST(n1 + n2 AS DOUBLE)
+                                 * CAST(n1 + n2 - 1 AS DOUBLE))), 6)
+                     END AS z_score
+              FROM agg""",
+)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue series: is the
+    above/below-mean sign sequence random, or does it cluster (trend /
+    level shift) or alternate (overdifferencing)? The residual-
+    randomness companion to `cusum_changepoint` and
+    `ewma_control_chart` on the same daily relation. Returns ONE row:
+    sign counts, observed runs, expected runs, and the normal-
+    approximation z.
+
+    Exactness: the above/below split never touches floats — day i is
+    "above" iff n·x_i > T in exact BIGINT (mean-tie days are excluded
+    by the same integer comparison, so neither engine ever evaluates
+    x̄ as a double). Runs count via lag over the sign sequence is pure
+    integer. E[R] and Var[R] come from n1/n2 through token-mirrored
+    double expressions (the variance numerator 2n1n2(2n1n2−n) is
+    BIGINT-exact and also guards degenerate one-sided sequences →
+    NULL z); final round at 6dp.
+
+    Scale: one fact shuffle to the calendar-day grain; the lag window
+    runs single-partition over the day relation — bounded by the date
+    span (pmod idiom), never data volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(_disc_price_grid()).alias("x")
+    )
+    g = daily.agg(F.count("*").alias("n"), F.sum("x").alias("t"))
+    s = (
+        daily.join(F.broadcast(g))
+        .where(F.col("n") * F.col("x") != F.col("t"))
+        .select(
+            "d",
+            F.when(F.col("n") * F.col("x") > F.col("t"), 1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    wo = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy("d")
+    r = s.select("sgn", F.lag("sgn").over(wo).alias("prev"))
+    agg = r.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("sgn") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("runs"),
+        F.coalesce(F.sum("sgn"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.lit(1) - F.col("sgn")), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    nd = (n1 + n2).cast("double")
+    expected = F.lit(1.0) + F.lit(2.0) * n1d * n2d / nd
+    var_num = F.lit(2) * n1 * n2 * (F.lit(2) * n1 * n2 - (n1 + n2))
+    z = (runs.cast("double") - expected) / F.sqrt(
+        (F.lit(2) * n1 * n2).cast("double")
+        * (F.lit(2) * n1 * n2 - (n1 + n2)).cast("double")
+        / (nd * nd * (n1 + n2 - 1).cast("double"))
+    )
+    return agg.select(
+        (n1 + n2).alias("n_days"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        runs.alias("runs"),
+        F.when(n1 + n2 > 0, F.round(expected, 6)).alias("expected_runs"),
+        F.when(var_num > 0, F.round(z, 6)).alias("z_score"),
+    )

@@ -580,3 +580,39 @@ def test_mutual_information_independent_and_dependent(spark, tmp_path):
     assert r2.mutual_info == ln2
     assert r2.h_segment == ln2 and r2.h_priority == ln2
     assert r2.nmi == 1.0
+
+
+def test_runs_test_alternating_and_blocked(spark, tmp_path):
+    """A perfectly alternating hi/lo series maximizes runs (z > 0,
+    exact hand value); a two-block series has exactly 2 runs (z < 0)."""
+    from datetime import date
+
+    from core_telecoms_etl_spark.queries.inferential import runs_test
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [
+                (i, date(2024, 1, 1 + i), float(v), 0.0)
+                for i, v in enumerate(vals)
+            ],
+            ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+
+    d1 = tmp_path / "alt"
+    mk([10.0, 20.0, 10.0, 20.0]).write.parquet(str(d1 / "lineitem.parquet"))
+    r = runs_test(spark, str(d1)).collect()[0]
+    assert (r.n_days, r.n_above, r.n_below, r.runs) == (4, 2, 2, 4)
+    assert r.expected_runs == 3.0
+    assert r.z_score == 1.224745  # (4-3)/sqrt(2/3)
+
+    d2 = tmp_path / "blk"
+    mk([10.0, 10.0, 20.0, 20.0]).write.parquet(str(d2 / "lineitem.parquet"))
+    r2 = runs_test(spark, str(d2)).collect()[0]
+    assert r2.runs == 2
+    assert r2.z_score == -1.224745
+
+    # degenerate: constant series -> every day ties the mean, z NULL
+    d3 = tmp_path / "const"
+    mk([10.0, 10.0]).write.parquet(str(d3 / "lineitem.parquet"))
+    r3 = runs_test(spark, str(d3)).collect()[0]
+    assert r3.n_days == 0 and r3.z_score is None
