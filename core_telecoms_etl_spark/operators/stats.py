@@ -276,7 +276,15 @@ def ks_two_sample(
     shuffle (verified: 4 ReusedExchange nodes in the final adaptive
     plan at sf0.1), and sample sizes fold from the B-row bucket
     totals rather than a fresh fact pass."""
-    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    # NULL values must not enter the CDF: Spark orders NULLS FIRST asc,
+    # DuckDB NULLS LAST, so a surviving NULL value-group would land at
+    # opposite ends of the two engines' prefix sums and corrupt the
+    # cumulative counts. Callers' oracles mirror this with
+    # `AND <value> IS NOT NULL`.
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
     per_value = filt.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(
             F.when(F.col(group_col) == group_a, 1).otherwise(0)
@@ -401,7 +409,15 @@ def mann_whitney_u(
     range-bucketed prefix sum (within-bucket windows parallelize, only
     the B-row bucket-totals table prefix-sums single-partition), and
     every post-CDF fold runs on bucket totals, never fact rows."""
-    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    # NULL values must not enter the CDF: Spark orders NULLS FIRST asc,
+    # DuckDB NULLS LAST, so a surviving NULL value-group would land at
+    # opposite ends of the two engines' prefix sums and corrupt the
+    # cumulative counts. Callers' oracles mirror this with
+    # `AND <value> IS NOT NULL`.
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
     per_value = filt.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(
             F.when(F.col(group_col) == group_a, 1).otherwise(0)

@@ -1016,6 +1016,7 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      THEN 1 ELSE 0 END) AS BIGINT) AS b
                 FROM events
                 WHERE event_type IN ('purchase', 'click')
+                  AND value IS NOT NULL
                 GROUP BY value),
               c AS (
                 SELECT sum(a) OVER (ORDER BY value) AS ca,

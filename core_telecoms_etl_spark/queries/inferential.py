@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from core_telecoms_etl_spark.functions import expressions as xp
 from core_telecoms_etl_spark.queries import query
 from core_telecoms_etl_spark.queries.relational import (
     _disc_price_grid,
@@ -270,11 +271,11 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calendar-bounded, so one task scanning ~2.4k rows is the plan we
     # want — not a fact-sized global window
     w = (
-        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        Window.partitionBy(xp.single_partition("d"))
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wo = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy("d")
+    wo = Window.partitionBy(xp.single_partition("d")).orderBy("d")
     c = daily.select(
         "d",
         F.sum("x").over(w).alias("cx"),
@@ -402,6 +403,7 @@ def grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 THEN 1 ELSE 0 END) AS BIGINT) AS b
                 FROM events
                 WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL
                 GROUP BY 1),
               c AS (
                 SELECT a, (a + b) AS t,
@@ -722,7 +724,7 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = byt.agg(F.sum("c").alias("n"))
     w = (
-        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        Window.partitionBy(xp.single_partition("t"))
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -958,7 +960,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = daily.select("d", (F.col("cents").cast("double") / F.lit(100)).alias("x"))
     w = (
-        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        Window.partitionBy(xp.single_partition("d"))
         .orderBy("d")
         .rowsBetween(-29, Window.currentRow)
     )
@@ -1068,7 +1070,7 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"), F.sum("c1").alias("n1tot")
     )
     w = (
-        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        Window.partitionBy(xp.single_partition("t"))
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -1186,8 +1188,8 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.select("event_type", x.alias("x"))
     s = v.groupBy("event_type").agg(
         F.count("*").cast(d).alias("n"),
-        F.sum(F.col("x")).cast(d).alias("s1"),
-        F.sum(F.col("x") * F.col("x")).cast(d).alias("s2"),
+        F.sum(F.col("x").cast(d)).cast(d).alias("s1"),
+        F.sum(F.col("x").cast(d) * F.col("x")).cast(d).alias("s2"),
         F.sum(F.col("x").cast(d) * F.col("x") * F.col("x")).cast(d).alias("s3"),
         F.sum(F.col("x").cast(d) * F.col("x") * F.col("x") * F.col("x"))
         .cast(d)
@@ -1430,7 +1432,7 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sgn"),
         )
     )
-    wo = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy("d")
+    wo = Window.partitionBy(xp.single_partition("d")).orderBy("d")
     r = s.select("sgn", F.lag("sgn").over(wo).alias("prev"))
     agg = r.agg(
         F.coalesce(

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from core_telecoms_etl_spark.functions import expressions as xp
 from core_telecoms_etl_spark.operators.cleaning import (
     dedup_latest_by_key,
     rename_columns,
@@ -2765,7 +2766,13 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance flag against an exact range-join count (the hll_rollup
     convention; lgConfigK=12 sparse mode is exact at these
     cardinalities), with the exact count and the window event total as
-    fully-checked columns.
+    fully-checked columns. Diagnosability caveat (r7 ADVICE): the
+    oracle hardcodes est_within_5pct = 1, so an estimate drifting past
+    5% (config change, larger scale leaving sparse mode) surfaces as a
+    value-hash mismatch on this column — if this query ever goes red
+    with rows/schema green, check the flag column first; the estimate
+    itself is deliberately NOT emitted (engine-specific bytes would
+    always mismatch).
 
     Scale: one fact shuffle to the day grain; the sketch-merge window
     runs over the calendar-bounded daily relation (pmod idiom). The
@@ -2782,7 +2789,7 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dn", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long"))
     )
     w = (
-        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        Window.partitionBy(xp.single_partition("dn"))
         .orderBy("dn")
         .rangeBetween(-6, 0)
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.operators import dedup as dd
 from core_telecoms_etl_spark.operators import text as tx
+from core_telecoms_etl_spark.functions import expressions as xp
 from core_telecoms_etl_spark.queries import query
 from core_telecoms_etl_spark.sources.readers import load_table
 
@@ -1292,7 +1293,7 @@ def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_tokens"),
     )
     top = tc.orderBy(F.desc("n"), "tok").limit(200)
-    w = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy(
+    w = Window.partitionBy(xp.single_partition("tok")).orderBy(
         F.desc("n"), "tok"
     )
     ranked = top.withColumn("r", F.row_number().over(w).cast("long"))
