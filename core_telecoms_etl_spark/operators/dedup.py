@@ -254,6 +254,102 @@ def prefix_filter_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact DIRECTED containment pairs |S(src)∩S(dst)|/|S(src)| ≥ t via
+    an ASYMMETRIC prefix filter — LOSSLESS, sub-quadratic (the r7
+    verdict's fix for the uncapped threshold-0 pair pass this query
+    family used before).
+
+    The filter: containment(src→dst) ≥ t means at most
+    |src| − ⌈t·|src|⌉ of src's shingles are absent from S(dst), so in
+    ANY global shingle order src's first |src| − ⌈t·|src|⌉ + 1 shingles
+    (its prefix) cannot all miss — at least one prefix shingle is in
+    S(dst). Candidates are therefore prefix(src) ⨝ FULL postings(dst):
+    only the SOURCE side is prefix-pruned (the destination side carries
+    no constraint — that asymmetry is exactly why symmetric PPJoin
+    pruning does not apply). With the canonical order ascending document
+    frequency, prefix shingles are the corpus's RAREST, so each prefix
+    posting meets a short full-posting list: candidate volume is
+    Σ_src Σ_{s∈prefix(src)} df(s), not the Σ_s df(s)²/2 of the
+    all-pairs index — the stop-shingle blowup ("in the the" with df D
+    contributing D²/2 rows) never enters the join because a stop
+    shingle lands in a prefix only when a doc has nothing rarer.
+
+    Verification is exact set arithmetic on the per-doc shingle ARRAYS
+    (array_intersect), moving |candidates| rows, not postings. Shingles
+    are xxhash64 longs (see jaccard_pairs on the collision caveat).
+
+    Returns directed rows (doc_src, doc_dst, n_common, n_src, n_dst):
+    both directions of a near-identical pair appear, a subset doc
+    appears only as src.
+    """
+    sh = _shingled(df, id_col, text_col, n).select(
+        "doc",
+        F.array_distinct(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
+    sh = cache_scoped("dedup.containment.shingles", sh)
+    post = sh.select(
+        "doc",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    freq = post.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    pref = (
+        post.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh"))
+            + 1
+        )
+        .select(F.col("doc").alias("doc_src"), "shingle")
+    )
+    cand = (
+        pref.join(
+            post.select(F.col("doc").alias("doc_dst"), "shingle"), "shingle"
+        )
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+        .select("doc_src", "doc_dst")
+        .distinct()
+    )
+    arr = sh.select("doc", "shingles", F.size("shingles").alias("n_sh"))
+    return (
+        cand.join(
+            arr.select(
+                F.col("doc").alias("doc_src"),
+                F.col("shingles").alias("__ss"),
+                F.col("n_sh").alias("n_src"),
+            ),
+            "doc_src",
+        )
+        .join(
+            arr.select(
+                F.col("doc").alias("doc_dst"),
+                F.col("shingles").alias("__sd"),
+                F.col("n_sh").alias("n_dst"),
+            ),
+            "doc_dst",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("__ss", "__sd")))
+        .filter(
+            F.col("n_common").cast("double") / F.col("n_src")
+            >= F.lit(threshold)
+        )
+        .select("doc_src", "doc_dst", "n_common", "n_src", "n_dst")
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     test: DataFrame,

@@ -1530,42 +1530,26 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     but containment 1.0) — the dedup direction C4/RefinedWeb apply to
     boilerplate-wrapped copies.
 
-    Exactness: one unordered inverted-index pair pass (the
-    `jaccard_pairs` machinery at threshold 0 — counts identical under
-    xxhash64 shingle hashing), each pair then emits BOTH directions
-    with its own denominator; containment is a single mirrored
-    division. Scale: same sub-quadratic posting-join shape as
-    `near_dedup`; direction expansion is a 2× map on the PAIR relation,
-    not the postings."""
+    Exactness: `dd.containment_pairs` — asymmetric prefix-filtered
+    candidates (LOSSLESS: a directed pair with containment ≥ t must
+    share one of src's |x|−⌈t·|x|⌉+1 rarest shingles, pigeonhole),
+    verified by exact array_intersect counts; identical output to the
+    r7 threshold-0 full pair pass, without its Σdf² stop-shingle
+    blowup (the r7 verdict's one scale-killer plan — 7.26× at 8× data;
+    the prefix-filtered plan re-probed sub-2× in BASELINE.md r8).
+    Containment is a single mirrored division on integer counts."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.0
-    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
-    fwd = pairs.select(
-        F.col("doc_a").alias("doc_src"),
-        F.col("doc_b").alias("doc_dst"),
-        "n_common",
-        F.col("n_a").alias("n_src"),
+    pairs = dd.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9
     )
-    rev = pairs.select(
-        F.col("doc_b").alias("doc_src"),
-        F.col("doc_a").alias("doc_dst"),
-        "n_common",
-        F.col("n_b").alias("n_src"),
-    )
-    both = fwd.unionByName(rev)
     cont = F.col("n_common").cast("double") / F.col("n_src")
-    return (
-        both.filter(cont >= 0.9)
-        .select(
-            "doc_src",
-            "doc_dst",
-            F.col("n_common").cast("long").alias("n_common"),
-            F.col("n_src").cast("long").alias("n_src"),
-            F.round(cont, 6).alias("containment"),
-        )
-        .orderBy("doc_src", "doc_dst")
-    )
+    return pairs.select(
+        "doc_src",
+        "doc_dst",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.round(cont, 6).alias("containment"),
+    ).orderBy("doc_src", "doc_dst")
 
 
 @query(

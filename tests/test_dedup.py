@@ -414,6 +414,45 @@ def test_prefix_filter_matches_uncapped_jaccard_pairs(spark):
         assert pf == exact, f"threshold {t}: {pf ^ exact}"
 
 
+def test_containment_pairs_match_uncapped_pair_pass(spark):
+    """Losslessness of the ASYMMETRIC prefix filter: on docs engineered
+    with subset inclusion, shared stop shingles, and rare-only overlap,
+    the directed containment set must EQUAL the r7-era uncapped
+    threshold-0 pair pass expanded to both directions."""
+    from core_telecoms_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),                                  # subset of 2 and 4
+        (2, base + " one two three"),               # superset of 1
+        (3, base + " four five six"),               # sibling of 2
+        (4, "prefix words here " + base + " suffix words there"),
+        (5, base),                                  # exact dup of 1
+        (6, "unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.9):
+        raw = jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0
+        ).collect()
+        brute = set()
+        for r in raw:
+            if r.n_common / r.n_a >= t:
+                brute.add((r.doc_a, r.doc_b, r.n_common, r.n_a))
+            if r.n_common / r.n_b >= t:
+                brute.add((r.doc_b, r.doc_a, r.n_common, r.n_b))
+        got = {
+            (r.doc_src, r.doc_dst, r.n_common, r.n_src)
+            for r in containment_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert got == brute, f"threshold {t}: {got ^ brute}"
+
+
 def test_pagerank_star_hub_and_mass(spark):
     """Star graph: the hub must out-rank every leaf; the isolated node
     sits at the teleport floor; total mass settles at the documented
