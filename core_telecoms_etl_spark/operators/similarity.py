@@ -233,8 +233,14 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "q_vec", "q_n2", "centroid_id")
     )
-    cand = probes.join(
-        assign.withColumn("c_n2", norm2_expr(vec_col)), "centroid_id"
+    # BROADCAST the probes side: it is |Q|·n_probe rows by construction
+    # (queries are the small relation in any ANN readout). A shuffle
+    # join here keys on centroid_id — n_centroids distinct values — so
+    # parallelism collapses to n_centroids tasks and the corpus-side
+    # bucket scan skews onto them (measured 74s vs 9s at the 8× probe,
+    # r8). Broadcasting keeps the corpus in place at full parallelism.
+    cand = assign.withColumn("c_n2", norm2_expr(vec_col)).join(
+        F.broadcast(probes), "centroid_id"
     ).filter(F.col(id_col) != F.col("query_id"))
     scored = cand.withColumn(
         "cosine",

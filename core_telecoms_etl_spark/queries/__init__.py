@@ -71,128 +71,75 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r7 window: head is EXACTLY 50 (the r6 off-by-one that
-    # ---- dropped quality_filter is fixed; pinned by
-    # ---- tests/test_entry.py::test_r7_window_head_is_exactly_50).
-    # ---- Slot policy, DATA-DRIVEN from tools/gen_inventory.py's
-    # ---- last-green scan of CORRECTNESS_r01..r06 (not narrative):
-    # -- (1) byte/operator changes this round: the two r6 red
-    # -- oracles (BIGINT casts; feature_binning also moved to
-    # -- integer-grid quartiles), snapshot_diff's eqNullSafe keys,
-    # -- theta's lg_nom_entries parameter
-    "key_skew_profile",
-    "feature_binning",
-    "snapshot_diff",
-    "theta_sketch_setops",
-    # -- (2) NEW r7: the nine TPC-H shapes that were still missing
-    # -- (Q2 Q9 Q11 Q12 Q16 Q19 Q20 Q21 Q22) — all 22 now covered
-    "min_cost_supplier",
-    "product_profit",
-    "important_stock",
-    "shipmode_priority",
-    "supplier_part_counts",
-    "discounted_revenue_or",
-    "part_promotion_suppliers",
-    "waiting_orders_suppliers",
-    "sales_opportunity",
-    # -- (3) quality_filter: dropped from the r6 window by the
-    # -- off-by-one (ADVICE r6), last green r4 — leads the rotation
-    "quality_filter",
-    # -- (4) stale rotation, ascending last-green: ALL 33 r1-stale
-    # -- queries (the measured set — includes funnel/cohort_retention/
-    # -- dataset_split/scd2_history/upsert/window_rank_extended,
-    # -- which the r6 VERDICT's 30-query narrative missed), then
-    # -- 3 of the 6 r3-stale fill to exactly 50
-    "cohort_retention",  # green r1
-    "count_filter",  # green r1
-    "csv_scan",  # green r1
-    "cube_agg",  # green r1
-    "dataset_split",  # green r1
-    "dedup_latest_by_key",  # green r1
-    "dedup_rows",  # green r1
-    "distinct_agg",  # green r1
-    "exists_group_agg",  # green r1
-    "filter_predicate",  # green r1
-    "full_outer_join",  # green r1
-    "funnel",  # green r1
-    "histogram_agg",  # green r1
-    "inner_join_dim",  # green r1
-    "json_scan",  # green r1
-    "left_outer_join",  # green r1
-    "order_by",  # green r1
-    "parquet_scan",  # green r1
-    "percentile_agg",  # green r1
-    "pivot_agg",  # green r1
-    "rename_map",  # green r1
-    "scalar_subquery",  # green r1
-    "scd2_history",  # green r1
-    "semi_join",  # green r1
-    "stats_agg",  # green r1
-    "string_agg",  # green r1
-    "top_k",  # green r1
-    "upsert",  # green r1
-    "window_lag",  # green r1
-    "window_rank",  # green r1
-    "window_rank_extended",  # green r1
-    "window_running_sum",  # green r1
-    "window_value_funcs",  # green r1
-    "events_sliding",  # green r3
-    "multimodal_meta",  # green r3
-    "order_count_distribution",  # green r3
-    # ---- 50-query window boundary. Tail is ascending last-green
-    # ---- too, so the r8 rotation head reads straight off the top:
-    # ---- first the NEW r7 extension queries that did not fit
-    # ---- (the window's 50 slots went to the changed/TPC-H/r1-stale
-    # ---- rotation; each is differential-verified at
-    # ---- sf0.001/0.01/0.1 in the meantime), then session_window /
-    # ---- star_fact_complaints / token_topk (r3), then the r4 block.
-    "bloom_prune_semi_join",  # NEW r7
-    "bm25_retrieval",  # NEW r7
-    "winsorize_features",  # NEW r7
-    "attribution_last_touch",  # NEW r7
-    "erasure_cascade",  # NEW r7
-    "stream_sliding",  # NEW r7
-    "prefix_filter_near_dup",  # NEW r7
-    "pagerank_copurchase",  # NEW r7
-    "grouping_sets_agg",  # NEW r7
-    "zorder_locality",  # NEW r7
-    "chi_square_independence",  # NEW r7
-    "entropy_by_group",  # NEW r7
-    "cusum_changepoint",  # NEW r7
-    "grouped_trend",  # NEW r7
-    "mann_whitney_u",  # NEW r7
-    "gini_concentration",  # NEW r7
-    "seasonal_naive_forecast",  # NEW r7
-    "kaplan_meier",  # NEW r7
-    "triangle_count",  # NEW r7
-    "node_jaccard_similarity",  # NEW r7
-    "zipf_profile",  # NEW r7
-    "keyword_pmi",  # NEW r7
-    "lexical_diversity",  # NEW r7
-    "containment_near_dup",  # NEW r7
-    "knn_classify",  # NEW r7
-    "order_price_consistency",  # NEW r7
-    "functional_dependency",  # NEW r7
-    "interarrival_stats",  # NEW r7
-    "bootstrap_ci",  # NEW r7
-    "ewma_control_chart",  # NEW r7
-    "recursive_hierarchy_walk",  # NEW r7
-    "log_rank_test",  # NEW r7
-    "lift_analysis",  # NEW r7
-    "cohort_ltv_curve",  # NEW r7
-    "duplicate_rate_by_source",  # NEW r7
-    "hll_sliding_distinct",  # NEW r7
-    "late_arrival_audit",  # NEW r7
-    "fulfillment_latency",  # NEW r7
-    "span_corruption",  # NEW r7
-    "moments_profile",  # NEW r7
-    "mutual_information",  # NEW r7
-    "psi_drift",  # NEW r7
-    "runs_test",  # NEW r7
+    # ---- r8 window: head is EXACTLY 50 (pinned DATA-DRIVEN by
+    # ---- tests/test_entry.py::test_r8_window_head — the never-green
+    # ---- set is COMPUTED from CORRECTNESS_r01..r07, no hand list).
+    # ---- Slot policy: (1) queries whose bytes or operators changed
+    # ---- this round; (2) the 43 r7 queries that never saw a driver
+    # ---- window (the whole point of r8, per the r7 verdict) + the
+    # ---- new knn_classify_ivf; (3) the three r3-stale queries;
+    # ---- (4) one r4 query to fill to exactly 50.
+    # -- (1) changed this round: containment de-quadratified;
+    # -- knn_classify_ivf NEW; moments_profile s1/s2 128-bit casts;
+    # -- mann_whitney/ks NULL-safe CDFs; ivf_topk probes-broadcast
+    # -- (vector_topk_ivf + knn ivf); single_partition window key
+    # -- (cusum/kaplan/ewma/log_rank/runs/zipf/hll_sliding)
+    "containment_near_dup",  # never driver-sampled; changed r8
+    "knn_classify_ivf",  # never driver-sampled; changed r8
+    "moments_profile",  # never driver-sampled; changed r8
+    "mann_whitney_u",  # never driver-sampled; changed r8
+    "ks_two_sample",  # green r6; changed r8
+    "vector_topk_ivf",  # green r5; changed r8
+    "cusum_changepoint",  # never driver-sampled; changed r8
+    "kaplan_meier",  # never driver-sampled; changed r8
+    "ewma_control_chart",  # never driver-sampled; changed r8
+    "log_rank_test",  # never driver-sampled; changed r8
+    "runs_test",  # never driver-sampled; changed r8
+    "zipf_profile",  # never driver-sampled; changed r8
+    "hll_sliding_distinct",  # never driver-sampled; changed r8
+    # -- (2) the r7 additions that never saw a driver window,
+    # -- 3-scale-verified locally since r7 (registry order kept)
+    "bloom_prune_semi_join",  # never driver-sampled (NEW r7)
+    "bm25_retrieval",  # never driver-sampled (NEW r7)
+    "winsorize_features",  # never driver-sampled (NEW r7)
+    "attribution_last_touch",  # never driver-sampled (NEW r7)
+    "erasure_cascade",  # never driver-sampled (NEW r7)
+    "stream_sliding",  # never driver-sampled (NEW r7)
+    "prefix_filter_near_dup",  # never driver-sampled (NEW r7)
+    "pagerank_copurchase",  # never driver-sampled (NEW r7)
+    "grouping_sets_agg",  # never driver-sampled (NEW r7)
+    "zorder_locality",  # never driver-sampled (NEW r7)
+    "chi_square_independence",  # never driver-sampled (NEW r7)
+    "entropy_by_group",  # never driver-sampled (NEW r7)
+    "grouped_trend",  # never driver-sampled (NEW r7)
+    "gini_concentration",  # never driver-sampled (NEW r7)
+    "seasonal_naive_forecast",  # never driver-sampled (NEW r7)
+    "triangle_count",  # never driver-sampled (NEW r7)
+    "node_jaccard_similarity",  # never driver-sampled (NEW r7)
+    "keyword_pmi",  # never driver-sampled (NEW r7)
+    "lexical_diversity",  # never driver-sampled (NEW r7)
+    "knn_classify",  # never driver-sampled (NEW r7)
+    "order_price_consistency",  # never driver-sampled (NEW r7)
+    "functional_dependency",  # never driver-sampled (NEW r7)
+    "interarrival_stats",  # never driver-sampled (NEW r7)
+    "bootstrap_ci",  # never driver-sampled (NEW r7)
+    "recursive_hierarchy_walk",  # never driver-sampled (NEW r7)
+    "lift_analysis",  # never driver-sampled (NEW r7)
+    "cohort_ltv_curve",  # never driver-sampled (NEW r7)
+    "duplicate_rate_by_source",  # never driver-sampled (NEW r7)
+    "late_arrival_audit",  # never driver-sampled (NEW r7)
+    "fulfillment_latency",  # never driver-sampled (NEW r7)
+    "span_corruption",  # never driver-sampled (NEW r7)
+    "mutual_information",  # never driver-sampled (NEW r7)
+    "psi_drift",  # never driver-sampled (NEW r7)
+    # -- (3) r3-stale rotation (last green r3)
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3
+    # -- (4) fill to exactly 50 with the oldest r4 query
     "array_funcs",  # green r4
+    # ---- 50-query window boundary. Tail is ascending last-green,
+    # ---- so the r9 rotation head reads straight off the top.
     "asof_join_forward",  # green r4
     "bigram_surprisal",  # green r4
     "date_funcs",  # green r4
@@ -251,7 +198,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "training_pipeline",  # green r5
     "vector_quantize",  # green r5
     "vector_topk",  # green r5
-    "vector_topk_ivf",  # green r5
     "vector_topk_lsh",  # green r5
     "ab_test_stats",  # green r6
     "activity_streaks",  # green r6
@@ -267,7 +213,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "grouped_correlation",  # green r6
     "incremental_rollup",  # green r6
     "iqr_outliers",  # green r6
-    "ks_two_sample",  # green r6
     "large_volume_customers",  # green r6
     "mad_outliers",  # green r6
     "market_share",  # green r6
@@ -299,6 +244,56 @@ _CHECK_ORDER: tuple[str, ...] = (
     "weighted_median",  # green r6
     "weighted_sample",  # green r6
     "windowed_funnel",  # green r6
+    "cohort_retention",  # green r7
+    "count_filter",  # green r7
+    "csv_scan",  # green r7
+    "cube_agg",  # green r7
+    "dataset_split",  # green r7
+    "dedup_latest_by_key",  # green r7
+    "dedup_rows",  # green r7
+    "discounted_revenue_or",  # green r7
+    "distinct_agg",  # green r7
+    "events_sliding",  # green r7
+    "exists_group_agg",  # green r7
+    "feature_binning",  # green r7
+    "filter_predicate",  # green r7
+    "full_outer_join",  # green r7
+    "funnel",  # green r7
+    "histogram_agg",  # green r7
+    "important_stock",  # green r7
+    "inner_join_dim",  # green r7
+    "json_scan",  # green r7
+    "key_skew_profile",  # green r7
+    "left_outer_join",  # green r7
+    "min_cost_supplier",  # green r7
+    "multimodal_meta",  # green r7
+    "order_by",  # green r7
+    "order_count_distribution",  # green r7
+    "parquet_scan",  # green r7
+    "part_promotion_suppliers",  # green r7
+    "percentile_agg",  # green r7
+    "pivot_agg",  # green r7
+    "product_profit",  # green r7
+    "quality_filter",  # green r7
+    "rename_map",  # green r7
+    "sales_opportunity",  # green r7
+    "scalar_subquery",  # green r7
+    "scd2_history",  # green r7
+    "semi_join",  # green r7
+    "shipmode_priority",  # green r7
+    "snapshot_diff",  # green r7
+    "stats_agg",  # green r7
+    "string_agg",  # green r7
+    "supplier_part_counts",  # green r7
+    "theta_sketch_setops",  # green r7
+    "top_k",  # green r7
+    "upsert",  # green r7
+    "waiting_orders_suppliers",  # green r7
+    "window_lag",  # green r7
+    "window_rank",  # green r7
+    "window_rank_extended",  # green r7
+    "window_running_sum",  # green r7
+    "window_value_funcs",  # green r7
 )
 
 

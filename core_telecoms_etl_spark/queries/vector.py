@@ -415,3 +415,95 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _majority_vote(topk: DataFrame, labels: DataFrame) -> DataFrame:
+    """(query_id, pred) majority label over a (query_id, neighbor_id)
+    candidate relation; ties break to the smallest label — the
+    knn_classify vote convention, shared by the exact and IVF scorers."""
+    v = (
+        topk.select("query_id", "neighbor_id")
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "nlab")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cnt"), "nlab")
+    return (
+        v.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nlab").alias("pred"))
+    )
+
+
+@query(
+    "knn_classify_ivf",
+    oracle="""SELECT vec_id AS query_id,
+                     CAST(label AS BIGINT) AS true_label,
+                     CAST(10 AS BIGINT) AS n_exact,
+                     CAST(1 AS BIGINT) AS recall_ok,
+                     CAST(1 AS BIGINT) AS vote_agree_ok
+              FROM embeddings WHERE vec_id % 20 = 0
+              ORDER BY 1""",
+)
+def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3k scale path — the corpus-scale kNN readout knn_classify's
+    docstring promises (r7 verdict ask #4): the same majority-vote
+    classification, but over `ivf_topk` candidates instead of the exact
+    all-pairs scorer. Two deterministic flags make the approximate path
+    driver-checkable (the X3b convention):
+    - recall_ok: per-query recall@10 of the IVF candidates vs the
+      in-plan exact top-10, floor 0.5 (measured min 0.7 across
+      sf0.001/0.01/0.1 at n_probe=12/16);
+    - vote_agree_ok: GLOBAL agreement rate between the IVF vote and the
+      exact vote, floor 0.7 (measured 0.86–0.88) — a broken vote
+      readout (wrong tie-break, dropped labels) collapses this flag,
+      so the vote itself is oracle-gated, not just candidate recall.
+
+    Honest-data caveat: the synthetic embeddings are near-uniform —
+    no cluster structure — so holding the recall floor needs a deep
+    probe (12/16 buckets ≈ 75% of the corpus; same regime the
+    vector_topk_lsh docstring documents). On real clustered embeddings
+    the 100 TB setting is n_centroids ≈ √N with n_probe fixed, which
+    makes candidate volume O(Q·√N·bucket) instead of O(Q·N); the probe
+    fraction here is a data artifact, not the operator's asymptote.
+
+    Scale: candidates form only inside probed (centroid, bucket)
+    partitions — the corpus is never broadcast; the vote and both flag
+    reductions run on the k·|Q|-row candidate relation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    c = e.filter(F.col("vec_id") % 20 != 0)
+    approx = sim.ivf_topk(
+        c, q, k=10, n_centroids=16, n_probe=12, kmeans_iters=2
+    )
+    exact = sim.brute_force_topk(c, q, k=10)
+    labels = c.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    )
+    pa = _majority_vote(approx, labels).withColumnRenamed("pred", "pa")
+    pe = _majority_vote(exact, labels).withColumnRenamed("pred", "pe")
+    agree = (
+        pa.join(pe, "query_id")
+        .agg(
+            (
+                F.avg((F.col("pa") == F.col("pe")).cast("double"))
+                >= F.lit(0.7)
+            )
+            .cast("long")
+            .alias("vote_agree_ok")
+        )
+    )
+    rec = _recall_vs_exact(exact, approx, floor=0.5)
+    truth = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return (
+        truth.join(rec, "query_id")
+        .join(F.broadcast(agree))
+        .select(
+            "query_id", "true_label", "n_exact", "recall_ok",
+            "vote_agree_ok",
+        )
+        .orderBy("query_id")
+    )

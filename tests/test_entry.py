@@ -47,22 +47,32 @@ def test_check_order_is_exact_and_duplicate_free():
     assert not missing, f"registered but not in _CHECK_ORDER: {missing}"
 
 
-def test_r7_window_head_is_exactly_50():
-    """The driver samples the first 50 registry entries. The r6 window
-    comment claimed 'exactly 50' but the head was 51, silently dropping
-    quality_filter (ADVICE r6) — pin the intended boundary and the
-    rotation content: every r1-stale query (the MEASURED 33-query set
-    from tools/gen_inventory.last_green_rounds, not the VERDICT's
-    30-query narrative) must be inside the window."""
+def test_r8_window_head():
+    """The driver samples the first 50 registry entries. Everything here
+    is DATA-DRIVEN from tools/gen_inventory.last_green_rounds — the r7
+    snapshot shipped a failing pytest because this test carried a
+    hand-maintained 40-name deferred list that three late registrations
+    silently invalidated (r7 verdict, What's wrong #1). Invariants:
+
+    1. every query with NO green driver row across CORRECTNESS_r01..rN
+       sits inside the 50-slot window (never-green queries are the
+       window's first claim — registering a new query without a window
+       slot fails here immediately);
+    2. no query's last green predates max(round)-3 unless it is in the
+       window (staleness rotation, the r6 promise);
+    3. the window fits: at most 50 never-green queries can exist.
+
+    This test stays correct across rounds with no edits: after the r8
+    driver run adds CORRECTNESS_r08.json, the never-green set shrinks
+    to whatever r8 left unsampled and the staleness bar moves with
+    max(round)."""
     import importlib.util
     import os
 
     from core_telecoms_etl_spark import queries as q
 
     q._load_all()
-    head = list(q._CHECK_ORDER[:50])
-    assert head[0] == "key_skew_profile"
-    assert "quality_filter" in head, "quality_filter dropped again"
+    head = set(q._CHECK_ORDER[:50])
 
     # import by absolute path (anchored to this file, not the cwd) so
     # pytest runs from any directory and sys.path stays clean
@@ -72,42 +82,28 @@ def test_r7_window_head_is_exactly_50():
     spec = importlib.util.spec_from_file_location("gen_inventory", inv_path)
     gen_inventory = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gen_inventory)
-    last_green_rounds = gen_inventory.last_green_rounds
 
-    green = last_green_rounds()
-    r1_stale = {n for n in q.REGISTRY if green.get(n) == 1}
-    missed = r1_stale - set(head)
-    assert not missed, f"r1-stale queries outside the window: {missed}"
-    # The five r7 extension queries deliberately yield their window
-    # slots to the 33-query r1-stale rotation (the r6 VERDICT's
-    # explicit priority); they lead the r8 rotation instead and are
-    # differential-verified at sf0.001/0.01/0.1 in the meantime.
-    deferred_to_r8 = {
-        "bloom_prune_semi_join", "bm25_retrieval", "winsorize_features",
-        "attribution_last_touch", "erasure_cascade", "stream_sliding",
-        "prefix_filter_near_dup", "pagerank_copurchase",
-        "grouping_sets_agg", "zorder_locality",
-        "chi_square_independence", "entropy_by_group",
-        "cusum_changepoint", "grouped_trend",
-        "mann_whitney_u", "gini_concentration",
-        "seasonal_naive_forecast", "kaplan_meier",
-        "triangle_count", "node_jaccard_similarity",
-        "zipf_profile", "keyword_pmi",
-        "lexical_diversity", "containment_near_dup",
-        "knn_classify", "order_price_consistency",
-        "functional_dependency", "interarrival_stats",
-        "bootstrap_ci", "ewma_control_chart",
-        "recursive_hierarchy_walk", "log_rank_test",
-        "lift_analysis", "cohort_ltv_curve",
-        "duplicate_rate_by_source", "hll_sliding_distinct",
-        "late_arrival_audit", "fulfillment_latency",
-        "span_corruption", "moments_profile",
-    }
+    green = gen_inventory.last_green_rounds()
+    latest = max(green.values())
+
     never_green = {n for n in q.REGISTRY if n not in green}
-    missed_new = never_green - set(head) - deferred_to_r8
-    assert not missed_new, f"never-green queries outside: {missed_new}"
-    k = len(deferred_to_r8)
-    assert list(q._CHECK_ORDER[50 : 50 + k]) == sorted(
-        deferred_to_r8,
-        key=list(q._CHECK_ORDER).index,
-    ), "deferred queries must lead the r8 rotation (slots right after 50)"
+    assert len(never_green) <= 50, (
+        f"{len(never_green)} never-green queries cannot fit one window —"
+        " stop registering and let the driver catch up"
+    )
+    missed = never_green - head
+    assert not missed, (
+        f"{len(missed)} never-green queries outside the 50-slot window "
+        f"(give each a window slot): {sorted(missed)}"
+    )
+
+    stale_bar = latest - 4
+    too_stale = {
+        n
+        for n in q.REGISTRY
+        if green.get(n) is not None and green[n] <= stale_bar
+    } - head
+    assert not too_stale, (
+        f"last-green <= r{stale_bar} but outside the window: "
+        f"{sorted(too_stale)}"
+    )

@@ -261,3 +261,39 @@ def test_knn_classify_separable_clusters(spark, tmp_path):
     assert len(out) == 2  # vec_id 0 and 20
     assert all(r.correct == 1 for r in out)
     assert all(r.pred_label == r.true_label for r in out)
+
+
+def test_knn_classify_ivf_flags_on_separable_clusters(spark, tmp_path):
+    """On well-separated orthogonal clusters the IVF candidates contain
+    the exact top-10 (recall 1.0) and the IVF vote equals the exact
+    vote for every query — both flags must come back 1, and the
+    majority-vote helper must agree with the exact classifier."""
+    from core_telecoms_etl_spark.operators import similarity as sim
+    from core_telecoms_etl_spark.queries.vector import (
+        _majority_vote,
+        knn_classify_ivf,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(60):
+        base = [0.0] * 4
+        base[0 if i % 2 == 0 else 1] = 1.0 + (i % 7) * 0.01
+        rows.append((i, [float(x) for x in base], i % 2))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    d = tmp_path / "emb"
+    df.write.parquet(str(d / "embeddings.parquet"))
+    out = knn_classify_ivf(spark, str(d)).collect()
+    assert [r.query_id for r in out] == [0, 20, 40]
+    assert all(r.recall_ok == 1 for r in out)
+    assert all(r.vote_agree_ok == 1 for r in out)
+    assert all(r.n_exact == 10 for r in out)
+    # the vote itself: IVF candidates classify each query to its cluster
+    q = df.filter(F.col("vec_id") % 20 == 0)
+    c = df.filter(F.col("vec_id") % 20 != 0)
+    topk = sim.ivf_topk(c, q, k=10, n_centroids=4, n_probe=4)
+    labels = c.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    )
+    votes = {r.query_id: r.pred for r in _majority_vote(topk, labels).collect()}
+    assert votes == {0: 0, 20: 0, 40: 0}
