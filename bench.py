@@ -82,6 +82,24 @@ HEADLINE = [
     "keyword_pmi",
     "containment_near_dup",
     "knn_classify",
+    # r8 addition: IVF-candidate kNN readout (recall + vote flags)
+    "knn_classify_ivf",
+]
+
+# Queries whose min-of-N has measurably ridden JVM heap history at their
+# bench slot (r7 verdict ask #7: triangle_count 10.2s at slot #53 vs
+# 2.0s fresh; json_funcs 1.24s in-bench vs 0.51s fresh, code untouched).
+# After the main pass they are re-timed in the same session with a
+# settled heap; the second reading ships in the JSON so round-over-round
+# comparisons stop needing prose caveats — compare second_pass rows
+# against second_pass rows.
+SECOND_PASS = [
+    "json_funcs",
+    "vector_topk",
+    "time_grid_interpolate",
+    "triangle_count",
+    "containment_near_dup",
+    "knn_classify",
 ]
 
 
@@ -154,6 +172,17 @@ def main() -> None:
             "n_runs": n_runs,
         }
 
+    second_pass: dict[str, float] = {}
+    for name in SECOND_PASS:
+        spark.catalog.clearCache()
+        df = qs[name](spark, sf_dir)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+        second_pass[name] = round(min(runs), 3)
+
     total = round(sum(timings.values()), 3)
     # Per-query min/median spreads are diagnostics, not the headline
     # metric — they go to stderr so the stdout JSON stays compact
@@ -168,6 +197,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "second_pass": second_pass,
                 "sf": sf,
             }
         ),
