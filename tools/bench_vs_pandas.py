@@ -237,6 +237,151 @@ def main() -> None:
         )
     )
 
+    # -- r8: Mann-Whitney U vs the natural pandas formulation
+    # (rank(method='average') over the pooled values — one process,
+    # one global sort; the engine builds the same statistic from
+    # per-value counts + a two-level bucketed prefix sum)
+    def pandas_mw(pdf: pd.DataFrame) -> int:
+        f = pdf[
+            pdf["event_type"].isin(["click", "purchase"])
+            & pdf["value"].notna()
+        ]
+        r = f["value"].rank(method="average")
+        na = int((f["event_type"] == "click").sum())
+        s2r = int(round((2 * r[f["event_type"] == "click"]).sum()))
+        return s2r - na * (na + 1)  # u2_scaled
+
+    from core_telecoms_etl_spark.operators.stats import mann_whitney_u
+
+    mw_results = {}
+    for mult in (1, 8):
+        pdf = pd.read_parquet(ev_path)
+        if mult > 1:
+            parts = [pdf]
+            for i in range(1, mult):
+                p = pdf.copy()
+                p["user_id"] += i * 10_000_000
+                p["event_id"] += i * 10_000_000
+                parts.append(p)
+            pdf = pd.concat(parts, ignore_index=True)
+        t0 = time.time()
+        expect_u2 = pandas_mw(pdf)
+        pandas_sec = round(time.time() - t0, 2)
+
+        df = spark.read.parquet(ev_path)
+        if mult > 1:
+            base = df
+            for i in range(1, mult):
+                df = df.unionByName(
+                    base.withColumn(
+                        "user_id", F.col("user_id") + i * 10_000_000
+                    ).withColumn(
+                        "event_id", F.col("event_id") + i * 10_000_000
+                    )
+                )
+        plan = mann_whitney_u(
+            df,
+            value_col="value",
+            group_col="event_type",
+            group_a="click",
+            group_b="purchase",
+        )
+        plan.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        row = plan.collect()[0]
+        spark_sec = round(time.time() - t0, 2)
+        assert row.u2_scaled == expect_u2, (row.u2_scaled, expect_u2)
+        mw_results[f"{mult}x"] = {
+            "u2_scaled": expect_u2,
+            "pandas_sec": pandas_sec,
+            "spark_sec": spark_sec,
+            "speedup": round(pandas_sec / max(spark_sec, 0.01), 2),
+        }
+    print(
+        json.dumps(
+            {"metric": "mann_whitney_vs_pandas", "results": mw_results}
+        )
+    )
+
+    # -- r8: triangle census vs the best honest single-process
+    # formulation (pandas self-merge for co-purchase edges, then the
+    # same degree-ordered edge-iterator with dict-of-sets adjacency —
+    # NOT the naive wedge merge, which materializes the 148M-wedge
+    # relation and would strawman the comparison)
+    li_path = f"{sf_dir}/lineitem.parquet"
+
+    def pandas_triangles(pdf: pd.DataFrame) -> int:
+        pl = pdf[["l_orderkey", "l_partkey"]].drop_duplicates()
+        pairs = pl.merge(pl, on="l_orderkey")
+        pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+        e = pairs[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        deg: dict = {}
+        for v in pd.concat([e["l_partkey_x"], e["l_partkey_y"]]):
+            deg[v] = deg.get(v, 0) + 1
+        adj: dict = {}
+        edges = []
+        for a, b in zip(e["l_partkey_x"], e["l_partkey_y"]):
+            lo, hi = ((a, b) if (deg[a], a) < (deg[b], b) else (b, a))
+            adj.setdefault(lo, set()).add(hi)
+            edges.append((lo, hi))
+        t = 0
+        empty: set = set()
+        for lo, hi in edges:
+            t += len(adj[lo] & adj.get(hi, empty))
+        return t
+
+    from core_telecoms_etl_spark.queries.analytics import triangle_count
+
+    tri_results = {}
+    for mult in (1, 8):
+        pdf = pd.read_parquet(li_path)
+        if mult > 1:
+            parts = [pdf]
+            for i in range(1, mult):
+                p = pdf.copy()
+                p["l_orderkey"] += i * 100_000_000
+                parts.append(p)
+            pdf = pd.concat(parts, ignore_index=True)
+        t0 = time.time()
+        expect_t = pandas_triangles(pdf)
+        pandas_sec = round(time.time() - t0, 2)
+
+        if mult == 1:
+            src_dir = sf_dir
+        else:
+            src_dir = f"/tmp/spark_graft_tri{mult}"
+            if not os.path.exists(f"{src_dir}/lineitem.parquet"):
+                os.makedirs(src_dir, exist_ok=True)
+                base = spark.read.parquet(li_path)
+                df = base
+                for i in range(1, mult):
+                    df = df.unionByName(
+                        base.withColumn(
+                            "l_orderkey",
+                            F.col("l_orderkey") + i * 100_000_000,
+                        )
+                    )
+                df.repartition(32).write.mode("overwrite").parquet(
+                    f"{src_dir}/lineitem.parquet"
+                )
+        plan = triangle_count(spark, src_dir)
+        plan.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        row = plan.collect()[0]
+        spark_sec = round(time.time() - t0, 2)
+        assert row.n_triangles == expect_t, (row.n_triangles, expect_t)
+        tri_results[f"{mult}x"] = {
+            "n_triangles": expect_t,
+            "pandas_sec": pandas_sec,
+            "spark_sec": spark_sec,
+            "speedup": round(pandas_sec / max(spark_sec, 0.01), 2),
+        }
+    print(
+        json.dumps(
+            {"metric": "triangle_census_vs_pandas", "results": tri_results}
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
