@@ -88,8 +88,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "knn_classify_ivf",  # never driver-sampled; changed r8
     "moments_profile",  # never driver-sampled; changed r8
     "mann_whitney_u",  # never driver-sampled; changed r8
-    "ks_two_sample",  # green r6; changed r8
-    "vector_topk_ivf",  # green r5; changed r8
+    "bootstrap_ci_partials",  # never driver-sampled (NEW r8)
+    "kll_sliding_quantile",  # never driver-sampled (NEW r8)
+    "vector_topk_ivf",  # green r5; changed r8 (ivf probes-broadcast)
     "cusum_changepoint",  # never driver-sampled; changed r8
     "kaplan_meier",  # never driver-sampled; changed r8
     "ewma_control_chart",  # never driver-sampled; changed r8
@@ -136,10 +137,13 @@ _CHECK_ORDER: tuple[str, ...] = (
     "session_window",  # green r3
     "star_fact_complaints",  # green r3
     "token_topk",  # green r3
-    # -- (4) fill to exactly 50 with the oldest r4 query
-    "array_funcs",  # green r4
     # ---- 50-query window boundary. Tail is ascending last-green,
     # ---- so the r9 rotation head reads straight off the top.
+    # -- changed r8 but displaced by the two new r8 queries; their
+    # -- changed stats.py operator IS driver-covered in-window via
+    # -- mann_whitney_u (same NULL-safe CDF change)
+    "ks_two_sample",  # green r6; changed r8
+    "array_funcs",  # green r4
     "asof_join_forward",  # green r4
     "bigram_surprisal",  # green r4
     "date_funcs",  # green r4

@@ -785,9 +785,7 @@ def _pois_w_sql(u: str) -> str:
     )
 
 
-@query(
-    "bootstrap_ci",
-    oracle=f"""WITH pc AS (
+_BOOTSTRAP_ORACLE = f"""WITH pc AS (
                  SELECT o_custkey AS k,
                         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                              AS BIGINT) AS x
@@ -820,8 +818,10 @@ def _pois_w_sql(u: str) -> str:
                       round(quantile_cont(m, 0.025), 2) AS ci_lo,
                       round(quantile_cont(m, 0.975), 2) AS ci_hi
                FROM point CROSS JOIN dist
-               GROUP BY n_customers, sx""",
-)
+               GROUP BY n_customers, sx"""
+
+
+@query("bootstrap_ci", oracle=_BOOTSTRAP_ORACLE)
 def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% confidence interval for mean customer
     lifetime revenue — the uncertainty band descriptive marts never
@@ -886,6 +886,125 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("wt").cast("long").alias("n_r"),
             F.sum(F.col("wt") * F.col("x")).cast("long").alias("s_r"),
+        )
+        .filter(F.col("n_r") > 0)
+        .select(
+            (F.col("s_r").cast("double") / F.col("n_r") / F.lit(100)).alias(
+                "m"
+            )
+        )
+    )
+    point = pc.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("x").alias("sx"),
+    )
+    dist = means.agg(
+        F.round(F.percentile("m", 0.025), 2).alias("ci_lo"),
+        F.round(F.percentile("m", 0.975), 2).alias("ci_hi"),
+    )
+    return point.join(F.broadcast(dist)).select(
+        "n_customers",
+        F.lit(_BOOT_B).cast("long").alias("b_reps"),
+        F.round(
+            F.col("sx").cast("double") / F.col("n_customers") / F.lit(100), 2
+        ).alias("mean_revenue"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+@query("bootstrap_ci_partials", oracle=_BOOTSTRAP_ORACLE)
+def bootstrap_ci_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extreme-scale variant `bootstrap_ci`'s docstring promises:
+    one-pass per-partition elementwise ARRAY partials instead of the
+    B× row expansion. Each per-customer row computes its B-length
+    weight vector JVM-side (`transform` over `sequence(1,B)` — the md5
+    draw and literal Poisson CDF thresholds are the SAME expressions
+    as bootstrap_ci, so the statistic is bit-identical and the oracle
+    is literally bootstrap_ci's); an Arrow-batched `mapInPandas` then
+    folds every batch to ONE row of two B-length int64 partial arrays
+    (numpy column sums — the sanctioned vectorized-Python path), and
+    the only exchange of the whole bootstrap carries
+    (#batches × B) narrow rows to the replicate-grain reduce.
+
+    Why this matters at 100 TB: bootstrap_ci shuffles |customers|·B
+    expanded rows (fine at marts scale, the map-side combine eats it);
+    here NO relation proportional to |customers|·B ever crosses an
+    exchange — partials are bounded by partition count, not data.
+
+    Exactness: per-batch partial sums are int64 (wt ≤ 7, cents ≤ ~2⁴⁰,
+    batch ≤ 10⁴ rows ⇒ partial ≤ 2⁵⁰); the replicate reduce and CI
+    tail are bootstrap_ci's verbatim."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+
+    def w_elem(rep: F.Column) -> F.Column:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bs:"),
+                            rep.cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(4294967296.0)
+        wt = None
+        for t in _POIS1_CDF:
+            term = F.when(u > F.lit(t), 1).otherwise(0)
+            wt = term if wt is None else wt + term
+        return wt.cast("long")
+
+    warr = pc.select(
+        "x",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_BOOT_B)), w_elem
+        ).alias("w"),
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            w = np.asarray(pdf["w"].tolist(), dtype=np.int64)
+            x = pdf["x"].to_numpy(dtype=np.int64)[:, None]
+            yield pd.DataFrame(
+                {
+                    "n_arr": [w.sum(axis=0).tolist()],
+                    "s_arr": [(w * x).sum(axis=0).tolist()],
+                }
+            )
+
+    part = warr.mapInPandas(
+        partials, schema="n_arr array<bigint>, s_arr array<bigint>"
+    )
+    means = (
+        part.select(
+            F.posexplode(F.arrays_zip("n_arr", "s_arr")).alias("rep", "z")
+        )
+        .select(
+            "rep",
+            F.col("z.n_arr").alias("n_p"),
+            F.col("z.s_arr").alias("s_p"),
+        )
+        .groupBy("rep")
+        .agg(
+            F.sum("n_p").cast("long").alias("n_r"),
+            F.sum("s_p").cast("long").alias("s_r"),
         )
         .filter(F.col("n_r") > 0)
         .select(

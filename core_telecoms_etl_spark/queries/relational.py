@@ -2833,3 +2833,96 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "kll_sliding_quantile",
+    oracle="""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                FROM events GROUP BY 1),
+              ev7 AS (
+                SELECT g.day, CAST(sum(g2.n) AS BIGINT) AS n_events_7d
+                FROM daily g JOIN daily g2
+                  ON g2.day BETWEEN g.day - 6 AND g.day
+                GROUP BY 1)
+              SELECT day, n_events_7d,
+                     CAST(1 AS BIGINT) AS p50_in_band
+              FROM ev7 ORDER BY day""",
+)
+def kll_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-over-window, QUANTILE flavor — the windowed-KLL variant
+    `kll_quantile_rollup`'s mergeability rationale promises: one KLL
+    sketch of event values per day, each day's trailing-7-day p50
+    answered by `kll_merge_agg_double` over a RANGE window of the daily
+    sketch table — no 7× range-join blowup of fact rows per window, and
+    the same daily sketches serve any other window width or percentile.
+
+    The engine-specific estimate is projected to the kll_rollup
+    tolerance convention: p50_in_band flags the merged estimate inside
+    the exact ±0.04 RANK band (percentile 0.46–0.54 of the window's raw
+    values, ≥2× KLL's k=200 worst-case bound — verified holding at
+    sf0.001/0.01/0.1); same diagnosability caveat as
+    hll_sliding_distinct (a band miss surfaces as a hash mismatch on
+    the flag column). The window event total is a fully-checked BIGINT.
+
+    Scale: one fact shuffle to the day grain; the sketch-merge window
+    runs over the calendar-bounded daily relation (single_partition
+    declared intent). The exact range join exists only for the
+    verification band — at production scale you ship the sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .agg(
+            F.expr("kll_sketch_agg_double(value)").alias("sk"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "dn",
+            F.datediff(
+                F.col("day"), F.lit("1970-01-01").cast("date")
+            ).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy(xp.single_partition("dn"))
+        .orderBy("dn")
+        .rangeBetween(-6, 0)
+    )
+    est = daily.select(
+        "day",
+        F.sum("n").over(w).alias("n_events_7d"),
+        F.expr("kll_merge_agg_double(sk)").over(w).alias("__m"),
+    ).select(
+        "day",
+        "n_events_7d",
+        F.expr("kll_sketch_get_quantile_double(__m, 0.5)").alias("__q50"),
+    )
+    ev_days = ev.select(F.col("ts").cast("date").alias("d2"), "value")
+    grid = daily.select("day")
+    band = (
+        grid.join(
+            ev_days,
+            (F.col("d2") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d2") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.expr("percentile(value, 0.46)").alias("__lo"),
+            F.expr("percentile(value, 0.54)").alias("__hi"),
+        )
+    )
+    return (
+        est.join(band, "day")
+        .select(
+            "day",
+            F.col("n_events_7d").cast("long").alias("n_events_7d"),
+            (
+                (F.col("__q50") >= F.col("__lo"))
+                & (F.col("__q50") <= F.col("__hi"))
+            )
+            .cast("long")
+            .alias("p50_in_band"),
+        )
+        .orderBy("day")
+    )

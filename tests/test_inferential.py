@@ -616,3 +616,52 @@ def test_runs_test_alternating_and_blocked(spark, tmp_path):
     mk([10.0, 10.0]).write.parquet(str(d3 / "lineitem.parquet"))
     r3 = runs_test(spark, str(d3)).collect()[0]
     assert r3.n_days == 0 and r3.z_score is None
+
+
+def test_bootstrap_partials_bit_equal_to_row_expansion(spark, sf_dir):
+    """The array-partial bootstrap must reproduce bootstrap_ci's single
+    output row BIT-FOR-BIT: same md5 draws, same literal Poisson CDF,
+    same replicate reduce — only the physical shape differs (per-batch
+    elementwise partials instead of the B× row expansion)."""
+    from core_telecoms_etl_spark.queries.inferential import (
+        bootstrap_ci,
+        bootstrap_ci_partials,
+    )
+
+    a = bootstrap_ci(spark, sf_dir).collect()
+    b = bootstrap_ci_partials(spark, sf_dir).collect()
+    assert len(a) == len(b) == 1
+    assert a[0].asDict() == b[0].asDict()
+
+
+def test_kll_sliding_quantile_merges_across_days(spark, tmp_path):
+    """The windowed KLL merge must see PREVIOUS days' sketches: day 2's
+    own values are all 100 but days 0-1 contribute sixty 1.0s, so the
+    window median sits near 1.0 — inside the exact band (flag 1), which
+    an unmerged per-day sketch (p50=100) would miss."""
+    import datetime
+
+    from core_telecoms_etl_spark.queries.relational import (
+        kll_sliding_quantile,
+    )
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for day, vals in enumerate(
+        ([1.0] * 30, [1.0] * 30, [100.0] * 10)
+    ):
+        for v in vals:
+            rows.append(
+                (eid, eid % 7, base + datetime.timedelta(days=day, hours=1),
+                 "click", v)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    d = tmp_path / "ev"
+    df.write.parquet(str(d / "events.parquet"))
+    out = {r.day.isoformat(): r for r in kll_sliding_quantile(spark, str(d)).collect()}
+    assert out["2024-01-03"].n_events_7d == 70
+    assert all(r.p50_in_band == 1 for r in out.values())
