@@ -426,3 +426,64 @@ def test_segment_dedup_no_windows_no_single_partition(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_topk_broadcasts_probes_not_centroid_shuffle(spark, sf_dir):
+    """r8 fix: the IVF candidates join must BROADCAST the |Q|·n_probe
+    probes relation — a shuffle join would key on centroid_id
+    (n_centroids distinct values), collapsing parallelism to
+    n_centroids tasks (measured 74s vs 27s at the 8× probe)."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.operators import similarity as sim
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    c = e.filter(F.col("vec_id") % 20 != 0)
+    plan = _formatted(sim.ivf_topk(c, q, k=10, n_centroids=16, n_probe=6))
+    assert "BroadcastExchange" in plan, plan
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    # no shuffle exchange may partition on the low-cardinality centroid
+    ex_lines = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning(" in l and "centroid_id" in l
+    ]
+    assert not ex_lines, ex_lines
+
+
+def test_containment_pairs_prefix_join_no_cartesian_no_text(spark, sf_dir):
+    """The asymmetric prefix filter's candidate join must be a HASH
+    equi-join on the hashed shingle (the r7 scale-killer was the
+    uncapped pair pass, not the join kind — but a regression to
+    nested-loop or to shuffling document bodies would be worse)."""
+    from core_telecoms_etl_spark.operators.dedup import containment_pairs
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted(
+        containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    )
+    assert _n_ops(plan, "CartesianProduct") == 0, plan
+    assert _n_ops(plan, "BroadcastNestedLoopJoin") == 0, plan
+    ex_lines = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert ex_lines and all("text" not in l for l in ex_lines), ex_lines
+
+
+def test_bootstrap_partials_arrow_fold_before_exchange(spark, sf_dir):
+    """The array-partial bootstrap must fold batches through
+    MapInPandas; every shuffle below it carries the per-customer or
+    B-grain relation, never a |customers|·B expansion (no Generate/
+    explode of the replicate sequence above an exchange)."""
+    from core_telecoms_etl_spark.queries.inferential import (
+        bootstrap_ci_partials,
+    )
+
+    plan = _formatted(bootstrap_ci_partials(spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    # the replicate explode exists only ABOVE the partial fold — as the
+    # posexplode of the two B-length partial arrays (bounded by batch
+    # count); the row-expansion query's sequence-explode idiom
+    # (explode(sequence(1, B)) per customer) must NOT appear
+    assert "sequence(1, 200" not in plan.replace("\n", " "), plan
