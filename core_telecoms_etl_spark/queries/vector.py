@@ -470,13 +470,20 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates form only inside probed (centroid, bucket)
     partitions — the corpus is never broadcast; the vote and both flag
     reductions run on the k·|Q|-row candidate relation."""
+    from core_telecoms_etl_spark.queries import cache_scoped
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
     c = e.filter(F.col("vec_id") % 20 != 0)
-    approx = sim.ivf_topk(
-        c, q, k=10, n_centroids=16, n_probe=12, kmeans_iters=2
+    # both top-k relations are consumed twice (vote + recall flag) and
+    # are bounded at |Q|·k rows — pin them so the scorers run once
+    approx = cache_scoped(
+        "vector.knn_ivf.approx",
+        sim.ivf_topk(c, q, k=10, n_centroids=16, n_probe=12, kmeans_iters=2),
     )
-    exact = sim.brute_force_topk(c, q, k=10)
+    exact = cache_scoped(
+        "vector.knn_ivf.exact", sim.brute_force_topk(c, q, k=10)
+    )
     labels = c.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
     )
