@@ -82,8 +82,11 @@ HEADLINE = [
     "keyword_pmi",
     "containment_near_dup",
     "knn_classify",
-    # r8 addition: IVF-candidate kNN readout (recall + vote flags)
+    # r8 additions: IVF-candidate kNN readout (recall + vote flags),
+    # array-partial bootstrap, windowed KLL quantile
     "knn_classify_ivf",
+    "bootstrap_ci_partials",
+    "kll_sliding_quantile",
 ]
 
 # Queries whose min-of-N has measurably ridden JVM heap history at their

@@ -917,71 +917,58 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bootstrap_ci_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The extreme-scale variant `bootstrap_ci`'s docstring promises:
     one-pass per-partition elementwise ARRAY partials instead of the
-    B× row expansion. Each per-customer row computes its B-length
-    weight vector JVM-side (`transform` over `sequence(1,B)` — the md5
-    draw and literal Poisson CDF thresholds are the SAME expressions
-    as bootstrap_ci, so the statistic is bit-identical and the oracle
-    is literally bootstrap_ci's); an Arrow-batched `mapInPandas` then
-    folds every batch to ONE row of two B-length int64 partial arrays
-    (numpy column sums — the sanctioned vectorized-Python path), and
-    the only exchange of the whole bootstrap carries
-    (#batches × B) narrow rows to the replicate-grain reduce.
+    B× row expansion. An Arrow-batched `mapInPandas` receives only the
+    per-customer (k, x) relation, computes each customer's B-length
+    Poisson weight vector IN PYTHON (hashlib md5 is bit-identical to
+    the JVM md5 expression, the literal CDF thresholds fold via
+    np.searchsorted — strict `u > t` ⇔ side='left'), and folds every
+    batch to ONE row of two B-length int64 partial arrays; the only
+    exchange of the whole bootstrap carries (#batches × B) narrow rows
+    to the replicate-grain reduce.
 
-    Why this matters at 100 TB: bootstrap_ci shuffles |customers|·B
-    expanded rows (fine at marts scale, the map-side combine eats it);
-    here NO relation proportional to |customers|·B ever crosses an
-    exchange — partials are bounded by partition count, not data.
+    Why Python here when the repo's rule is JVM-side: the B-per-row
+    weight vector has no codegen'd JVM form — `transform` lambdas run
+    on the INTERPRETED expression path (measured 20.6s for the md5
+    fold at sf0.1) and unrolling B literal expression trees blows up
+    planning/codegen (42.5s, 10 MiB task binaries); numpy + hashlib
+    inside the sanctioned Arrow batch path computes the same draws
+    vectorized-per-batch. bootstrap_ci's exploded form stays the
+    codegen baseline; this variant exists for the regime where the
+    |customers|·B row stream itself is the bottleneck.
 
-    Exactness: per-batch partial sums are int64 (wt ≤ 7, cents ≤ ~2⁴⁰,
-    batch ≤ 10⁴ rows ⇒ partial ≤ 2⁵⁰); the replicate reduce and CI
-    tail are bootstrap_ci's verbatim."""
+    Exactness: identical statistic to bootstrap_ci BIT-FOR-BIT
+    (pytest-pinned; the oracle is bootstrap_ci's verbatim) — same
+    "bs:{rep}:{k}" md5 draw, same literal thresholds; per-batch
+    partial sums are int64 (wt ≤ 7, cents ≤ ~2⁴⁰, batch ≤ 10⁴ rows);
+    the replicate reduce and CI tail are bootstrap_ci's verbatim."""
     orders = load_table(spark, sf_dir, "orders")
     pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
 
-    def w_elem(rep: F.Column) -> F.Column:
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("bs:"),
-                            rep.cast("string"),
-                            F.lit(":"),
-                            F.col("k").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            + F.lit(1.0)
-        ) / F.lit(4294967296.0)
-        wt = None
-        for t in _POIS1_CDF:
-            term = F.when(u > F.lit(t), 1).otherwise(0)
-            wt = term if wt is None else wt + term
-        return wt.cast("long")
-
-    warr = pc.select(
-        "x",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(_BOOT_B)), w_elem
-        ).alias("w"),
-    )
-
     def partials(batches):
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
+        thr = np.asarray(_POIS1_CDF)
+        reps = [str(r).encode() for r in range(1, _BOOT_B + 1)]
         for pdf in batches:
             if not len(pdf):
                 continue
-            w = np.asarray(pdf["w"].tolist(), dtype=np.int64)
             x = pdf["x"].to_numpy(dtype=np.int64)[:, None]
+            u = np.empty((len(pdf), _BOOT_B), dtype=np.float64)
+            for i, k in enumerate(pdf["k"].astype(str)):
+                kb = (":" + k).encode()
+                u[i] = [
+                    int.from_bytes(
+                        hashlib.md5(b"bs:" + r + kb).digest()[:4], "big"
+                    )
+                    for r in reps
+                ]
+            u = (u + 1.0) / 4294967296.0
+            w = np.searchsorted(thr, u, side="left").astype(np.int64)
             yield pd.DataFrame(
                 {
                     "n_arr": [w.sum(axis=0).tolist()],
@@ -989,7 +976,7 @@ def bootstrap_ci_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    part = warr.mapInPandas(
+    part = pc.mapInPandas(
         partials, schema="n_arr array<bigint>, s_arr array<bigint>"
     )
     means = (
