@@ -1,0 +1,159 @@
+"""Seeded randomized differential: generate filter+groupBy+agg specs
+over lineitem, build each BOTH as a Spark DataFrame plan and as DuckDB
+SQL from the same spec object, and compare exact results.
+
+This covers the composition space between the 206 hand-written oracle
+pairs: the fixed registry pins each operator once, the fuzzer checks
+that arbitrary conjunctions of predicates, grouping keys, and integer
+aggregates agree too. Deterministic (seeded PRNG, no time/entropy), so
+a failure is replayable from the printed spec.
+
+All aggregates are integer-exact (COUNT, BIGINT cent-grid SUM, MIN/MAX,
+COUNT DISTINCT) — no float accumulation order to absorb, so equality is
+exact, not tolerance-based.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from core_telecoms_etl_spark.sources.readers import load_table
+
+# (name, spark_builder, sql_fragment)
+_PREDICATES = [
+    (
+        "qty_lt",
+        lambda v: F.col("l_quantity") < v,
+        lambda v: f"l_quantity < {v}",
+        lambda rng: rng.randint(5, 45),
+    ),
+    (
+        "qty_ge",
+        lambda v: F.col("l_quantity") >= v,
+        lambda v: f"l_quantity >= {v}",
+        lambda rng: rng.randint(5, 45),
+    ),
+    (
+        "flag_eq",
+        lambda v: F.col("l_returnflag") == v,
+        lambda v: f"l_returnflag = '{v}'",
+        lambda rng: rng.choice(["A", "N", "R"]),
+    ),
+    (
+        "status_eq",
+        lambda v: F.col("l_linestatus") == v,
+        lambda v: f"l_linestatus = '{v}'",
+        lambda rng: rng.choice(["O", "F"]),
+    ),
+    (
+        "ship_lt",
+        lambda v: F.col("l_shipdate") < F.lit(v).cast("timestamp"),
+        lambda v: f"l_shipdate < TIMESTAMP '{v} 00:00:00'",
+        lambda rng: rng.choice(
+            ["1993-06-01", "1995-01-01", "1996-09-15", "1998-03-01"]
+        ),
+    ),
+    (
+        "part_mod",
+        lambda v: F.pmod(F.col("l_partkey"), F.lit(v[0])) == v[1],
+        lambda v: f"l_partkey % {v[0]} = {v[1]}",
+        lambda rng: (lambda m: (m, rng.randint(0, m - 1)))(
+            rng.choice([3, 7, 10])
+        ),
+    ),
+]
+
+_GROUP_KEYS = [
+    ("l_returnflag", lambda: F.col("l_returnflag"), "l_returnflag"),
+    ("l_linestatus", lambda: F.col("l_linestatus"), "l_linestatus"),
+    (
+        "l_linenumber",
+        lambda: F.col("l_linenumber").cast("long"),
+        "CAST(l_linenumber AS BIGINT)",
+    ),
+    (
+        "okey_bucket",
+        lambda: F.pmod(F.col("l_orderkey"), F.lit(10)),
+        "l_orderkey % 10",
+    ),
+]
+
+_AGGS = [
+    ("n_rows", lambda: F.count("*"), "count(*)"),
+    (
+        "sum_cents",
+        lambda: F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")),
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT))",
+    ),
+    (
+        "min_qty",
+        lambda: F.min(F.col("l_quantity").cast("long")),
+        "min(CAST(l_quantity AS BIGINT))",
+    ),
+    (
+        "max_qty",
+        lambda: F.max(F.col("l_quantity").cast("long")),
+        "max(CAST(l_quantity AS BIGINT))",
+    ),
+    (
+        "n_supp",
+        lambda: F.count_distinct(F.col("l_suppkey")),
+        "count(DISTINCT l_suppkey)",
+    ),
+]
+
+
+def _gen_spec(rng: random.Random) -> dict:
+    preds = rng.sample(_PREDICATES, rng.randint(0, 2))
+    return {
+        "preds": [(p[0], p[3](rng), p[1], p[2]) for p in preds],
+        "keys": rng.sample(_GROUP_KEYS, rng.randint(1, 2)),
+        "aggs": rng.sample(_AGGS, rng.randint(1, 3)),
+    }
+
+
+def _spec_repr(spec: dict) -> str:
+    return (
+        f"preds={[(n, v) for n, v, _, _ in spec['preds']]} "
+        f"keys={[k[0] for k in spec['keys']]} "
+        f"aggs={[a[0] for a in spec['aggs']]}"
+    )
+
+
+@pytest.mark.parametrize("seed", [20260814])
+def test_random_relational_specs_match_duckdb(spark, sf_dir, seed):
+    rng = random.Random(seed)
+    li = load_table(spark, sf_dir, "lineitem")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS "
+        f"SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    for i in range(25):
+        spec = _gen_spec(rng)
+        df = li
+        wheres = []
+        for _, v, build, sql in spec["preds"]:
+            df = df.filter(build(v))
+            wheres.append(sql(v))
+        gb_cols = [c().alias(n) for n, c, _ in spec["keys"]]
+        agg_cols = [c().alias(n) for n, c, _ in spec["aggs"]]
+        out = df.groupBy(*gb_cols).agg(*agg_cols)
+        got = sorted(
+            tuple(r) for r in out.collect()
+        )
+
+        where = f"WHERE {' AND '.join(wheres)}" if wheres else ""
+        keys_sql = ", ".join(f"{s} AS {n}" for n, _, s in spec["keys"])
+        aggs_sql = ", ".join(f"{s} AS {n}" for n, _, s in spec["aggs"])
+        group_sql = ", ".join(str(j + 1) for j in range(len(spec["keys"])))
+        q = (
+            f"SELECT {keys_sql}, {aggs_sql} FROM lineitem {where} "
+            f"GROUP BY {group_sql}"
+        )
+        want = sorted(tuple(r) for r in con.execute(q).fetchall())
+        assert got == want, f"spec #{i}: {_spec_repr(spec)}\nsql: {q}"
