@@ -157,3 +157,88 @@ def test_random_relational_specs_match_duckdb(spark, sf_dir, seed):
         )
         want = sorted(tuple(r) for r in con.execute(q).fetchall())
         assert got == want, f"spec #{i}: {_spec_repr(spec)}\nsql: {q}"
+
+
+@pytest.mark.parametrize("seed", [414243])
+def test_random_join_specs_match_duckdb(spark, sf_dir, seed):
+    """Same differential, join edition: lineitem ⋈ orders under random
+    predicates from BOTH tables, grouped on either side's keys. Checks
+    that join + pushdown composition agrees with DuckDB exactly."""
+    rng = random.Random(seed)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS "
+        f"SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    o_preds = [
+        (
+            "prio_eq",
+            lambda v: F.col("o_orderpriority") == v,
+            lambda v: f"o_orderpriority = '{v}'",
+            lambda rng: rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+            ),
+        ),
+        (
+            "status_eq",
+            lambda v: F.col("o_orderstatus") == v,
+            lambda v: f"o_orderstatus = '{v}'",
+            lambda rng: rng.choice(["O", "F", "P"]),
+        ),
+        (
+            "price_ge",
+            lambda v: F.col("o_totalprice") >= v,
+            lambda v: f"o_totalprice >= {v}",
+            lambda rng: rng.choice([50000, 150000, 300000]),
+        ),
+    ]
+    o_keys = [
+        ("o_orderstatus", lambda: F.col("o_orderstatus"), "o_orderstatus"),
+        (
+            "o_orderpriority",
+            lambda: F.col("o_orderpriority"),
+            "o_orderpriority",
+        ),
+    ]
+    for i in range(12):
+        spec = {
+            "li_preds": [
+                (p[0], p[3](rng), p[1], p[2])
+                for p in rng.sample(_PREDICATES, rng.randint(0, 1))
+            ],
+            "o_preds": [
+                (p[0], p[3](rng), p[1], p[2])
+                for p in rng.sample(o_preds, rng.randint(0, 1))
+            ],
+            "keys": rng.sample(_GROUP_KEYS + o_keys, rng.randint(1, 2)),
+            "aggs": rng.sample(_AGGS, rng.randint(1, 2)),
+        }
+        ldf, odf, wheres = li, o, []
+        for _, v, build, sql in spec["li_preds"]:
+            ldf = ldf.filter(build(v))
+            wheres.append(sql(v))
+        for _, v, build, sql in spec["o_preds"]:
+            odf = odf.filter(build(v))
+            wheres.append(sql(v))
+        j = ldf.join(odf, ldf.l_orderkey == odf.o_orderkey)
+        out = j.groupBy(
+            *[c().alias(n) for n, c, _ in spec["keys"]]
+        ).agg(*[c().alias(n) for n, c, _ in spec["aggs"]])
+        got = sorted(tuple(r) for r in out.collect())
+
+        where = f"WHERE {' AND '.join(wheres)}" if wheres else ""
+        keys_sql = ", ".join(f"{s} AS {n}" for n, _, s in spec["keys"])
+        aggs_sql = ", ".join(f"{s} AS {n}" for n, _, s in spec["aggs"])
+        group_sql = ", ".join(str(k + 1) for k in range(len(spec["keys"])))
+        q = (
+            f"SELECT {keys_sql}, {aggs_sql} FROM lineitem "
+            f"JOIN orders ON l_orderkey = o_orderkey {where} "
+            f"GROUP BY {group_sql}"
+        )
+        want = sorted(tuple(r) for r in con.execute(q).fetchall())
+        assert got == want, f"join spec #{i}\nsql: {q}"
