@@ -2,7 +2,7 @@
 query on Spark AND its DuckDB oracle at sf0.01, then compares row count,
 sorted column names, and exact values (stricter than the driver's hash).
 
-Usage: python tools/check_oracle.py [query ...]   (default: all)
+Usage: python tools/check_oracle.py [--jobs N] [query ...]  (default: all, 4 threads)
        SF_DIR=/root/testdata/sf0.01 python tools/check_oracle.py
 """
 
@@ -103,6 +103,39 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _check_one(name, qs, oracles, spark, sf_dir, con_factory):
+    """Run one query + its oracle; returns (name, status, lines).
+    status: "pass" | "fail" | "rows-only"."""
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, sf_dir).toPandas()
+    except Exception:
+        return name, "fail", [
+            f"FAIL {name}: spark side raised",
+            traceback.format_exc(limit=5),
+        ]
+    dt = time.time() - t0
+    if name not in oracles:
+        return name, "rows-only", [
+            f"OK?  {name}: {len(sdf)} rows [rows-only] ({dt:.1f}s)"
+        ]
+    try:
+        odf = con_factory().execute(oracles[name]).df()
+    except Exception as e:
+        return name, "fail", [f"FAIL {name}: oracle SQL raised: {e}"]
+    problems = compare(name, sdf, odf)
+    if problems:
+        lines = [
+            f"FAIL {name}: ({len(sdf)} spark rows, {len(odf)} oracle rows)"
+        ] + [f"     {p}" for p in problems]
+        return name, "fail", lines
+    # an empty result matches its oracle trivially — flag it so a
+    # too-restrictive literal (wrong region name, impossible filter)
+    # can't hide behind a green row
+    empty = " [EMPTY RESULT — weak signal]" if len(sdf) == 0 else ""
+    return name, "pass", [f"PASS {name}: {len(sdf)} rows ({dt:.1f}s){empty}"]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     from core_telecoms_etl_spark import get_spark
@@ -111,56 +144,59 @@ def main() -> int:
     spark = get_spark("oracle-check")
     qs = qmod.queries()
     oracles = qmod.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
 
-    wanted = sys.argv[1:] or list(qs)
-    n_pass = n_fail = n_rows_only = 0
-    for name in wanted:
-        if name not in qs:
-            print(f"?? {name}: no such query")
-            n_fail += 1
-            continue
-        t0 = time.time()
-        try:
-            sdf = qs[name](spark, sf_dir).toPandas()
-        except Exception:
-            print(f"FAIL {name}: spark side raised")
-            traceback.print_exc(limit=5)
-            n_fail += 1
-            continue
-        dt = time.time() - t0
-        if name not in oracles:
-            status = "rows-only"
-            ok = len(sdf) >= 0
-            print(f"OK?  {name}: {len(sdf)} rows [{status}] ({dt:.1f}s)")
-            n_rows_only += 1
-            continue
-        try:
-            odf = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL raised: {e}")
-            n_fail += 1
-            continue
-        problems = compare(name, sdf, odf)
-        if problems:
-            print(f"FAIL {name}: ({len(sdf)} spark rows, {len(odf)} oracle rows)")
-            for p in problems:
-                print(f"     {p}")
-            n_fail += 1
-        else:
-            # an empty result matches its oracle trivially — flag it so
-            # a too-restrictive literal (wrong region name, impossible
-            # filter) can't hide behind a green row
-            empty = " [EMPTY RESULT — weak signal]" if len(sdf) == 0 else ""
-            print(f"PASS {name}: {len(sdf)} rows ({dt:.1f}s){empty}")
-            n_pass += 1
+    # one DuckDB connection per worker thread (connections are not
+    # thread-safe); views are cheap to re-create per connection
+    import threading
+
+    tls = threading.local()
+
+    def con_factory():
+        if getattr(tls, "con", None) is None:
+            c = duckdb.connect()
+            for t in TABLES:
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            tls.con = c
+        return tls.con
+
+    argv = sys.argv[1:]
+    jobs = int(os.environ.get("CHECK_ORACLE_JOBS", "4"))
+    if "--jobs" in argv:
+        i = argv.index("--jobs")
+        jobs = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    wanted = argv or list(qs)
+    unknown = [n for n in wanted if n not in qs]
+    for n in unknown:
+        print(f"?? {n}: no such query")
+    wanted = [n for n in wanted if n in qs]
+
+    n_pass = n_fail = n_rows_only = len(unknown) and 0
+    n_fail = len(unknown)
+    # Spark supports concurrent actions from multiple threads on one
+    # session; queries sharing a cache_scoped slot may evict each other
+    # mid-flight, which only costs recompute (all plans are
+    # deterministic), never correctness
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, jobs)) as ex:
+        for name, status, lines in ex.map(
+            lambda n: _check_one(n, qs, oracles, spark, sf_dir, con_factory),
+            wanted,
+        ):
+            for ln in lines:
+                print(ln)
+            if status == "pass":
+                n_pass += 1
+            elif status == "rows-only":
+                n_rows_only += 1
+            else:
+                n_fail += 1
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
-        f"of {len(wanted)} queries"
+        f"of {len(wanted) + len(unknown)} queries"
     )
     return 1 if n_fail else 0
 
