@@ -799,26 +799,36 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_subquery",
-    oracle="""SELECT o_orderkey, o_totalprice,
-                     o_totalprice - (SELECT avg(o_totalprice) FROM orders)
+    oracle="""WITH a AS (
+                SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS DOUBLE) / count(*) / 100 AS avg_price
+                FROM orders)
+              SELECT o_orderkey, o_totalprice,
+                     o_totalprice - (SELECT avg_price FROM a)
                        AS price_vs_avg
               FROM orders
-              WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+              WHERE o_totalprice > (SELECT avg_price FROM a)""",
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery — computed once and broadcast into the
-    filter/projection (one extra tiny job, no per-row work). avg() is the
-    same double in both engines only because sum/count are: both sum the
-    identical parquet doubles in some order then divide — the division is
-    exact relative to the summed value, and the filter margin (price vs
-    global avg) is far above summation-order noise."""
+    """Uncorrelated scalar subquery — computed once and broadcast into
+    the filter/projection (one extra tiny job, no per-row work). The
+    average follows the registry's grid-sum rule: a native avg() over
+    raw doubles is SUMMATION-ORDER-DEPENDENT, and the r8 8×-replica
+    differential caught exactly that (1e-10 divergence at 4.8M rows
+    where 600k had agreed by luck) — so both engines divide the exact
+    cent-grid BIGINT sum, making avg and every derived value
+    bit-identical at any scale."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
-        """SELECT o_orderkey, o_totalprice,
-                  o_totalprice - (SELECT avg(o_totalprice) FROM orders)
+        """WITH a AS (
+             SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS DOUBLE) / count(*) / 100 AS avg_price
+             FROM orders)
+           SELECT o_orderkey, o_totalprice,
+                  o_totalprice - (SELECT avg_price FROM a)
                     AS price_vs_avg
            FROM orders
-           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"""
+           WHERE o_totalprice > (SELECT avg_price FROM a)"""
     )
 
 

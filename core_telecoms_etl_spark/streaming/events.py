@@ -51,7 +51,16 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     # TIMESTAMP(NANOS) `ts` is rewritten back via normalize_timestamps
     ensure_session_confs(spark, nanos_as_long=True)
     raw_schema = spark.read.parquet(path).schema
-    if path.endswith(".parquet"):
+    # a Spark-written table is a DIRECTORY named *.parquet containing
+    # part files — the normal production layout; stream the directory
+    # itself (the pathGlobFilter trick below is only for the testdata's
+    # single-FILE layout, where the source needs a directory to watch
+    # and a filter to isolate the one table file). r8: the 8×-replica
+    # differential streamed 0 rows here because the glob matched the
+    # directory entry, not its part files.
+    import os
+
+    if path.endswith(".parquet") and not os.path.isdir(path):
         base, _, fname = path.rpartition("/")
         stream = (
             spark.readStream.format("parquet")

@@ -155,9 +155,12 @@ def main() -> int:
         if getattr(tls, "con", None) is None:
             c = duckdb.connect()
             for t in TABLES:
-                c.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-                )
+                p = f"{sf_dir}/{t}.parquet"
+                # Spark-written tables are directories of part files
+                # (e.g. the 8× scale replica) — glob them for DuckDB
+                if os.path.isdir(p):
+                    p = f"{p}/*.parquet"
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
             tls.con = c
         return tls.con
 
