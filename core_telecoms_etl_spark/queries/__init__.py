@@ -90,7 +90,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "mann_whitney_u",  # never driver-sampled; changed r8
     "bootstrap_ci_partials",  # never driver-sampled (NEW r8)
     "kll_sliding_quantile",  # never driver-sampled (NEW r8)
-    "vector_topk_ivf",  # green r5; changed r8 (ivf probes-broadcast)
+    "scalar_subquery",  # green r7; changed r8 (grid-exact avg — the
+    # 8×-differential fix; a changed ORACLE outranks the plan-only
+    # ivf change for the one non-mandatory slot)
     "cusum_changepoint",  # never driver-sampled; changed r8
     "kaplan_meier",  # never driver-sampled; changed r8
     "ewma_control_chart",  # never driver-sampled; changed r8
@@ -143,6 +145,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     # -- changed stats.py operator IS driver-covered in-window via
     # -- mann_whitney_u (same NULL-safe CDF change)
     "ks_two_sample",  # green r6; changed r8
+    "vector_topk_ivf",  # green r5; changed r8 (probes-broadcast, values
+    # identical — operator covered in-window by knn_classify_ivf)
     "array_funcs",  # green r4
     "asof_join_forward",  # green r4
     "bigram_surprisal",  # green r4
@@ -281,7 +285,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "quality_filter",  # green r7
     "rename_map",  # green r7
     "sales_opportunity",  # green r7
-    "scalar_subquery",  # green r7
     "scd2_history",  # green r7
     "semi_join",  # green r7
     "shipmode_priority",  # green r7
