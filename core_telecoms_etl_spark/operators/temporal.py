@@ -236,7 +236,13 @@ def time_grid_ffill(
         F.floor(F.unix_seconds(F.col(ts_col)) / bucket_seconds)
         * bucket_seconds
     )
-    ev = df.select(
+    # input contract: the grid family consumes OBSERVATIONS — a
+    # NULL-valued event is not one. Without this filter Spark's max_by
+    # (which skips NULL values) and the oracle's literal last-row pick
+    # diverge, and an all-NULL bucket would anchor the interpolation at
+    # a carried value (r8 NULL-injection differential); oracles mirror
+    # the WHERE.
+    ev = df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("__k"),
         bucket.alias("__bucket"),
         F.col(ts_col).alias("__ts"),

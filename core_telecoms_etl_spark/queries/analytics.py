@@ -701,7 +701,8 @@ def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                          AS rev_grid,
                        CAST(count(*) AS BIGINT) AS n
-                FROM lineitem GROUP BY 1, 2)
+                FROM lineitem WHERE l_shipdate IS NOT NULL
+                GROUP BY 1, 2)
               SELECT l_returnflag, ship_month,
                      CAST(rev_grid AS BIGINT) AS rev_grid,
                      n,
@@ -724,6 +725,11 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # a NULL-dated shipment routes to NEITHER the state nor the batch
+    # predicate (both NULL) — Spark silently dropped it where the
+    # oracle kept a NULL month group (r8 NULL injection); a monthly
+    # partition has no NULL month, so filter explicitly, mirrored
+    li = li.filter(F.col("l_shipdate").isNotNull())
     cutoff = "1998-01-01"
 
     def partial(df: DataFrame) -> DataFrame:
@@ -822,7 +828,8 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS ship_month,
                        sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                          AS rev_grid
-                FROM lineitem GROUP BY 1, 2)
+                FROM lineitem WHERE l_shipdate IS NOT NULL
+                GROUP BY 1, 2)
               SELECT l_returnflag, ship_month,
                      CAST(rev_grid AS DOUBLE) / 100 AS revenue,
                      (CAST(rev_grid AS DOUBLE)
@@ -841,7 +848,10 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first month NULL — no prior period). The lag window runs over
     the |flags|×|months| aggregated matrix, never the fact rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    m = li.groupBy(
+    # NULL-month filter, mirrored: see incremental_rollup (the lag
+    # window's month order diverges on a NULL group — NULLS FIRST vs
+    # NULLS LAST)
+    m = li.filter(F.col("l_shipdate").isNotNull()).groupBy(
         "l_returnflag",
         F.date_trunc("month", "l_shipdate")
         .cast("date")

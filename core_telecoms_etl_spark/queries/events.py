@@ -254,6 +254,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     > 1800 * 1000000
                             THEN 1 ELSE 0 END AS is_new
                 FROM events
+                WHERE event_type IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
               sess AS (
                 SELECT user_id, event_id, ts, event_type,
@@ -281,6 +282,11 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total (user key, then path key); the path table is
     vocabulary-sized so the final top-k is cheap."""
     ev = load_table(spark, sf_dir, "events")
+    # an untyped event cannot appear in a path; drop it BEFORE
+    # sessionization so both engines segment the same stream (an
+    # all-NULL session otherwise reads '' from array_join but NULL
+    # from string_agg — r8 NULL injection); mirrored in the oracle
+    ev = ev.filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

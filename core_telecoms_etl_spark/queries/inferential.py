@@ -44,6 +44,8 @@ from core_telecoms_etl_spark.sources.readers import load_table
                 SELECT c_mktsegment AS seg, o_orderpriority AS pri,
                        count(*) AS n
                 FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
                 GROUP BY 1, 2),
               rt AS (SELECT seg, CAST(sum(n) AS BIGINT) AS rn
                      FROM cells GROUP BY 1),
@@ -93,6 +95,14 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     cells = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
+        # a NULL category is a MISSING observation, not a sixth level:
+        # count_distinct excludes NULL where the oracle's rollup count
+        # included its group (dof 16 vs 25 under r8 NULL injection) —
+        # standard chi-square practice drops incomplete rows; mirrored
+        .filter(
+            F.col("c_mktsegment").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("pri"),
@@ -226,7 +236,8 @@ def entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * CAST(round((1 - l_discount) * 100) AS BIGINT))
                             AS BIGINT) AS x
-                FROM lineitem GROUP BY 1),
+                FROM lineitem WHERE l_shipdate IS NOT NULL
+                GROUP BY 1),
               g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t
                     FROM daily),
               c AS (SELECT d,
@@ -263,7 +274,11 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     same justification as the repo's bucket-offset tables. TakeOrdered
     (LIMIT 1) ships one row to the driver."""
     li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(
+    # a calendar series has no NULL day: a NULL l_shipdate group would
+    # land at OPPOSITE ends of the two engines' order-dependent folds
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST — caught by the r8
+    # NULL-injection differential); oracles mirror the filter
+    daily = li.filter(F.col("l_shipdate").isNotNull()).groupBy(
         F.col("l_shipdate").cast("date").alias("d")
     ).agg(F.sum(_disc_price_grid()).alias("x"))
     g = daily.agg(F.count("*").alias("n"), F.sum("x").alias("t"))
@@ -467,7 +482,8 @@ def mann_whitney_u_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS BIGINT) AS x
                 FROM orders GROUP BY 1),
               s AS (SELECT c_mktsegment AS segment, k, x
-                    FROM pc JOIN customer ON k = c_custkey),
+                    FROM pc JOIN customer ON k = c_custkey
+                    WHERE c_mktsegment IS NOT NULL),
               r AS (SELECT segment, x,
                            row_number() OVER (PARTITION BY segment
                                               ORDER BY x, k) AS i
@@ -508,8 +524,13 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
-    s = pc.join(cust, pc.k == cust.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"), "k", "x"
+    # an unassigned (NULL) segment is excluded, mirrored in the oracle:
+    # the bucket-span equi-join drops NULL keys on the Spark side while
+    # DuckDB's windows kept the NULL partition (r8 NULL injection)
+    s = (
+        pc.join(cust, pc.k == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isNotNull())
+        .select(F.col("c_mktsegment").alias("segment"), "k", "x")
     )
     span = s.groupBy("segment").agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
@@ -662,7 +683,8 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                        date_diff('day', min(ts), max(ts)) AS dur,
                        CASE WHEN arg_max(event_type, ts) = 'error'
                             THEN 1 ELSE 0 END AS observed
-                FROM events GROUP BY user_id),
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY user_id),
               byt AS (
                 SELECT CAST(dur AS BIGINT) AS t,
                        CAST(sum(observed) AS BIGINT) AS d,
@@ -713,7 +735,11 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation — bounded by the day span, not user count (pmod idiom
     suppresses the global-window warn)."""
     ev = load_table(spark, sf_dir, "events")
-    pu = ev.groupBy("user_id").agg(
+    # type-less events are malformed for survival semantics: Spark's
+    # max_by would surface a NULL type (making `observed` NULL) where
+    # DuckDB's arg_max skips NULL args — r8 NULL-injection divergence;
+    # oracles mirror the filter
+    pu = ev.filter(F.col("event_type").isNotNull()).groupBy("user_id").agg(
         F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
         (F.max_by("event_type", "ts") == F.lit("error"))
         .cast("long")
@@ -1025,7 +1051,8 @@ def bootstrap_ci_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT CAST(l_shipdate AS DATE) AS d,
                        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                             AS BIGINT) AS cents
-                FROM lineitem GROUP BY 1),
+                FROM lineitem WHERE l_shipdate IS NOT NULL
+                GROUP BY 1),
               m AS (SELECT d, CAST(cents AS DOUBLE) / 100 AS x FROM daily),
               w AS (
                 SELECT d, x,
@@ -1059,7 +1086,10 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, pmod idiom) with a 30-element array per row — O(days·30)
     work total."""
     li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+    # NULL-day filter: see cusum_changepoint (order-dependent fold)
+    daily = li.filter(F.col("l_shipdate").isNotNull()).groupBy(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
             "cents"
         )
@@ -1103,7 +1133,8 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                             THEN 1 ELSE 0 END AS observed,
                        CASE WHEN bool_or(event_type = 'purchase')
                             THEN 1 ELSE 0 END AS grp_a
-                FROM events GROUP BY user_id),
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY user_id),
               byt AS (
                 SELECT CAST(dur AS BIGINT) AS t,
                        CAST(sum(observed) AS BIGINT) AS d,
@@ -1157,7 +1188,11 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, then duration-bounded single-partition windows (pmod
     idiom)."""
     ev = load_table(spark, sf_dir, "events")
-    pu = ev.groupBy("user_id").agg(
+    # type-less events are malformed for survival semantics: Spark's
+    # max_by would surface a NULL type (making `observed` NULL) where
+    # DuckDB's arg_max skips NULL args — r8 NULL-injection divergence;
+    # oracles mirror the filter
+    pu = ev.filter(F.col("event_type").isNotNull()).groupBy("user_id").agg(
         F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
         (F.max_by("event_type", "ts") == F.lit("error"))
         .cast("long")
@@ -1466,7 +1501,8 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * CAST(round((1 - l_discount) * 100) AS BIGINT))
                             AS BIGINT) AS x
-                FROM lineitem GROUP BY 1),
+                FROM lineitem WHERE l_shipdate IS NOT NULL
+                GROUP BY 1),
               g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t
                     FROM daily),
               s AS (SELECT d,
@@ -1524,9 +1560,10 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs single-partition over the day relation — bounded by the date
     span (pmod idiom), never data volume."""
     li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
-        F.sum(_disc_price_grid()).alias("x")
-    )
+    # NULL-day filter: see cusum_changepoint (order-dependent fold)
+    daily = li.filter(F.col("l_shipdate").isNotNull()).groupBy(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).agg(F.sum(_disc_price_grid()).alias("x"))
     g = daily.agg(F.count("*").alias("n"), F.sum("x").alias("t"))
     s = (
         daily.join(F.broadcast(g))

@@ -49,9 +49,14 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.regexp_replace("c_mktsegment", "[AEIOU]", "").alias("seg_consonants"),
-        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey")).alias(
-            "seg_nation"
-        ),
+        # F.concat, not concat_ws: '||' propagates NULL in the oracle
+        # while concat_ws silently SKIPS null parts ('12' vs NULL under
+        # r8 NULL injection) — concat matches the SQL operator exactly
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit("-"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("seg_nation"),
     )
 
 

@@ -248,7 +248,8 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT user_id,
                        time_bucket(INTERVAL '15 minutes', min(ts)) AS t0,
                        time_bucket(INTERVAL '15 minutes', max(ts)) AS t1
-                FROM events GROUP BY user_id),
+                FROM events WHERE value IS NOT NULL
+                GROUP BY user_id),
               grid AS (
                 SELECT user_id,
                        unnest(generate_series(t0, t1,
@@ -262,14 +263,15 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          PARTITION BY user_id,
                            time_bucket(INTERVAL '15 minutes', ts)
                          ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events),
+                FROM events WHERE value IS NOT NULL),
               lastv AS (
                 SELECT user_id, bucket, value FROM obs WHERE rn = 1),
               cnts AS (
                 SELECT user_id,
                        time_bucket(INTERVAL '15 minutes', ts) AS bucket,
                        count(*) AS n
-                FROM events GROUP BY 1, 2)
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2)
               SELECT g.user_id, g.grid_ts,
                      last_value(l.value IGNORE NULLS) OVER (
                        PARTITION BY g.user_id ORDER BY g.grid_ts
@@ -310,7 +312,8 @@ def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT user_id,
                        time_bucket(INTERVAL '15 minutes', min(ts)) AS t0,
                        time_bucket(INTERVAL '15 minutes', max(ts)) AS t1
-                FROM events GROUP BY user_id),
+                FROM events WHERE value IS NOT NULL
+                GROUP BY user_id),
               grid AS (
                 SELECT user_id,
                        unnest(generate_series(t0, t1,
@@ -324,14 +327,15 @@ def time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                          PARTITION BY user_id,
                            time_bucket(INTERVAL '15 minutes', ts)
                          ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events),
+                FROM events WHERE value IS NOT NULL),
               lastv AS (
                 SELECT user_id, bucket, value FROM obs WHERE rn = 1),
               cnts AS (
                 SELECT user_id,
                        time_bucket(INTERVAL '15 minutes', ts) AS bucket,
                        count(*) AS n
-                FROM events GROUP BY 1, 2),
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2),
               br AS (
                 SELECT g.user_id, g.grid_ts,
                        coalesce(c.n, 0) AS n,
