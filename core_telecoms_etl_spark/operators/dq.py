@@ -85,18 +85,27 @@ def checks_df(
     scalar_aggs = []
     scalar_rows: list[tuple[str, str]] = []  # (check_name, column)
     for c in not_null:
+        # coalesce: SUM over an empty table is NULL, but zero rows have
+        # zero violations — an empty batch PASSES its checks (r8
+        # empty-facts differential)
         scalar_aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"nn_{c}")
         )
         scalar_rows.append(("not_null", c))
     for c, values in (accepted_values or {}).items():
         scalar_aggs.append(
-            F.sum(
-                F.when(
-                    ~F.col(c).isin(list(values)) & F.col(c).isNotNull(), 1
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.col(c).isin(list(values)) & F.col(c).isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(f"av_{c}")
@@ -184,7 +193,8 @@ def profile_columns(
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for c in (*numeric_cols, *string_cols):
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .alias(f"__null_{c}")
         )
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
     for c in numeric_cols:

@@ -92,11 +92,17 @@ def funnel_counts(
         type_col=type_col,
         horizon_seconds=horizon_seconds,
     )
+    # coalesce: SUM over an empty user relation is NULL, but a funnel
+    # over no users completed 0 prefixes (oracle counts 0) — r8
+    # empty-facts differential
     aggs = [
-        F.sum(
-            F.when(
-                F.element_at("stage_ts", i + 1).isNotNull(), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.element_at("stage_ts", i + 1).isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias(f"n_{'_'.join(stages[: i + 1])}")

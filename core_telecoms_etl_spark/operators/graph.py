@@ -331,14 +331,23 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .cast("long")
             .alias("n_triangles")
         )
+        # empty-graph contract: SUM over zero rows is NULL but the
+        # census reports 0 triangles (oracle counts 0) — r8 empty-facts
+        # differential
+        .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
     # accumulate Σd and Σd(d−1) as exact longs and halve ONCE (both are
     # even; the halved values stay ≤ 2^53 to ~1e15 wedges — DECIMAL
     # beyond) — never sum per-row float halves
     base = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
-        (F.sum("d") / F.lit(2)).cast("long").alias("n_edges"),
-        (F.sum(F.col("d") * (F.col("d") - F.lit(1))) / F.lit(2))
+        F.coalesce(F.sum("d") / F.lit(2), F.lit(0))
+        .cast("long")
+        .alias("n_edges"),
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - F.lit(1))) / F.lit(2),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_wedges"),
     )

@@ -388,7 +388,15 @@ def kmeans_centroids(
     The mean is computed with one F.avg per dimension (dim agg
     expressions): fine up to a few hundred dims; beyond that switch the
     update step to a posexplode + (cluster, dim) aggregation."""
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first().d
+    # empty-corpus guard: .first() returns None on zero rows — there is
+    # nothing to cluster, so the refinement loop degenerates to the
+    # (empty) seed centroids and every downstream probe/assign join
+    # yields empty results instead of raising (r8 empty-facts
+    # differential)
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return _centroids(df, id_col, vec_col, k)
+    dim = row.d
     cents = _centroids(df, id_col, vec_col, k)
     for _ in range(iters):
         scored = df.select(

@@ -1676,9 +1676,10 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
               base AS (
                 SELECT count(*) AS n_nodes,
-                       CAST(CAST(sum(d) AS BIGINT) / 2 AS BIGINT) AS n_edges,
-                       CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT)
-                         AS n_wedges
+                       CAST(CAST(coalesce(sum(d), 0) AS BIGINT) / 2
+                            AS BIGINT) AS n_edges,
+                       CAST(CAST(coalesce(sum(d * (d - 1)), 0) AS BIGINT) / 2
+                            AS BIGINT) AS n_wedges
                 FROM deg)
               SELECT n_nodes, n_edges, n_wedges,
                      CAST(t AS BIGINT) AS n_triangles,

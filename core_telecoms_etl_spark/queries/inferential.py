@@ -61,9 +61,11 @@ from core_telecoms_etl_spark.sources.readers import load_table
               terms AS (
                 SELECT nt, rn, cn, (nt * n - rn * cn) AS dev
                 FROM grid CROSS JOIN tot)
-              SELECT max(nt) AS n_rows,
-                     CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
-                       * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+              SELECT coalesce(max(nt), 0) AS n_rows,
+                     CAST(greatest((SELECT count(*) FROM rt) - 1, 0)
+                          AS BIGINT)
+                       * CAST(greatest((SELECT count(*) FROM ct) - 1, 0)
+                              AS BIGINT) AS dof,
                      round(sum(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
                            / (CAST(nt AS DOUBLE) * CAST(rn AS DOUBLE)
                               * CAST(cn AS DOUBLE))), 6) AS chi2,
@@ -136,9 +138,13 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("cn").cast("double")
         )
     )
+    # empty contingency contract: 0 rows, dof 0, NULL statistics —
+    # mirrored via coalesce/greatest (r8 empty-facts differential)
     return terms.agg(
-        F.max("nt").alias("n_rows"),
-        ((F.max("r") - F.lit(1)) * (F.max("c") - F.lit(1)))
+        F.coalesce(F.max("nt"), F.lit(0)).alias("n_rows"),
+        F.coalesce(
+            (F.max("r") - F.lit(1)) * (F.max("c") - F.lit(1)), F.lit(0)
+        )
         .cast("long")
         .alias("dof"),
         F.round(F.sum(term), 6).alias("chi2"),
@@ -924,10 +930,15 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_customers"),
         F.sum("x").alias("sx"),
     )
+    # the filter makes the empty-input shapes agree: Spark's global agg
+    # over zero replicate means still yields one all-NULL row, while the
+    # oracle's dist is a plain projection (0 rows) — an empty corpus has
+    # no bootstrap distribution, so emit nothing (r8 empty-facts
+    # differential)
     dist = means.agg(
         F.round(F.percentile("m", 0.025), 2).alias("ci_lo"),
         F.round(F.percentile("m", 0.975), 2).alias("ci_hi"),
-    )
+    ).filter(F.col("ci_lo").isNotNull())
     return point.join(F.broadcast(dist)).select(
         "n_customers",
         F.lit(_BOOT_B).cast("long").alias("b_reps"),
@@ -1030,10 +1041,15 @@ def bootstrap_ci_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_customers"),
         F.sum("x").alias("sx"),
     )
+    # the filter makes the empty-input shapes agree: Spark's global agg
+    # over zero replicate means still yields one all-NULL row, while the
+    # oracle's dist is a plain projection (0 rows) — an empty corpus has
+    # no bootstrap distribution, so emit nothing (r8 empty-facts
+    # differential)
     dist = means.agg(
         F.round(F.percentile("m", 0.025), 2).alias("ci_lo"),
         F.round(F.percentile("m", 0.975), 2).alias("ci_hi"),
-    )
+    ).filter(F.col("ci_lo").isNotNull())
     return point.join(F.broadcast(dist)).select(
         "n_customers",
         F.lit(_BOOT_B).cast("long").alias("b_reps"),

@@ -24,9 +24,9 @@ from core_telecoms_etl_spark.sources.readers import load_table, load_tables
               FROM (
                 SELECT unnest(['o_orderkey', 'o_custkey', 'o_totalprice']) AS col,
                        unnest([
-                         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                         CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                         CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                         CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
                        ]) AS v
                 FROM orders)
               UNION ALL
@@ -69,7 +69,11 @@ def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     nn_counts = orders.agg(
         *[
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            # coalesce: empty batch = 0 violations, checks PASS (r8
+            # empty-facts differential); oracle mirrors
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(c)
             for c in nn_cols
@@ -109,8 +113,13 @@ def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    av_viol = F.sum(
-        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+    av_viol = F.coalesce(
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(
+                0
+            )
+        ),
+        F.lit(0),
     ).cast("long")
     accepted = orders.agg(
         F.lit("accepted_values").alias("check_type"),

@@ -666,13 +666,20 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_agg",
     oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                      round(sum(o_totalprice), 2) AS revenue
-              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              HAVING count(*) > 0""",
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — CUBE aggregation: all 4 grouping-set combinations (the
     superset of ROLLUP's 3 and of any 2-column GROUPING SETS) in one pass
     — Spark's Expand feeds a single shuffle, not 4 scans. The same Expand
-    mechanism implements .rollup()/.groupingSets()."""
+    mechanism implements .rollup()/.groupingSets().
+
+    Engine note: over EMPTY input the SQL standard (and DuckDB) emits
+    the () grand-total row with count 0; Spark's cube emits nothing.
+    The oracle's mirrored HAVING count(*) > 0 pins the shared
+    semantics (a no-op on any non-empty input — every real group has
+    count ≥ 1); r8 empty-facts differential."""
     return (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -693,7 +700,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS BIGINT) AS sum_qty
               FROM lineitem
               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                      (l_linestatus), ())""",
+                                      (l_linestatus), ())
+              HAVING count(*) > 0""",
 )
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6b — explicit GROUPING SETS with an ASYMMETRIC set list:
@@ -1439,11 +1447,11 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
                        max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS b
                 FROM orders GROUP BY o_custkey)
-              SELECT CAST(sum(a) AS BIGINT) AS n_a_exact,
-                     CAST(sum(b) AS BIGINT) AS n_b_exact,
-                     CAST(sum(CASE WHEN a = 1 OR  b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union_exact,
-                     CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect_exact,
-                     CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_exact,
+              SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS n_a_exact,
+                     CAST(coalesce(sum(b), 0) AS BIGINT) AS n_b_exact,
+                     CAST(coalesce(sum(CASE WHEN a = 1 OR  b = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_union_exact,
+                     CAST(coalesce(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_intersect_exact,
+                     CAST(coalesce(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_diff_exact,
                      CAST(1 AS BIGINT) AS a_ok,
                      CAST(1 AS BIGINT) AS b_ok,
                      CAST(1 AS BIGINT) AS union_ok,
@@ -1505,24 +1513,31 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
         ).alias("b"),
     )
+    # coalesce: empty input = empty sets, estimates 0, flags 1 (r8
+    # empty-facts differential); oracle mirrors
     ex = per.agg(
-        F.sum("a").alias("n_a_exact"),
-        F.sum("b").alias("n_b_exact"),
-        F.sum(
+        F.coalesce(F.sum("a"), F.lit(0)).alias("n_a_exact"),
+        F.coalesce(F.sum("b"), F.lit(0)).alias("n_b_exact"),
+        F.coalesce(F.sum(
             F.when((F.col("a") == 1) | (F.col("b") == 1), 1).otherwise(0)
-        ).alias("n_union_exact"),
-        F.sum(
+        ), F.lit(0)).alias("n_union_exact"),
+        F.coalesce(F.sum(
             F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
-        ).alias("n_intersect_exact"),
-        F.sum(
+        ), F.lit(0)).alias("n_intersect_exact"),
+        F.coalesce(F.sum(
             F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
-        ).alias("n_diff_exact"),
+        ), F.lit(0)).alias("n_diff_exact"),
     )
 
     def ok(est: str, exact: str) -> F.Column:
+        est_c = F.coalesce(F.col(est), F.lit(0.0))
         return (
-            (F.abs(F.col(est) - F.col(exact)) / F.col(exact)) <= 0.05
-        ).cast("long")
+            F.when(F.col(exact) == 0, (est_c == 0.0).cast("long"))
+            .otherwise(
+                ((F.abs(est_c - F.col(exact)) / F.col(exact)) <= 0.05)
+                .cast("long")
+            )
+        )
 
     return sk.crossJoin(ex).select(
         "n_a_exact",
@@ -1534,8 +1549,17 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("__eb", "n_b_exact").alias("b_ok"),
         ok("__eu", "n_union_exact").alias("union_ok"),
         ok("__ei", "n_intersect_exact").alias("intersect_ok"),
-        (
-            (F.abs(F.col("__ed") - F.col("n_diff_exact")) / F.col("n_a_exact"))
+        F.when(
+            F.col("n_a_exact") == 0,
+            (F.coalesce(F.col("__ed"), F.lit(0.0)) == 0.0),
+        ).otherwise(
+            (
+                F.abs(
+                    F.coalesce(F.col("__ed"), F.lit(0.0))
+                    - F.col("n_diff_exact")
+                )
+                / F.col("n_a_exact")
+            )
             <= 0.05
         )
         .cast("long")

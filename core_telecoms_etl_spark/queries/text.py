@@ -253,8 +253,15 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(hit.agg(F.count("*").alias("__n_found")))
         .select(
             "n_exact_pairs",
-            (F.col("__n_found") / F.col("n_exact_pairs") >= 0.9)
-            .cast("long")
+            # zero exact pairs => vacuous recall (flag 1, and no
+            # ANSI divide-by-zero on an empty corpus — r8 empty-facts
+            # differential); the oracle's NULL-comparison path agrees
+            F.when(F.col("n_exact_pairs") == 0, F.lit(1))
+            .otherwise(
+                (
+                    F.col("__n_found") / F.col("n_exact_pairs") >= 0.9
+                ).cast("long")
+            )
             .alias("recall_ok"),
         )
     )

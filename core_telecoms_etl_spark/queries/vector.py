@@ -270,8 +270,14 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         F.lit(n_vectors).cast("long").alias("n_vectors"),
         "n_global_pairs",
-        (F.col("__n_covered") / F.col("n_global_pairs") >= 0.8)
-        .cast("long")
+        # zero global pairs => vacuous coverage (flag 1, no ANSI
+        # divide-by-zero on an empty corpus — r8 empty-facts
+        # differential)
+        F.when(F.col("n_global_pairs") == 0, F.lit(1))
+        .otherwise(
+            (F.col("__n_covered") / F.col("n_global_pairs") >= 0.8)
+            .cast("long")
+        )
         .alias("coverage_ok"),
     )
 
