@@ -16,6 +16,8 @@ Scale design (the whole point of these at 100 TB):
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -25,6 +27,27 @@ from core_telecoms_etl_spark.operators.text import (
     shingles_of,
     tokens,
 )
+
+
+def _min_overlap_expr(threshold: float, n_col: str = "n_sh") -> F.Column:
+    """Exact ⌈t·n⌉ as integer arithmetic — the minimal overlap a set of
+    size n must share with a match at similarity/containment threshold t.
+
+    ⌈t·n⌉ computed as F.ceil(double_t * n) is WRONG for ~290 (t, n)
+    combos with n < 2000 and t in 1% steps: the double product rounds
+    above the exact rational (t=0.28, n=25 → 7.000000000000001 → ceil 8,
+    exact 7), shortening the prefix by one and silently dropping
+    qualifying pairs — a losslessness violation. Fix: treat t as the
+    decimal the caller wrote (Fraction(str(t)): 0.28 → 28/100, the
+    shortest-repr round-trip recovers the intended decimal) and compute
+    ⌈num·n/den⌉ = (num·n + den − 1) div den in exact BIGINT arithmetic
+    (num·n < 2^53 for any realistic shingle count).
+    """
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    return F.expr(
+        f"CAST(({num}L * {n_col} + {den - 1}L) DIV {den}L AS BIGINT)"
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -206,7 +229,7 @@ def prefix_filter_pairs(
         .filter(
             F.col("rn")
             <= F.col("n_sh")
-            - F.ceil(F.lit(threshold) * F.col("n_sh"))
+            - _min_overlap_expr(threshold)
             + 1
         )
         .select("doc", "shingle")
@@ -310,7 +333,7 @@ def containment_pairs(
         .filter(
             F.col("rn")
             <= F.col("n_sh")
-            - F.ceil(F.lit(threshold) * F.col("n_sh"))
+            - _min_overlap_expr(threshold)
             + 1
         )
         .select(F.col("doc").alias("doc_src"), "shingle")

@@ -453,6 +453,69 @@ def test_containment_pairs_match_uncapped_pair_pass(spark):
         assert got == brute, f"threshold {t}: {got ^ brute}"
 
 
+def test_min_overlap_expr_is_exact_rational_ceil(spark):
+    """⌈t·n⌉ must be the EXACT rational ceiling for every (t, n): the
+    double-product form (F.ceil(lit(t) * n)) rounds above the exact
+    value for ~290 combos with n < 2000, t in 1% steps (e.g. t=0.28,
+    n=25 → double 7.000000000000001 → ceil 8, exact 7), silently
+    shortening the prefix and dropping qualifying pairs."""
+    import math
+    from fractions import Fraction
+
+    from core_telecoms_etl_spark.operators.dedup import _min_overlap_expr
+
+    # thresholds where the double product provably rounds wrong for
+    # some n < 2000 — recomputed here, not hand-listed
+    bad = []
+    for pct in range(1, 100):
+        t = pct / 100
+        fr = Fraction(str(t))
+        if any(
+            math.ceil(t * n) != math.ceil(fr * n) for n in range(1, 2000)
+        ):
+            bad.append(t)
+    assert 0.28 in bad and len(bad) >= 10
+    check = bad[:4] + [0.28, 0.5, 0.9]
+
+    df = spark.range(1, 2000).selectExpr("id AS n_sh")
+    cols = [_min_overlap_expr(t).alias(f"m_{i}") for i, t in enumerate(check)]
+    for r in df.select("n_sh", *cols).collect():
+        for i, t in enumerate(check):
+            exact = math.ceil(Fraction(str(t)) * r.n_sh)
+            assert r[f"m_{i}"] == exact, (t, r.n_sh, r[f"m_{i}"], exact)
+
+
+def test_containment_prefix_bound_rounding_regression(spark):
+    """The ADVICE r8 geometry: src has 25 shingles, 7 shared with dst,
+    threshold 0.28 → containment exactly 7/25 = 0.28, qualifying. The
+    shared shingles have df=2 so the ascending-df canonical order sorts
+    them LAST in src; the exact prefix (25−7+1 = 19) reaches the first
+    shared shingle, but the old double-rounded bound (ceil → 8, prefix
+    18) covered only the 18 unique shingles and dropped the pair."""
+    import math
+
+    from core_telecoms_etl_spark.operators.dedup import containment_pairs
+
+    assert math.ceil(0.28 * 25) == 8  # the double rounding being guarded
+
+    src = " ".join(f"u{i}" for i in range(18)) + " " + " ".join(
+        f"s{i}" for i in range(7)
+    )
+    dst = " ".join(f"s{i}" for i in range(7)) + " " + " ".join(
+        f"v{i}" for i in range(30)
+    )
+    df = spark.createDataFrame(
+        [(1, src), (2, dst)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_src, r.doc_dst, r.n_common, r.n_src)
+        for r in containment_pairs(
+            df, "doc_id", "text", n=1, threshold=0.28
+        ).collect()
+    }
+    assert got == {(1, 2, 7, 25)}
+
+
 def test_pagerank_star_hub_and_mass(spark):
     """Star graph: the hub must out-rank every leaf; the isolated node
     sits at the teleport floor; total mass settles at the documented

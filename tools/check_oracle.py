@@ -181,7 +181,18 @@ def main() -> int:
     # Spark supports concurrent actions from multiple threads on one
     # session; queries sharing a cache_scoped slot may evict each other
     # mid-flight, which only costs recompute (all plans are
-    # deterministic), never correctness
+    # deterministic), never correctness.
+    # SHARED-VIEW INVARIANT: a handful of queries register temp views
+    # under the bare table names (sql_api, exists_subquery,
+    # scalar_subquery, recursive_hierarchy_walk via
+    # createOrReplaceTempView; catalog.register_views). Running them
+    # concurrently on one session is safe ONLY because every such
+    # registration is the full, unfiltered load_table(sf_dir, t) for
+    # the same sf_dir — re-registration is idempotent, so interleaving
+    # cannot change what any query reads. A future query that registers
+    # a FILTERED or derived frame under a shared table name would race
+    # nondeterministically here: give such views a query-unique name
+    # (e.g. "__myquery_orders") instead.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=max(1, jobs)) as ex:
