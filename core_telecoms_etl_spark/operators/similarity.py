@@ -65,7 +65,31 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    """Exact cosine top-k per query vector.
+    """Exact cosine top-k per query vector — Arrow-batched scorer by
+    DEFAULT since r9: the interpreted HOF fold costs ~270 ns per
+    64-dim pair and the gap vs the Arrow path grows with corpus size
+    (tools/dot_scorer_probe.py: 1.2× at 0.2M pairs, 3.9× at 12.8M,
+    widening — the fold never codegens, so at 100 TB the scoring join
+    would be interpreter-bound). Output is BIT-IDENTICAL to the
+    declarative fold path (`brute_force_topk_fold`, kept as the
+    oracle/verification form; equality pytest in
+    tests/test_similarity.py). Returns (query_id, neighbor_id,
+    cosine, rank)."""
+    return brute_force_topk_arrow(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
+def brute_force_topk_fold(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query vector — declarative HOF-fold form
+    (the oracle path; `brute_force_topk` delegates to the Arrow scorer).
 
     Plan shape: broadcast(queries) × corpus → score → window top-k.
     Returns (query_id, neighbor_id, cosine, rank)."""
@@ -94,6 +118,107 @@ def brute_force_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    batch_topk: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query — Arrow-batched numpy scorer,
+    BIT-IDENTICAL to `brute_force_topk` (equality pytest in
+    tests/test_similarity.py).
+
+    Why this exists: `dot_expr`/`norm2_expr` are `F.aggregate`/`zip_with`
+    higher-order functions, which Spark evaluates on the INTERPRETED
+    expression path (no whole-stage codegen — the r8 SCALING.md #3
+    measurement). In the N×Q scoring join the dot product is the inner
+    loop, so at corpus scale the interpreted fold dominates. This
+    variant runs the scoring in `mapInPandas`: one Arrow batch at a
+    time, numpy columnar math, and a per-batch partial top-k so only
+    (#batches × Q × k) rows ever leave Python — the map-side-combine
+    shape of a distributed top-k.
+
+    Bit-equality discipline (same doubles as the fold, not just close):
+    - float32 → float64 casts are exact (same as the fold's per-element
+      cast);
+    - dot products and squared norms accumulate dim-ascending:
+      acc += C[:, d] * Q[:, d] for d = 0..D-1, the exact operation
+      order of the left-to-right fold, vectorized ACROSS pairs (each
+      pair's sum stays sequential);
+    - cosine = dot / sqrt(q_n2 * c_n2), the `cosine_from_norms` tree.
+
+    The query side is collect()ed to the driver (bounded by definition —
+    same rationale as the fold path's broadcast) and shipped to
+    executors in the task closure."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .collect()
+    )
+    schema = "query_id long, neighbor_id long, cosine double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)  # (Q, D)
+    dim = qm.shape[1]
+    q_n2 = np.zeros(len(q_ids))
+    for d in range(dim):
+        q_n2 += qm[:, d] * qm[:, d]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["__nid"].to_numpy(np.int64)
+            cm = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )  # (n, D)
+            acc = np.zeros((len(n_ids), len(q_ids)))
+            c_n2 = np.zeros(len(n_ids))
+            for d in range(dim):
+                acc += cm[:, d, None] * qm[None, :, d]
+                c_n2 += cm[:, d] * cm[:, d]
+            cos = acc / np.sqrt(c_n2[:, None] * q_n2[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                mask = n_ids != q_ids[j]
+                cand_n, cand_c = n_ids[mask], col[mask]
+                if batch_topk and len(cand_n) > k:
+                    # partial top-k inside the batch: cosine desc,
+                    # neighbor_id asc (lexsort: last key is primary)
+                    sel = np.lexsort((cand_n, -cand_c))[:k]
+                    cand_n, cand_c = cand_n[sel], cand_c[sel]
+                out_q.append(np.full(len(cand_n), q_ids[j]))
+                out_n.append(cand_n)
+                out_c.append(cand_c)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -55,6 +55,32 @@ def test_brute_force_topk_ordering(spark):
     assert order == [1, 2, 3]  # close, orthogonal, opposite
 
 
+def test_brute_force_topk_arrow_bit_identical(spark, sf_dir):
+    """The Arrow-batched scorer must return the EXACT rows of the fold
+    path — same (query_id, neighbor_id, rank) and bit-identical cosine
+    doubles (the bootstrap_ci_partials precedent: the fast path earns
+    default status only by exact equality with the declarative form)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in sim.brute_force_topk_fold(e, q, k=10).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in sim.brute_force_topk_arrow(e, q, k=10).collect()
+    }
+    assert set(fold) == set(arrow)
+    for key, c in fold.items():
+        assert arrow[key] == c, (key, arrow[key], c)  # bit equality
+
+
+def test_brute_force_topk_arrow_empty_queries(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 0)
+    assert sim.brute_force_topk_arrow(e, q, k=5).count() == 0
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 4)
