@@ -71,82 +71,28 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r8 window: head is EXACTLY 50 (pinned DATA-DRIVEN by
-    # ---- tests/test_entry.py::test_r8_window_head — the never-green
-    # ---- set is COMPUTED from CORRECTNESS_r01..r07, no hand list).
-    # ---- Slot policy: (1) queries whose bytes or operators changed
-    # ---- this round; (2) the 43 r7 queries that never saw a driver
-    # ---- window (the whole point of r8, per the r7 verdict) + the
-    # ---- new knn_classify_ivf; (3) the three r3-stale queries;
-    # ---- (4) one r4 query to fill to exactly 50.
-    # -- (1) changed this round: containment de-quadratified;
-    # -- knn_classify_ivf NEW; moments_profile s1/s2 128-bit casts;
-    # -- mann_whitney/ks NULL-safe CDFs; ivf_topk probes-broadcast
-    # -- (vector_topk_ivf + knn ivf); single_partition window key
-    # -- (cusum/kaplan/ewma/log_rank/runs/zipf/hll_sliding)
-    "containment_near_dup",  # never driver-sampled; changed r8
-    "knn_classify_ivf",  # never driver-sampled; changed r8
-    "moments_profile",  # never driver-sampled; changed r8
-    "mann_whitney_u",  # never driver-sampled; changed r8
-    "bootstrap_ci_partials",  # never driver-sampled (NEW r8)
-    "kll_sliding_quantile",  # never driver-sampled (NEW r8)
-    "scalar_subquery",  # green r7; changed r8 (grid-exact avg — the
-    # 8×-differential fix; a changed ORACLE outranks the plan-only
-    # ivf change for the one non-mandatory slot)
-    "cusum_changepoint",  # never driver-sampled; changed r8
-    "kaplan_meier",  # never driver-sampled; changed r8
-    "ewma_control_chart",  # never driver-sampled; changed r8
-    "log_rank_test",  # never driver-sampled; changed r8
-    "runs_test",  # never driver-sampled; changed r8
-    "zipf_profile",  # never driver-sampled; changed r8
-    "hll_sliding_distinct",  # never driver-sampled; changed r8
-    # -- (2) the r7 additions that never saw a driver window,
-    # -- 3-scale-verified locally since r7 (registry order kept)
-    "bloom_prune_semi_join",  # never driver-sampled (NEW r7)
-    "bm25_retrieval",  # never driver-sampled (NEW r7)
-    "winsorize_features",  # never driver-sampled (NEW r7)
-    "attribution_last_touch",  # never driver-sampled (NEW r7)
-    "erasure_cascade",  # never driver-sampled (NEW r7)
-    "stream_sliding",  # never driver-sampled (NEW r7)
-    "prefix_filter_near_dup",  # never driver-sampled (NEW r7)
-    "pagerank_copurchase",  # never driver-sampled (NEW r7)
-    "grouping_sets_agg",  # never driver-sampled (NEW r7)
-    "zorder_locality",  # never driver-sampled (NEW r7)
-    "chi_square_independence",  # never driver-sampled (NEW r7)
-    "entropy_by_group",  # never driver-sampled (NEW r7)
-    "grouped_trend",  # never driver-sampled (NEW r7)
-    "gini_concentration",  # never driver-sampled (NEW r7)
-    "seasonal_naive_forecast",  # never driver-sampled (NEW r7)
-    "triangle_count",  # never driver-sampled (NEW r7)
-    "node_jaccard_similarity",  # never driver-sampled (NEW r7)
-    "keyword_pmi",  # never driver-sampled (NEW r7)
-    "lexical_diversity",  # never driver-sampled (NEW r7)
-    "knn_classify",  # never driver-sampled (NEW r7)
-    "order_price_consistency",  # never driver-sampled (NEW r7)
-    "functional_dependency",  # never driver-sampled (NEW r7)
-    "interarrival_stats",  # never driver-sampled (NEW r7)
-    "bootstrap_ci",  # never driver-sampled (NEW r7)
-    "recursive_hierarchy_walk",  # never driver-sampled (NEW r7)
-    "lift_analysis",  # never driver-sampled (NEW r7)
-    "cohort_ltv_curve",  # never driver-sampled (NEW r7)
-    "duplicate_rate_by_source",  # never driver-sampled (NEW r7)
-    "late_arrival_audit",  # never driver-sampled (NEW r7)
-    "fulfillment_latency",  # never driver-sampled (NEW r7)
-    "span_corruption",  # never driver-sampled (NEW r7)
-    "mutual_information",  # never driver-sampled (NEW r7)
-    "psi_drift",  # never driver-sampled (NEW r7)
-    # -- (3) r3-stale rotation (last green r3)
-    "session_window",  # green r3
-    "star_fact_complaints",  # green r3
-    "token_topk",  # green r3
-    # ---- 50-query window boundary. Tail is ascending last-green,
-    # ---- so the r9 rotation head reads straight off the top.
-    # -- changed r8 but displaced by the two new r8 queries; their
-    # -- changed stats.py operator IS driver-covered in-window via
-    # -- mann_whitney_u (same NULL-safe CDF change)
-    "ks_two_sample",  # green r6; changed r8
-    "vector_topk_ivf",  # green r5; changed r8 (probes-broadcast, values
-    # identical — operator covered in-window by knn_classify_ivf)
+    # ---- r9 window: head is EXACTLY 50, policy (enforced data-driven
+    # ---- by tests/test_entry.py::test_window_head_rotation, which
+    # ---- computes never-green and staleness from CORRECTNESS_r01..rN):
+    # ---- (1) queries whose bytes, operators, or plans changed this
+    # ---- round, and new registrations (never-green);
+    # ---- (2) every query whose last green is at max(round)-4 (they
+    # ---- reach the 5-round staleness bar next round);
+    # ---- (3) fill with the oldest remaining (max(round)-3) queries.
+    # ---- 206+1 queries at 50 slots/round rotate fully in 5 rounds —
+    # ---- the bar is max(round)-5 because ceil(207/50) = 5 (a 4-round
+    # ---- bar is arithmetically unsatisfiable; r8 lesson).
+    # -- (1) changed r9: partition_pruned_rollup NEW (static+DPP
+    # -- plan-locks); containment/prefix-filter exact-rational prefix
+    # -- bound (ADVICE r8 medium); vector_topk_ivf/lsh + knn_classify_ivf
+    # -- exact arms now on the Arrow scorer (bit-identical, plan change)
+    "partition_pruned_rollup",  # NEW r9
+    "containment_near_dup",  # last green r8
+    "prefix_filter_near_dup",  # last green r8
+    "vector_topk_ivf",  # last green r5
+    "vector_topk_lsh",  # last green r5
+    "knn_classify_ivf",  # last green r8
+    # -- (2) the 23 r4-last-green queries (the r8 verdict head list)
     "array_funcs",  # green r4
     "asof_join_forward",  # green r4
     "bigram_surprisal",  # green r4
@@ -170,6 +116,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "unpivot_metrics",  # green r4
     "window_range_frame",  # green r4
     "window_rank_funcs",  # green r4
+    # -- (3) r5 fill (21 of 36 remaining; the other 15 lead the r10 head)
     "approx_count_distinct",  # green r5
     "approx_quantiles",  # green r5
     "asof_join",  # green r5
@@ -191,6 +138,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "near_dedup_layered",  # green r5
     "pii_scrub",  # green r5
     "range_join",  # green r5
+    # ---- 50-query window boundary. Tail is ascending last-green,
+    # ---- so the r10 rotation head reads straight off the top.
     "returned_item_report",  # green r5
     "revenue_topk_shipping",  # green r5
     "salted_skew_join",  # green r5
@@ -206,7 +155,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "training_pipeline",  # green r5
     "vector_quantize",  # green r5
     "vector_topk",  # green r5
-    "vector_topk_lsh",  # green r5
     "ab_test_stats",  # green r6
     "activity_streaks",  # green r6
     "anti_join",  # green r6
@@ -221,6 +169,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "grouped_correlation",  # green r6
     "incremental_rollup",  # green r6
     "iqr_outliers",  # green r6
+    "ks_two_sample",  # green r6
     "large_volume_customers",  # green r6
     "mad_outliers",  # green r6
     "market_share",  # green r6
@@ -301,6 +250,53 @@ _CHECK_ORDER: tuple[str, ...] = (
     "window_rank_extended",  # green r7
     "window_running_sum",  # green r7
     "window_value_funcs",  # green r7
+    "attribution_last_touch",  # green r8
+    "bloom_prune_semi_join",  # green r8
+    "bm25_retrieval",  # green r8
+    "bootstrap_ci",  # green r8
+    "bootstrap_ci_partials",  # green r8
+    "chi_square_independence",  # green r8
+    "cohort_ltv_curve",  # green r8
+    "cusum_changepoint",  # green r8
+    "duplicate_rate_by_source",  # green r8
+    "entropy_by_group",  # green r8
+    "erasure_cascade",  # green r8
+    "ewma_control_chart",  # green r8
+    "fulfillment_latency",  # green r8
+    "functional_dependency",  # green r8
+    "gini_concentration",  # green r8
+    "grouped_trend",  # green r8
+    "grouping_sets_agg",  # green r8
+    "hll_sliding_distinct",  # green r8
+    "interarrival_stats",  # green r8
+    "kaplan_meier",  # green r8
+    "keyword_pmi",  # green r8
+    "kll_sliding_quantile",  # green r8
+    "knn_classify",  # green r8
+    "late_arrival_audit",  # green r8
+    "lexical_diversity",  # green r8
+    "lift_analysis",  # green r8
+    "log_rank_test",  # green r8
+    "mann_whitney_u",  # green r8
+    "moments_profile",  # green r8
+    "mutual_information",  # green r8
+    "node_jaccard_similarity",  # green r8
+    "order_price_consistency",  # green r8
+    "pagerank_copurchase",  # green r8
+    "psi_drift",  # green r8
+    "recursive_hierarchy_walk",  # green r8
+    "runs_test",  # green r8
+    "scalar_subquery",  # green r8
+    "seasonal_naive_forecast",  # green r8
+    "session_window",  # green r8
+    "span_corruption",  # green r8
+    "star_fact_complaints",  # green r8
+    "stream_sliding",  # green r8
+    "token_topk",  # green r8
+    "triangle_count",  # green r8
+    "winsorize_features",  # green r8
+    "zipf_profile",  # green r8
+    "zorder_locality",  # green r8
 )
 
 

@@ -1656,6 +1656,107 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the date-partitioned star layout SURVEY §4.2 promises
+    ("so pruning has something to bite on"): events written
+    `partitionBy(event_date)` (one folder per day — the layout
+    `sources/writers.py::write_parquet` produces in production) plus a
+    tiny date dimension (event_date, dow). Overwritten per call, keyed
+    by sf_dir, so cross-scale sweeps never read a stale layout (the
+    csv_scan idiom)."""
+    import os
+    import re
+    import tempfile
+
+    from core_telecoms_etl_spark.sources.writers import write_parquet
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"ctes_pruned_{tag}")
+    fact_path = os.path.join(base, "events_by_day")
+    dim_path = os.path.join(base, "date_dim")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    write_parquet(
+        ev, fact_path, mode="overwrite", partition_by=["event_date"]
+    )
+    dim = (
+        ev.select("event_date")
+        .distinct()
+        .select(
+            "event_date", F.weekday("event_date").cast("int").alias("dow")
+        )
+    )
+    write_parquet(dim, dim_path, mode="overwrite")
+    return fact_path, dim_path
+
+
+@query(
+    "partition_pruned_rollup",
+    oracle="""WITH f AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+                       event_type, value
+                FROM events
+                WHERE CAST(date_trunc('day', ts) AS DATE)
+                      BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'),
+              d AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                         AS event_date
+                FROM events
+                WHERE isodow(CAST(date_trunc('day', ts) AS DATE)) = 1)
+              SELECT f.event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(count(DISTINCT f.event_date) AS BIGINT) AS n_days,
+                     round(sum(f.value), 2) AS value_sum
+              FROM f JOIN d USING (event_date)
+              GROUP BY 1""",
+)
+def partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.15 — STATIC + DYNAMIC partition pruning on the
+    date-partitioned layout (VERDICT r8 ask #4). The fact is events
+    partitioned by day on disk; the query stacks both pruning forms:
+
+    - static: a literal two-week BETWEEN on the partition column —
+      resolved at planning, the scan lists only 14 of the ~30 day
+      folders (`PartitionFilters` in the plan, no data read outside);
+    - dynamic (DPP): a join to the date dim filtered to Mondays
+      (dow = 0) — the qualifying dates are only known at runtime, so
+      Catalyst injects a `dynamicpruning` subquery that reuses the
+      broadcast of the dim to skip fact partitions before the scan.
+
+    Both are plan-locked in tests/test_plans.py. At 100 TB this is THE
+    difference between scanning 2 days and scanning 7 years: partition
+    pruning is I/O elimination, upstream of every other optimization.
+    The oracle recomputes the same relation from the unpartitioned
+    events table — pruning is a plan property, not a semantics change.
+    Empty-facts safe: reads use explicit schemas (an empty partitioned
+    write leaves no files to infer from)."""
+    fact_path, dim_path = _pruned_layout_paths(spark, sf_dir)
+    fact = spark.read.schema(
+        "event_id long, event_type string, value double, event_date date"
+    ).parquet(fact_path)
+    dim = spark.read.schema("event_date date, dow int").parquet(dim_path)
+    mondays = dim.filter(F.col("dow") == 0).select("event_date")
+    return (
+        fact.filter(
+            F.col("event_date").between(
+                F.lit("2024-01-08").cast("date"),
+                F.lit("2024-01-21").cast("date"),
+            )
+        )
+        .join(mondays, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_date").alias("n_days"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
 @query(
     "triangle_count",
     oracle="""WITH pl AS (

@@ -260,6 +260,25 @@ def test_partitioned_write_gets_partition_pruning(spark, sf_dir, tmp_path):
     assert back.count() == n_o
 
 
+def test_partition_pruned_rollup_static_and_dynamic(spark, sf_dir):
+    """The declared `partition_pruned_rollup` query must carry BOTH
+    pruning forms on its fact scan (VERDICT r8 ask #4): the literal
+    BETWEEN as static PartitionFilters entries, and the Monday-dim join
+    as a dynamicpruning subquery (DPP) — I/O elimination is the first
+    optimization that matters at 100 TB, so its loss must fail loudly."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["partition_pruned_rollup"](spark, sf_dir))
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    fact_pf = next(l for l in pf_lines if "event_date" in l)
+    # static: both literal range bounds resolved at planning time
+    assert "2024-01-08" in fact_pf and "2024-01-21" in fact_pf, fact_pf
+    # dynamic: the dim-join prune runs as a planning-injected subquery
+    assert "dynamicpruning" in fact_pf, fact_pf
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_tpch_report_shapes_no_cartesian_topk_pushed(spark, sf_dir):
     """The Q3/Q5/Q10 report shapes: dims broadcast, selective predicates
     pushed into the parquet scans, ORDER+LIMIT as TakeOrderedAndProject
