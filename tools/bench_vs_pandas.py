@@ -382,6 +382,197 @@ def main() -> None:
         )
     )
 
+    # -- r9: kNN-classify readout vs the natural single-process
+    # formulation (numpy BLAS matmul cosine + majority vote — the best
+    # honest one-core exact kNN; the Spark side is the Arrow-batched
+    # distributed scorer + the same vote). Predictions asserted EQUAL.
+    import numpy as np
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+
+    def pandas_knn(pdf: pd.DataFrame) -> dict:
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        lab = pdf["label"].to_numpy()
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        qm = ids % 20 == 0
+        Q, C = M[qm], M[~qm]
+        qid, nid, nlab = ids[qm], ids[~qm], lab[~qm]
+        cos = Q @ C.T
+        preds = {}
+        for j in range(len(qid)):
+            sel = np.lexsort((nid, -cos[j]))[:10]
+            votes: dict = {}
+            for l in nlab[sel]:
+                votes[l] = votes.get(l, 0) + 1
+            preds[int(qid[j])] = min(
+                votes, key=lambda l: (-votes[l], l)
+            )
+        return preds
+
+    from core_telecoms_etl_spark.operators import similarity as sim
+    from core_telecoms_etl_spark.queries.vector import _majority_vote
+
+    knn_results = {}
+    for mult in (1, 8):
+        pdf = pd.read_parquet(emb_path)
+        if mult > 1:
+            parts = [pdf]
+            for i in range(1, mult):
+                p = pdf.copy()
+                p["vec_id"] += i * 10_000_000
+                parts.append(p)
+            pdf = pd.concat(parts, ignore_index=True)
+        t0 = time.time()
+        expect = pandas_knn(pdf)
+        pandas_sec = round(time.time() - t0, 2)
+
+        df = spark.read.parquet(emb_path)
+        if mult > 1:
+            base = df
+            for i in range(1, mult):
+                df = df.unionByName(
+                    base.withColumn(
+                        "vec_id", F.col("vec_id") + i * 10_000_000
+                    )
+                )
+        q = df.filter(F.col("vec_id") % 20 == 0)
+        c = df.filter(F.col("vec_id") % 20 != 0)
+        labels = df.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlab"),
+        )
+        plan = _majority_vote(sim.brute_force_topk(c, q, k=10), labels)
+        plan.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        got = {int(r.query_id): int(r.pred) for r in plan.collect()}
+        spark_sec = round(time.time() - t0, 2)
+        assert got == expect, (
+            len(got),
+            len(expect),
+            {k: (got.get(k), expect.get(k)) for k in list(expect)[:3]},
+        )
+        knn_results[f"{mult}x"] = {
+            "n_queries": len(expect),
+            "pandas_sec": pandas_sec,
+            "spark_sec": spark_sec,
+            "speedup": round(pandas_sec / max(spark_sec, 0.01), 2),
+        }
+    print(
+        json.dumps(
+            {"metric": "knn_readout_vs_pandas", "results": knn_results}
+        )
+    )
+
+    # -- r9: sliding-window p50 vs the natural pandas formulation
+    # (per-day trailing-7d EXACT quantile — each window re-sorts its raw
+    # values; the Spark side merges the per-day KLL sketches over a
+    # RANGE window, never touching fact rows twice). The engine's
+    # estimate is asserted inside the exact ±0.04 rank band the
+    # declared query flags, and the 7-day event totals asserted EQUAL.
+    def pandas_sliding_p50(pdf: pd.DataFrame) -> dict:
+        pdf = pdf.assign(day=pdf["ts"].dt.normalize())
+        days = sorted(pdf["day"].unique())
+        by_day = {d: g["value"].to_numpy() for d, g in pdf.groupby("day")}
+        out = {}
+        for d in days:
+            vals = np.concatenate(
+                [
+                    by_day[d2]
+                    for d2 in days
+                    if 0 <= (d - d2).days <= 6
+                ]
+            )
+            vals.sort()
+            # same linear interpolation as Spark's percentile()
+            lo = np.percentile(vals, 46)
+            hi = np.percentile(vals, 54)
+            out[pd.Timestamp(d).date()] = (len(vals), lo, hi)
+        return out
+
+    from core_telecoms_etl_spark.operators import sketches as sk
+
+    kll_results = {}
+    for mult in (1, 8):
+        pdf = pd.read_parquet(ev_path)
+        if mult > 1:
+            parts = [pdf]
+            for i in range(1, mult):
+                p = pdf.copy()
+                p["event_id"] += i * 10_000_000
+                parts.append(p)
+            pdf = pd.concat(parts, ignore_index=True)
+        t0 = time.time()
+        expect_b = pandas_sliding_p50(pdf)
+        pandas_sec = round(time.time() - t0, 2)
+
+        df = spark.read.parquet(ev_path)
+        if mult > 1:
+            base = df
+            for i in range(1, mult):
+                df = df.unionByName(
+                    base.withColumn(
+                        "event_id", F.col("event_id") + i * 10_000_000
+                    )
+                )
+        from pyspark.sql import Window
+
+        from core_telecoms_etl_spark.operators import packing as xp
+
+        daily = (
+            df.withColumn("day", F.col("ts").cast("date"))
+            .groupBy("day")
+            .agg(
+                F.expr("kll_sketch_agg_double(value)").alias("sk"),
+                F.count("*").alias("n"),
+            )
+            .withColumn(
+                "dn",
+                F.datediff(
+                    F.col("day"), F.lit("1970-01-01").cast("date")
+                ).cast("long"),
+            )
+        )
+        w = (
+            Window.partitionBy(xp.single_partition("dn"))
+            .orderBy("dn")
+            .rangeBetween(-6, 0)
+        )
+        plan = daily.select(
+            "day",
+            F.sum("n").over(w).cast("long").alias("n7"),
+            F.expr("kll_merge_agg_double(sk)").over(w).alias("__m"),
+        ).select(
+            "day",
+            "n7",
+            F.expr("kll_sketch_get_quantile_double(__m, 0.5)").alias(
+                "p50_est"
+            ),
+        )
+        plan.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        got = {r.day: (r.n7, r.p50_est) for r in plan.collect()}
+        spark_sec = round(time.time() - t0, 2)
+        assert set(got) == set(expect_b)
+        for d, (n7, est) in got.items():
+            n_x, lo, hi = expect_b[d]
+            assert n7 == n_x, (d, n7, n_x)
+            assert lo <= est <= hi, (d, est, lo, hi)
+        kll_results[f"{mult}x"] = {
+            "n_windows": len(got),
+            "pandas_sec": pandas_sec,
+            "spark_sec": spark_sec,
+            "speedup": round(pandas_sec / max(spark_sec, 0.01), 2),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "sliding_p50_vs_pandas",
+                "results": kll_results,
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
