@@ -45,6 +45,18 @@ def _min_overlap_expr(threshold: float, n_col: str = "n_sh") -> F.Column:
     """
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
+    # Overflow guard (ADVICE r9): a threshold that is not a short decimal
+    # (e.g. 1/3 → den = 10^16) would push num·n past 2^63 for shingle
+    # counts in the low thousands, and non-ANSI Spark WRAPS the BIGINT
+    # product silently — a wrong (possibly negative) prefix bound instead
+    # of an error. den ≤ 10^4 keeps num·n exact for n up to ~9·10^14
+    # (num < den), far beyond any per-document shingle count.
+    if den > 10_000:
+        raise ValueError(
+            f"threshold {threshold!r} is not a short decimal "
+            f"(denominator {den} > 10000); pass a 1-4 decimal threshold "
+            "so the exact-BIGINT prefix bound cannot overflow"
+        )
     return F.expr(
         f"CAST(({num}L * {n_col} + {den - 1}L) DIV {den}L AS BIGINT)"
     )

@@ -74,7 +74,16 @@ def brute_force_topk(
     declarative fold path (`brute_force_topk_fold`, kept as the
     oracle/verification form; equality pytest in
     tests/test_similarity.py). Returns (query_id, neighbor_id,
-    cosine, rank)."""
+    cosine, rank).
+
+    EAGER-COLLECT CONTRACT (since r9, documented per ADVICE r9):
+    constructing this plan runs a Spark job — the query side is
+    collect()ed to the driver at CALL time (bounded by definition:
+    queries are the small relation in any ANN readout; the same bound
+    as the broadcast the fold path ships). Callers that must stay
+    fully lazy (plan inventories, deferred pipelines) should use
+    `brute_force_topk_fold`, which builds the identical result
+    declaratively without executing anything."""
     return brute_force_topk_arrow(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=k
     )
@@ -157,7 +166,19 @@ def brute_force_topk_arrow(
 
     The query side is collect()ed to the driver (bounded by definition —
     same rationale as the fold path's broadcast) and shipped to
-    executors in the task closure."""
+    executors in the task closure.
+
+    Zero-norm contract (ADVICE r9): a zero-norm vector makes the
+    cosine denominator 0 — under ANSI mode (the session default) the
+    fold path raises DIVIDE_BY_ZERO, so this path raises ValueError on
+    any zero-norm query or corpus vector for the same loud failure
+    (filter them upstream). NaN-COMPONENT vectors are fine in both
+    paths: the cosine is NaN and sorts FIRST under DESC (Spark's
+    NaN-greatest order, mirrored by the per-batch partial top-k).
+    NaN doubles cannot cross the pandas→Arrow boundary directly (the
+    worker conversion reads float NaN as SQL NULL, which sorts LAST
+    under DESC — the opposite end), so NaN cosines travel as an
+    explicit flag and are reconstructed as true NaN JVM-side."""
     import numpy as np
     import pandas as pd
 
@@ -166,15 +187,22 @@ def brute_force_topk_arrow(
         .orderBy(id_col)
         .collect()
     )
-    schema = "query_id long, neighbor_id long, cosine double"
     if not q_rows:
-        return corpus.sparkSession.createDataFrame([], schema)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)  # (Q, D)
     dim = qm.shape[1]
     q_n2 = np.zeros(len(q_ids))
     for d in range(dim):
         q_n2 += qm[:, d] * qm[:, d]
+    if np.any(q_n2 == 0.0):
+        raise ValueError(
+            "zero-norm query vector(s): "
+            f"{q_ids[q_n2 == 0.0][:5].tolist()} — cosine is undefined "
+            "(ANSI fold path raises DIVIDE_BY_ZERO); filter them upstream"
+        )
 
     def score(batches):
         for pdf in batches:
@@ -189,6 +217,13 @@ def brute_force_topk_arrow(
             for d in range(dim):
                 acc += cm[:, d, None] * qm[None, :, d]
                 c_n2 += cm[:, d] * cm[:, d]
+            if np.any(c_n2 == 0.0):
+                raise ValueError(
+                    "zero-norm corpus vector(s): "
+                    f"{n_ids[c_n2 == 0.0][:5].tolist()} — cosine is "
+                    "undefined (ANSI fold path raises DIVIDE_BY_ZERO); "
+                    "filter them upstream"
+                )
             cos = acc / np.sqrt(c_n2[:, None] * q_n2[None, :])
             out_q, out_n, out_c = [], [], []
             for j in range(len(q_ids)):
@@ -197,28 +232,240 @@ def brute_force_topk_arrow(
                 cand_n, cand_c = n_ids[mask], col[mask]
                 if batch_topk and len(cand_n) > k:
                     # partial top-k inside the batch: cosine desc,
-                    # neighbor_id asc (lexsort: last key is primary)
-                    sel = np.lexsort((cand_n, -cand_c))[:k]
+                    # neighbor_id asc (lexsort: last key is primary).
+                    # NaN cosines (NaN-component vectors) sort FIRST,
+                    # matching Spark's NaN-greatest-under-DESC window
+                    # order — a bare -cand_c key would sort them last
+                    # and silently drop them from the partial top-k,
+                    # making results diverge from the fold path and
+                    # depend on batch partitioning (ADVICE r9).
+                    nan = np.isnan(cand_c)
+                    sel = np.lexsort(
+                        (cand_n, np.where(nan, 0.0, -cand_c), ~nan)
+                    )[:k]
                     cand_n, cand_c = cand_n[sel], cand_c[sel]
                 out_q.append(np.full(len(cand_n), q_ids[j]))
                 out_n.append(cand_n)
                 out_c.append(cand_c)
+            all_c = np.concatenate(out_c)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
-                    "cosine": np.concatenate(out_c),
+                    "__cos": np.where(np.isnan(all_c), 0.0, all_c),
+                    "__isnan": np.isnan(all_c),
                 }
             )
 
     partial = corpus.select(
         F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(score, schema)
+    ).mapInPandas(
+        score, "query_id long, neighbor_id long, __cos double, __isnan boolean"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        # reconstruct true NaN (docstring: Arrow reads pandas NaN as NULL)
+        F.when(F.col("__isnan"), F.lit(float("nan")))
+        .otherwise(F.col("__cos"))
+        .alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
         partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk_arrow_rounded6(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k under the ROUNDED-fold cosine discipline
+    (queries/vector.py: cosine = round(dot,6) / sqrt(round(n²q,6) ·
+    round(n²c,6))) — Arrow-batched scorer, BIT-IDENTICAL to the
+    inline `_rounded_cosine_from_norms` fold form (equality pytest in
+    tests/test_similarity.py). This closes the last interpreted Q·N
+    fold path (VERDICT r9 ask #2: knn_classify's exact arm scored
+    ~19M pairs through the interpreted HOF fold at sf0.1, past the
+    12.8M-pair point where tools/dot_scorer_probe.py measured the
+    fold 3.9× slower than Arrow and widening).
+
+    Bit-equality discipline — the one new wrinkle vs
+    `brute_force_topk_arrow` is the 6-decimal ROUNDING, whose
+    half-point semantics differ between numpy (rint: half-even on a
+    scaled double) and Spark (BigDecimal HALF_UP on the shortest
+    decimal repr). The design keeps every rounding on the JVM so the
+    question never arises:
+    - squared norms: computed by SPARK (`F.round(norm2, 6)`) as
+      once-per-row projections and fed INTO the scorer (corpus side as
+      an input column, query side through the collected rows) — the
+      Python stage only consumes the already-rounded doubles;
+    - dot products: Python emits the RAW dim-ascending dot (the
+      proven bit-identical accumulation of `brute_force_topk_arrow`);
+      `F.round(dot, 6)` and the final divide run JVM-side on the
+      emitted doubles, so the cosine is literally the same Spark
+      expression tree on bit-identical inputs;
+    - per-batch partial top-k: selection inside Python uses an
+      approximate rounded cosine (floor(|dot|·1e6 + ½) sign-folded),
+      which can disagree with Spark's rounding by at most one 1e-6
+      grid step. The keep rule is interval-sound: each finite row's
+      true Spark cosine lies in [cᵢ−ε, cᵢ+ε] with ε = 1e-6/denomᵢ;
+      let T = the kth-largest lower edge across the batch — a row is
+      dropped only if its UPPER edge is below T, i.e. only when ≥ k
+      rows provably beat it under Spark's exact order. NaN cosines
+      (NaN-component vectors) get (lo, hi) = (−inf, +inf): they are
+      always kept and never falsely justify dropping others; the
+      final JVM window applies the exact order
+      (NaN-greatest-under-DESC).
+
+    EAGER-COLLECT CONTRACT: same as `brute_force_topk` — the query
+    side is collect()ed at call time.
+
+    Zero-norm contract: raises ValueError on any zero-norm query or
+    corpus vector (same loud failure as the ANSI fold path's
+    DIVIDE_BY_ZERO — the JVM-side divide here would raise it anyway,
+    but only after the scoring work; the guard fails at the source).
+
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        queries.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(norm2_expr(vec_col), 6).alias("__qn2r"),
+        )
+        .orderBy(id_col)
+        .collect()
+    )
+    out_schema = "query_id long, neighbor_id long, cosine double, rank long"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)  # (Q, D)
+    q_n2r = np.array([r[2] for r in q_rows], dtype=np.float64)
+    dim = qm.shape[1]
+    if np.any(q_n2r == 0.0):
+        raise ValueError(
+            "zero-norm query vector(s): "
+            f"{q_ids[q_n2r == 0.0][:5].tolist()} — cosine is undefined "
+            "(ANSI divide raises); filter them upstream"
+        )
+
+    def round6_approx(x: "np.ndarray") -> "np.ndarray":
+        # sign-folded HALF_UP at 6dp on the scaled double — agrees with
+        # Spark's BigDecimal HALF_UP except within ~1 ulp of a grid
+        # half-point; selection slack below absorbs that window.
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["__nid"].to_numpy(np.int64)
+            c_n2r = pdf["__cn2r"].to_numpy(np.float64)
+            if np.any(c_n2r == 0.0):
+                raise ValueError(
+                    "zero-norm corpus vector(s): "
+                    f"{n_ids[c_n2r == 0.0][:5].tolist()} — cosine is "
+                    "undefined (ANSI divide raises); filter them upstream"
+                )
+            cm = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )  # (n, D)
+            acc = np.zeros((len(n_ids), len(q_ids)))
+            for d in range(dim):
+                acc += cm[:, d, None] * qm[None, :, d]
+            denom = np.sqrt(c_n2r[:, None] * q_n2r[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_a = round6_approx(acc) / denom
+            out_q, out_n, out_dot, out_cn2, out_qn2 = [], [], [], [], []
+            for j in range(len(q_ids)):
+                mask = n_ids != q_ids[j]
+                cand_n = n_ids[mask]
+                cand_c = cos_a[mask, j]
+                cand_dot = acc[mask, j]
+                cand_cn2 = c_n2r[mask]
+                cand_den = denom[mask, j]
+                if len(cand_n) > k:
+                    # interval-sound partial top-k (docstring): the
+                    # true Spark cosine of finite rows lies within
+                    # ε = 1e-6/denom of the approx; drop a row only
+                    # when ≥ k rows' LOWER edges beat its UPPER edge.
+                    # ε is one grid step (the max approx-vs-Spark
+                    # rounding disagreement) padded 1e-7 relative for
+                    # ulp-level representation slack
+                    finite = np.isfinite(cand_c)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        eps = 1.0000001e-6 / cand_den
+                    lo = np.where(finite, cand_c - eps, -np.inf)
+                    hi = np.where(finite, cand_c + eps, np.inf)
+                    thr = np.partition(lo, len(lo) - k)[len(lo) - k]
+                    keep_mask = hi >= thr
+                    cand_n = cand_n[keep_mask]
+                    cand_dot = cand_dot[keep_mask]
+                    cand_cn2 = cand_cn2[keep_mask]
+                out_q.append(np.full(len(cand_n), q_ids[j]))
+                out_n.append(cand_n)
+                out_dot.append(cand_dot)
+                out_cn2.append(cand_cn2)
+                out_qn2.append(np.full(len(cand_n), q_n2r[j]))
+            dot = np.concatenate(out_dot)
+            # a NaN dot (NaN-component vector on either side) would be
+            # read back as SQL NULL at the Arrow boundary; flag it and
+            # reconstruct true NaN JVM-side (same convention as
+            # brute_force_topk_arrow)
+            dot_nan = np.isnan(dot)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "__dot": np.where(dot_nan, 0.0, dot),
+                    "__isnan": dot_nan,
+                    # NaN norms only co-occur with NaN dots (a NaN
+                    # component poisons both); placeholder 1.0 keeps
+                    # the never-taken otherwise-branch division safe
+                    "__cn2r": np.where(
+                        np.isnan(cn2 := np.concatenate(out_cn2)), 1.0, cn2
+                    ),
+                    "__qn2r": np.where(
+                        np.isnan(qn2 := np.concatenate(out_qn2)), 1.0, qn2
+                    ),
+                }
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__vec"),
+        F.round(norm2_expr(vec_col), 6).alias("__cn2r"),
+    ).mapInPandas(
+        score,
+        "query_id long, neighbor_id long, __dot double, __isnan boolean, "
+        "__cn2r double, __qn2r double",
+    )
+    scored = partial.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("__isnan"), F.lit(float("nan")))
+        .otherwise(
+            F.round(F.col("__dot"), 6)
+            / F.sqrt(F.col("__qn2r") * F.col("__cn2r"))
+        )
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -71,7 +71,7 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r9 window: head is EXACTLY 50, policy (enforced data-driven
+    # ---- r10 window: head is EXACTLY 50, policy (enforced data-driven
     # ---- by tests/test_entry.py::test_window_head_rotation, which
     # ---- computes never-green and staleness from CORRECTNESS_r01..rN):
     # ---- (1) queries whose bytes, operators, or plans changed this
@@ -79,67 +79,27 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- (2) every query whose last green is at max(round)-4 (they
     # ---- reach the 5-round staleness bar next round);
     # ---- (3) fill with the oldest remaining (max(round)-3) queries.
-    # ---- 206+1 queries at 50 slots/round rotate fully in 5 rounds —
+    # ---- 207 queries at 50 slots/round rotate fully in 5 rounds —
     # ---- the bar is max(round)-5 because ceil(207/50) = 5 (a 4-round
     # ---- bar is arithmetically unsatisfiable; r8 lesson).
-    # -- (1) changed r9: partition_pruned_rollup NEW (static+DPP
-    # -- plan-locks); containment/prefix-filter exact-rational prefix
-    # -- bound (ADVICE r8 medium); vector_topk_ivf/lsh + knn_classify_ivf
-    # -- exact arms now on the Arrow scorer (bit-identical, plan change)
-    "partition_pruned_rollup",  # NEW r9
-    "containment_near_dup",  # last green r8
-    "prefix_filter_near_dup",  # last green r8
-    "vector_topk_ivf",  # last green r5
-    "vector_topk_lsh",  # last green r5
-    "knn_classify_ivf",  # last green r8
-    # -- (2) the 23 r4-last-green queries (the r8 verdict head list)
-    "array_funcs",  # green r4
-    "asof_join_forward",  # green r4
-    "bigram_surprisal",  # green r4
-    "date_funcs",  # green r4
-    "dq_suite",  # green r4
-    "fuzzy_linkage",  # green r4
-    "grouped_map_zscore",  # green r4
-    "heavy_hitters",  # green r4
-    "json_funcs",  # green r4
-    "math_funcs",  # green r4
-    "null_handling",  # green r4
-    "null_safe_join",  # green r4
-    "pandas_udf_scalar",  # green r4
-    "profile_table",  # green r4
-    "salted_groupby",  # green r4
-    "scalar_subquery_filter",  # green r4
-    "session_paths",  # green r4
-    "set_ops",  # green r4
-    "string_funcs",  # green r4
-    "text_repetition",  # green r4
-    "unpivot_metrics",  # green r4
-    "window_range_frame",  # green r4
-    "window_rank_funcs",  # green r4
-    # -- (3) r5 fill (21 of 36 remaining; the other 15 lead the r10 head)
-    "approx_count_distinct",  # green r5
-    "approx_quantiles",  # green r5
-    "asof_join",  # green r5
-    "contamination",  # green r5
-    "corpus_incremental_dedup",  # green r5
-    "cosine_pairs",  # green r5
-    "dedup_clusters",  # green r5
-    "deterministic_shuffle",  # green r5
-    "domain_cap",  # green r5
-    "domain_mixture",  # green r5
-    "embedding_norms",  # green r5
-    "exact_k_sample",  # green r5
-    "filter_agg_scalar",  # green r5
-    "gopher_quality",  # green r5
-    "hll_rollup",  # green r5
-    "kll_quantile_rollup",  # green r5
-    "local_supplier_volume",  # green r5
-    "near_dedup",  # green r5
-    "near_dedup_layered",  # green r5
-    "pii_scrub",  # green r5
-    "range_join",  # green r5
-    # ---- 50-query window boundary. Tail is ascending last-green,
-    # ---- so the r10 rotation head reads straight off the top.
+    # -- (1) changed r10: knn_classify exact arm now on the Arrow
+    # -- rounded-variant scorer (brute_force_topk_arrow_rounded6 —
+    # -- VERDICT r9 ask #2); knn_classify_ivf / vector_topk_ivf /
+    # -- vector_topk_lsh exact arms ride brute_force_topk_arrow, whose
+    # -- emit schema changed (NaN-flag reconstruction, ADVICE r9);
+    # -- partition_pruned_rollup layout publish is now write-once +
+    # -- atomic rename (ADVICE r9); containment/prefix-filter gained
+    # -- the _min_overlap_expr BIGINT-overflow guard (ADVICE r9)
+    "knn_classify",  # green r8
+    "knn_classify_ivf",  # green r9
+    "vector_topk_ivf",  # green r9
+    "vector_topk_lsh",  # green r9
+    "partition_pruned_rollup",  # green r9
+    "containment_near_dup",  # green r9
+    "prefix_filter_near_dup",  # green r9
+    # -- (2) the 15 r5-last-green queries (they reach the 5-round
+    # -- staleness bar next round; promised the r10 head by the r9
+    # -- tail comment and VERDICT r9 ask #6)
     "returned_item_report",  # green r5
     "revenue_topk_shipping",  # green r5
     "salted_skew_join",  # green r5
@@ -155,6 +115,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "training_pipeline",  # green r5
     "vector_quantize",  # green r5
     "vector_topk",  # green r5
+    # -- (3) fill: the oldest remaining (r6-last-green) queries
     "ab_test_stats",  # green r6
     "activity_streaks",  # green r6
     "anti_join",  # green r6
@@ -183,6 +144,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "referential_integrity",  # green r6
     "rfm_segments",  # green r6
     "rolling_anomaly",  # green r6
+    # ---- 50-query window boundary. Tail is ascending last-green,
+    # ---- so the r11 rotation head reads straight off the top:
+    # ---- the remaining r6 rows lead, then r7, r8, r9.
     "segment_boilerplate_dedup",  # green r6
     "simhash_signatures",  # green r6
     "stream_cms_heavy_hitters",  # green r6
@@ -272,7 +236,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "kaplan_meier",  # green r8
     "keyword_pmi",  # green r8
     "kll_sliding_quantile",  # green r8
-    "knn_classify",  # green r8
     "late_arrival_audit",  # green r8
     "lexical_diversity",  # green r8
     "lift_analysis",  # green r8
@@ -297,6 +260,50 @@ _CHECK_ORDER: tuple[str, ...] = (
     "winsorize_features",  # green r8
     "zipf_profile",  # green r8
     "zorder_locality",  # green r8
+    "approx_count_distinct",  # green r9
+    "approx_quantiles",  # green r9
+    "array_funcs",  # green r9
+    "asof_join",  # green r9
+    "asof_join_forward",  # green r9
+    "bigram_surprisal",  # green r9
+    "contamination",  # green r9
+    "corpus_incremental_dedup",  # green r9
+    "cosine_pairs",  # green r9
+    "date_funcs",  # green r9
+    "dedup_clusters",  # green r9
+    "deterministic_shuffle",  # green r9
+    "domain_cap",  # green r9
+    "domain_mixture",  # green r9
+    "dq_suite",  # green r9
+    "embedding_norms",  # green r9
+    "exact_k_sample",  # green r9
+    "filter_agg_scalar",  # green r9
+    "fuzzy_linkage",  # green r9
+    "gopher_quality",  # green r9
+    "grouped_map_zscore",  # green r9
+    "heavy_hitters",  # green r9
+    "hll_rollup",  # green r9
+    "json_funcs",  # green r9
+    "kll_quantile_rollup",  # green r9
+    "local_supplier_volume",  # green r9
+    "math_funcs",  # green r9
+    "near_dedup",  # green r9
+    "near_dedup_layered",  # green r9
+    "null_handling",  # green r9
+    "null_safe_join",  # green r9
+    "pandas_udf_scalar",  # green r9
+    "pii_scrub",  # green r9
+    "profile_table",  # green r9
+    "range_join",  # green r9
+    "salted_groupby",  # green r9
+    "scalar_subquery_filter",  # green r9
+    "session_paths",  # green r9
+    "set_ops",  # green r9
+    "string_funcs",  # green r9
+    "text_repetition",  # green r9
+    "unpivot_metrics",  # green r9
+    "window_range_frame",  # green r9
+    "window_rank_funcs",  # green r9
 )
 
 

@@ -1661,11 +1661,16 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ("so pruning has something to bite on"): events written
     `partitionBy(event_date)` (one folder per day — the layout
     `sources/writers.py::write_parquet` produces in production) plus a
-    tiny date dimension (event_date, dow). Overwritten per call, keyed
-    by sf_dir, so cross-scale sweeps never read a stale layout (the
-    csv_scan idiom)."""
+    tiny date dimension (event_date, dow). Write-once per sf_dir: the
+    layout is a pure function of the (static) test data, so a completed
+    layout is reused; a missing one is built in a per-pid staging dir
+    and atomically renamed into place. Two concurrent processes (pytest
+    beside check_oracle — ADVICE r9) therefore never scan a
+    half-written fact: each either reuses the completed layout or
+    completes its own rename, and the rename loser reuses the winner's."""
     import os
     import re
+    import shutil
     import tempfile
 
     from core_telecoms_etl_spark.sources.writers import write_parquet
@@ -1674,6 +1679,9 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = os.path.join(tempfile.gettempdir(), f"ctes_pruned_{tag}")
     fact_path = os.path.join(base, "events_by_day")
     dim_path = os.path.join(base, "date_dim")
+    if os.path.isdir(base):
+        return fact_path, dim_path
+    stage = f"{base}.tmp.{os.getpid()}"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -1681,7 +1689,10 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         F.to_date("ts").alias("event_date"),
     )
     write_parquet(
-        ev, fact_path, mode="overwrite", partition_by=["event_date"]
+        ev,
+        os.path.join(stage, "events_by_day"),
+        mode="overwrite",
+        partition_by=["event_date"],
     )
     dim = (
         ev.select("event_date")
@@ -1690,7 +1701,12 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             "event_date", F.weekday("event_date").cast("int").alias("dow")
         )
     )
-    write_parquet(dim, dim_path, mode="overwrite")
+    write_parquet(dim, os.path.join(stage, "date_dim"), mode="overwrite")
+    try:
+        os.rename(stage, base)  # atomic publish (same tmpfs)
+    except OSError:
+        # another process published first; its layout is complete
+        shutil.rmtree(stage, ignore_errors=True)
     return fact_path, dim_path
 
 

@@ -568,3 +568,19 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         }
     for v in nodes_py:
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+
+def test_min_overlap_expr_rejects_long_decimal_thresholds():
+    """A threshold that is not a short decimal (e.g. float 1/3 →
+    denominator 10^16) would overflow the exact-BIGINT product for
+    shingle counts in the low thousands, and non-ANSI Spark wraps
+    silently — the guard must fail LOUDLY instead (ADVICE r9)."""
+    import pytest as _pytest
+
+    from core_telecoms_etl_spark.operators.dedup import _min_overlap_expr
+
+    with _pytest.raises(ValueError, match="short decimal"):
+        _min_overlap_expr(1 / 3)
+    # 4-decimal thresholds stay accepted
+    _min_overlap_expr(0.1234)
+    _min_overlap_expr(0.5)

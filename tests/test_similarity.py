@@ -323,3 +323,136 @@ def test_knn_classify_ivf_flags_on_separable_clusters(spark, tmp_path):
     )
     votes = {r.query_id: r.pred for r in _majority_vote(topk, labels).collect()}
     assert votes == {0: 0, 20: 0, 40: 0}
+
+
+def test_rounded_arrow_bit_identical(spark, sf_dir):
+    """`brute_force_topk_arrow_rounded6` must return the EXACT rows of
+    the inline rounded-fold form (queries/vector.py discipline:
+    cosine = round(dot,6)/sqrt(round(n2q,6)*round(n2c,6))) — same
+    (query_id, neighbor_id, rank) and bit-identical cosine doubles.
+    This is the pin that lets knn_classify's exact arm run on the
+    Arrow scorer (VERDICT r9 ask #2)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.round(sim.norm2_expr("embedding"), 6).alias("qn2"),
+    )
+    cc = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.round(sim.norm2_expr("embedding"), 6).alias("cn2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    fold = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in (
+            cc.join(
+                F.broadcast(qq), F.col("neighbor_id") != F.col("query_id")
+            )
+            .withColumn(
+                "cosine",
+                F.round(sim.dot_expr("qv", "cv"), 6)
+                / F.sqrt(F.col("qn2") * F.col("cn2")),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .collect()
+        )
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in sim.brute_force_topk_arrow_rounded6(e, q, k=10).collect()
+    }
+    assert set(fold) == set(arrow)
+    for key, c in fold.items():
+        assert arrow[key] == c, (key, arrow[key], c)  # bit equality
+
+
+def test_rounded_arrow_empty_queries(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 0)
+    assert sim.brute_force_topk_arrow_rounded6(e, q, k=5).count() == 0
+
+
+def test_knn_classify_arrow_matches_fold(spark, sf_dir):
+    """End-to-end: the Arrow-scorer knn_classify equals the pre-r10
+    inline-fold form row for row (same query set, labels, hits)."""
+    from core_telecoms_etl_spark.queries.vector import (
+        _knn_classify_fold,
+        knn_classify,
+    )
+
+    new = [tuple(r) for r in knn_classify(spark, sf_dir).collect()]
+    old = [tuple(r) for r in _knn_classify_fold(spark, sf_dir).collect()]
+    assert new == old
+
+
+def test_arrow_topk_nan_cosine_matches_fold(spark):
+    """NaN-component corpus vectors produce NaN cosines, which Spark's
+    window orders FIRST under DESC; the Arrow scorers' per-batch
+    partial top-k must keep them too (ADVICE r9: a bare -cosine sort
+    key dropped them, diverging from the fold path and making results
+    batch-partitioning-dependent)."""
+    import math
+
+    nan = float("nan")
+    rows = [(i, [1.0 + 0.01 * i, 0.5, 0.0]) for i in range(30)]
+    rows.append((98, [nan, 1.0, 0.0]))  # NaN component -> NaN cosine
+    rows.append((99, [nan, 1.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    fold = [
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_topk_fold(df, q, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    arrow = [
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_topk_arrow(df, q, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert arrow == fold
+    assert fold[0][1] == 98 and fold[1][1] == 99  # NaN first, id tiebreak
+    rounded = [
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_topk_arrow_rounded6(df, q, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [t[1] for t in rounded[:2]] == [98, 99]
+    # NaN rows really are NaN in all paths
+    nan_cos = (
+        sim.brute_force_topk_arrow(df, q, k=5)
+        .filter("neighbor_id = 98")
+        .collect()[0]
+        .cosine
+    )
+    assert math.isnan(nan_cos)
+
+
+def test_arrow_topk_zero_norm_raises(spark):
+    """Zero-norm vectors make cosine undefined; the ANSI fold path
+    raises DIVIDE_BY_ZERO, so the Arrow scorers raise the same loud
+    failure (documented contract) instead of silently emitting NaNs."""
+    rows = [(i, [1.0 + 0.01 * i, 0.5, 0.0]) for i in range(20)]
+    rows.append((99, [0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    with pytest.raises(Exception, match="zero-norm"):
+        sim.brute_force_topk_arrow(df, q, k=5).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        sim.brute_force_topk_arrow_rounded6(df, q, k=5).collect()
+    # zero-norm QUERY vectors fail at call time (driver-side collect)
+    qz = df.filter("vec_id = 99")
+    with pytest.raises(ValueError, match="zero-norm query"):
+        sim.brute_force_topk_arrow(df, qz, k=5)
+    with pytest.raises(ValueError, match="zero-norm query"):
+        sim.brute_force_topk_arrow_rounded6(df, qz, k=5)

@@ -305,8 +305,11 @@ def main() -> None:
     seeds = np.arange(N_DOCS, dtype=np.int64)
     dup_mask = rng.random(N_DOCS) < (1 / 600)
     seeds[dup_mask] = seeds[dup_mask] % 50
-    n_words = rng.integers(10, 101, N_DOCS)
-    n_words[dup_mask] = 0  # regenerated below from the seed doc
+    # NOTE: word counts come from each seed's child stream inside
+    # text_of(); the main stream draws NOTHING for documents beyond
+    # seeds/dup_mask/lang. (A dead n_words draw removed in r10 — ADVICE
+    # r9 — shifts the main-RNG stream, so lang/events differ from any
+    # pre-r10 sf1 regeneration byte-for-byte; regenerate, don't mix.)
     # deterministic per-seed text: an rng child stream per seed value
     texts: dict[int, str] = {}
 
