@@ -39,11 +39,18 @@ def connected_components(
     """(node, component) — component = min node id reachable through the
     undirected edge set. Deterministic; raises if not converged within
     max_iter (diameter bound exceeded)."""
+    # materialize the undirected edge set ONCE: without this every
+    # label-propagation iteration re-executes the full upstream edge
+    # derivation (for semantic_dedup that is the cluster-blocked pair
+    # scoring; for dedup_clusters the shingle inverted-index join) —
+    # found live at sf1 (r10): semantic_dedup 883s / dedup_clusters
+    # 831s in-sweep, dominated by ~10 re-derivations of their edge
+    # pipelines, not by the propagation itself
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()

@@ -158,11 +158,23 @@ def brute_force_topk_arrow(
     Bit-equality discipline (same doubles as the fold, not just close):
     - float32 → float64 casts are exact (same as the fold's per-element
       cast);
-    - dot products and squared norms accumulate dim-ascending:
+    - EMITTED dot products and squared norms accumulate dim-ascending:
       acc += C[:, d] * Q[:, d] for d = 0..D-1, the exact operation
       order of the left-to-right fold, vectorized ACROSS pairs (each
       pair's sum stays sequential);
-    - cosine = dot / sqrt(q_n2 * c_n2), the `cosine_from_norms` tree.
+    - cosine = dot / sqrt(q_n2 * c_n2), the `cosine_from_norms` tree;
+    - SELECTION (which rows make the per-batch partial top-k) uses a
+      BLAS matmul instead (r10: the dim-ascending full-matrix loop is
+      memory-traffic-bound — one n×m temporary per dimension — and
+      measured 130 s on 8000² pairs where the matmul takes ~1 s).
+      BLAS reorders the summation, so its cosine differs from the
+      fold's by ≤ dim·2⁻⁵² (Cauchy–Schwarz bounds Σ|cᵢqᵢ| by the norm
+      product, so the relative dot error bound divides out to an
+      ABSOLUTE cosine bound); the interval keep-rule below absorbs it
+      (padded to 1e-12, ~70× slack), and every SURVIVING pair is
+      re-scored with the exact dim-ascending accumulation before
+      emission — over-keeping a borderline row costs a few extra
+      emitted rows, never a wrong result.
 
     The query side is collect()ed to the driver (bounded by definition —
     same rationale as the fold path's broadcast) and shipped to
@@ -204,6 +216,10 @@ def brute_force_topk_arrow(
             "(ANSI fold path raises DIVIDE_BY_ZERO); filter them upstream"
         )
 
+    # absolute cosine-scale bound on BLAS-vs-sequential reordering
+    # error (≤ dim·2⁻⁵² ≈ 1.4e-14 at dim 64; padded ~70×)
+    blas_eps = 1e-12
+
     def score(batches):
         for pdf in batches:
             if not len(pdf):
@@ -212,10 +228,8 @@ def brute_force_topk_arrow(
             cm = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
             )  # (n, D)
-            acc = np.zeros((len(n_ids), len(q_ids)))
             c_n2 = np.zeros(len(n_ids))
             for d in range(dim):
-                acc += cm[:, d, None] * qm[None, :, d]
                 c_n2 += cm[:, d] * cm[:, d]
             if np.any(c_n2 == 0.0):
                 raise ValueError(
@@ -224,29 +238,36 @@ def brute_force_topk_arrow(
                     "undefined (ANSI fold path raises DIVIDE_BY_ZERO); "
                     "filter them upstream"
                 )
-            cos = acc / np.sqrt(c_n2[:, None] * q_n2[None, :])
+            # BLAS scoring for SELECTION only (docstring)
+            cos_b = (cm @ qm.T) / np.sqrt(
+                c_n2[:, None] * q_n2[None, :]
+            )
             out_q, out_n, out_c = [], [], []
+            idx = np.arange(len(n_ids))
             for j in range(len(q_ids)):
-                col = cos[:, j]
                 mask = n_ids != q_ids[j]
-                cand_n, cand_c = n_ids[mask], col[mask]
-                if batch_topk and len(cand_n) > k:
-                    # partial top-k inside the batch: cosine desc,
-                    # neighbor_id asc (lexsort: last key is primary).
-                    # NaN cosines (NaN-component vectors) sort FIRST,
-                    # matching Spark's NaN-greatest-under-DESC window
-                    # order — a bare -cand_c key would sort them last
-                    # and silently drop them from the partial top-k,
-                    # making results diverge from the fold path and
-                    # depend on batch partitioning (ADVICE r9).
-                    nan = np.isnan(cand_c)
-                    sel = np.lexsort(
-                        (cand_n, np.where(nan, 0.0, -cand_c), ~nan)
-                    )[:k]
-                    cand_n, cand_c = cand_n[sel], cand_c[sel]
-                out_q.append(np.full(len(cand_n), q_ids[j]))
-                out_n.append(cand_n)
-                out_c.append(cand_c)
+                cand_i, cand_c = idx[mask], cos_b[mask, j]
+                if batch_topk and len(cand_i) > k:
+                    # interval-sound partial top-k: NaN cosines
+                    # (NaN-component vectors) get (lo, hi) =
+                    # (−inf, +inf) so they are always kept, matching
+                    # Spark's NaN-greatest-under-DESC window order
+                    # (ADVICE r9); finite rows are dropped only when
+                    # ≥ k rows' lower edges provably beat them
+                    finite = np.isfinite(cand_c)
+                    lo = np.where(finite, cand_c - blas_eps, -np.inf)
+                    hi = np.where(finite, cand_c + blas_eps, np.inf)
+                    thr = np.partition(lo, len(lo) - k)[len(lo) - k]
+                    cand_i = cand_i[hi >= thr]
+                # exact dim-ascending rescore of the survivors — the
+                # emitted doubles are the fold's, bit for bit
+                dots = np.zeros(len(cand_i))
+                for d in range(dim):
+                    dots += cm[cand_i, d] * qm[j, d]
+                cexact = dots / np.sqrt(c_n2[cand_i] * q_n2[j])
+                out_q.append(np.full(len(cand_i), q_ids[j]))
+                out_n.append(n_ids[cand_i])
+                out_c.append(cexact)
             all_c = np.concatenate(out_c)
             yield pd.DataFrame(
                 {
@@ -312,14 +333,17 @@ def brute_force_topk_arrow_rounded6(
       `F.round(dot, 6)` and the final divide run JVM-side on the
       emitted doubles, so the cosine is literally the same Spark
       expression tree on bit-identical inputs;
-    - per-batch partial top-k: selection inside Python uses an
-      approximate rounded cosine (floor(|dot|·1e6 + ½) sign-folded),
-      which can disagree with Spark's rounding by at most one 1e-6
-      grid step. The keep rule is interval-sound: each finite row's
-      true Spark cosine lies in [cᵢ−ε, cᵢ+ε] with ε = 1e-6/denomᵢ;
-      let T = the kth-largest lower edge across the batch — a row is
-      dropped only if its UPPER edge is below T, i.e. only when ≥ k
-      rows provably beat it under Spark's exact order. NaN cosines
+    - per-batch partial top-k: selection inside Python scores with a
+      BLAS matmul on the UNROUNDED dot (r10 — the dim-ascending
+      full-matrix loop is memory-traffic-bound; see
+      brute_force_topk_arrow). The keep rule is interval-sound: each
+      finite row's true Spark cosine lies in [cᵢ−ε, cᵢ+ε] with
+      ε = 5.1e-7/denomᵢ + 1e-11 (half a rounding grid step plus the
+      BLAS reordering bound); let T = the kth-largest lower edge
+      across the batch — a row is dropped only if its UPPER edge is
+      below T, i.e. only when ≥ k rows provably beat it under Spark's
+      exact order. Surviving rows' dots are re-computed with the
+      exact dim-ascending accumulation before emission. NaN cosines
       (NaN-component vectors) get (lo, hi) = (−inf, +inf): they are
       always kept and never falsely justify dropping others; the
       final JVM window applies the exact order
@@ -360,11 +384,11 @@ def brute_force_topk_arrow_rounded6(
             "(ANSI divide raises); filter them upstream"
         )
 
-    def round6_approx(x: "np.ndarray") -> "np.ndarray":
-        # sign-folded HALF_UP at 6dp on the scaled double — agrees with
-        # Spark's BigDecimal HALF_UP except within ~1 ulp of a grid
-        # half-point; selection slack below absorbs that window.
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    # selection slack per unit denominator: half a rounding grid step
+    # (the max |round(dot,6) − dot|) padded 2% for ulp slack; the BLAS
+    # reordering error (≤ dim·2⁻⁵² of the norm product — docstring of
+    # brute_force_topk_arrow) is absorbed by a 1e-11 absolute pad
+    dot_eps = 5.1e-7
 
     def score(batches):
         for pdf in batches:
@@ -381,43 +405,38 @@ def brute_force_topk_arrow_rounded6(
             cm = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
             )  # (n, D)
-            acc = np.zeros((len(n_ids), len(q_ids)))
-            for d in range(dim):
-                acc += cm[:, d, None] * qm[None, :, d]
+            # BLAS scoring for SELECTION only; survivors re-scored
+            # with the exact dim-ascending accumulation before emit
             denom = np.sqrt(c_n2r[:, None] * q_n2r[None, :])
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos_a = round6_approx(acc) / denom
+            cos_b = (cm @ qm.T) / denom
             out_q, out_n, out_dot, out_cn2, out_qn2 = [], [], [], [], []
+            idx = np.arange(len(n_ids))
             for j in range(len(q_ids)):
                 mask = n_ids != q_ids[j]
-                cand_n = n_ids[mask]
-                cand_c = cos_a[mask, j]
-                cand_dot = acc[mask, j]
-                cand_cn2 = c_n2r[mask]
-                cand_den = denom[mask, j]
-                if len(cand_n) > k:
+                cand_i = idx[mask]
+                cand_c = cos_b[mask, j]
+                if len(cand_i) > k:
                     # interval-sound partial top-k (docstring): the
                     # true Spark cosine of finite rows lies within
-                    # ε = 1e-6/denom of the approx; drop a row only
-                    # when ≥ k rows' LOWER edges beat its UPPER edge.
-                    # ε is one grid step (the max approx-vs-Spark
-                    # rounding disagreement) padded 1e-7 relative for
-                    # ulp-level representation slack
+                    # ε = dot_eps/denom + 1e-11 of the BLAS cosine;
+                    # drop a row only when ≥ k rows' LOWER edges beat
+                    # its UPPER edge.
                     finite = np.isfinite(cand_c)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        eps = 1.0000001e-6 / cand_den
+                    eps = dot_eps / denom[mask, j] + 1e-11
                     lo = np.where(finite, cand_c - eps, -np.inf)
                     hi = np.where(finite, cand_c + eps, np.inf)
                     thr = np.partition(lo, len(lo) - k)[len(lo) - k]
-                    keep_mask = hi >= thr
-                    cand_n = cand_n[keep_mask]
-                    cand_dot = cand_dot[keep_mask]
-                    cand_cn2 = cand_cn2[keep_mask]
-                out_q.append(np.full(len(cand_n), q_ids[j]))
-                out_n.append(cand_n)
-                out_dot.append(cand_dot)
-                out_cn2.append(cand_cn2)
-                out_qn2.append(np.full(len(cand_n), q_n2r[j]))
+                    cand_i = cand_i[hi >= thr]
+                # exact dim-ascending rescore — the emitted raw dots
+                # are the fold's doubles, bit for bit
+                dots = np.zeros(len(cand_i))
+                for d in range(dim):
+                    dots += cm[cand_i, d] * qm[j, d]
+                out_q.append(np.full(len(cand_i), q_ids[j]))
+                out_n.append(n_ids[cand_i])
+                out_dot.append(dots)
+                out_cn2.append(c_n2r[cand_i])
+                out_qn2.append(np.full(len(cand_i), q_n2r[j]))
             dot = np.concatenate(out_dot)
             # a NaN dot (NaN-component vector on either side) would be
             # read back as SQL NULL at the Arrow boundary; flag it and
@@ -468,6 +487,129 @@ def brute_force_topk_arrow_rounded6(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_arrow_rounded6(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold under the ROUNDED-fold discipline
+    (cos_raw = round(dot,6)/sqrt(round(n²a,6)·round(n²b,6))) — the
+    Arrow-batched form of the exact O(n²) baseline. BIT-IDENTICAL rows
+    to the declarative join form (equality pytest): the same
+    JVM-rounding design as `brute_force_topk_arrow_rounded6` (norms
+    pre-rounded by Spark on both sides, Python emits the raw
+    dim-ascending dot, `F.round` + divide + the threshold filter all
+    run JVM-side), so numpy-vs-BigDecimal rounding semantics never
+    touch the result. The Python stage scores with a BLAS matmul and
+    pre-filters with an interval-sound margin (emit when the BLAS
+    cosine ≥ threshold − half a rounding grid step / denominator −
+    the BLAS reordering bound), a strict superset of the exact
+    filter; survivors are re-scored with the exact dim-ascending
+    accumulation before emission. NaN cosines (NaN-component vectors) are flagged through
+    the Arrow boundary and reconstructed JVM-side — under Spark's
+    NaN-greatest comparison semantics `NaN >= threshold` is TRUE, so
+    NaN pairs are kept, matching the fold form. Zero-norm vectors
+    raise (same contract as the top-k scorers).
+
+    Found live: the r10 sf1 sweep measured the fold form of
+    `cosine_pairs` at 719 s for 8k vectors (32M interpreted folds) —
+    squarely the interpreter-bound regime of the r9 probe.
+
+    Scale bound: one side is collect()ed at call time (EAGER-COLLECT,
+    same bound as the exact baseline's broadcast — all-pairs exact is
+    the declared correctness baseline; LSH/IVF/SemDeDup are the 100 TB
+    paths). Each unordered pair is emitted once (streamed id < collected
+    id). Returns (id_a, id_b, cosine) with cosine rounded at 6dp."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(norm2_expr(vec_col), 6).alias("__n2r"),
+        )
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    am = np.array([r[1] for r in rows], dtype=np.float64)  # (N, D)
+    a_n2r = np.array([r[2] for r in rows], dtype=np.float64)
+    dim = am.shape[1]
+    if np.any(a_n2r == 0.0):
+        raise ValueError(
+            "zero-norm vector(s): "
+            f"{all_ids[a_n2r == 0.0][:5].tolist()} — cosine is undefined "
+            "(ANSI divide raises); filter them upstream"
+        )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf["__bid"].to_numpy(np.int64)
+            b_n2r = pdf["__bn2r"].to_numpy(np.float64)
+            bm = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )  # (n, D)
+            # BLAS scoring for SELECTION only (r10 — the dim-ascending
+            # full-matrix loop is memory-traffic-bound; see
+            # brute_force_topk_arrow); survivors re-scored exactly
+            den = np.sqrt(b_n2r[:, None] * a_n2r[None, :])
+            cos_b = (bm @ am.T) / den
+            # streamed id < collected id: each unordered pair once.
+            # Keep margin: half a rounding grid step over the
+            # denominator plus the BLAS reordering bound — a strict
+            # superset of the exact JVM filter downstream
+            once = b_ids[:, None] < all_ids[None, :]
+            nan = np.isnan(cos_b)
+            keep = once & (
+                nan | (cos_b >= threshold - 5.1e-7 / den - 1e-11)
+            )
+            bi, aj = np.nonzero(keep)
+            # exact dim-ascending rescore of surviving pairs — the
+            # emitted raw dots are the fold's doubles, bit for bit
+            dots = np.zeros(len(bi))
+            for d in range(dim):
+                dots += bm[bi, d] * am[aj, d]
+            dnan = np.isnan(dots)
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[bi],
+                    "id_b": all_ids[aj],
+                    "__dot": np.where(dnan, 0.0, dots),
+                    "__isnan": dnan,
+                    "__n2a": b_n2r[bi],
+                    "__n2b": a_n2r[aj],
+                }
+            )
+
+    partial = df.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__vec"),
+        F.round(norm2_expr(vec_col), 6).alias("__bn2r"),
+    ).mapInPandas(
+        score,
+        "id_a long, id_b long, __dot double, __isnan boolean, "
+        "__n2a double, __n2b double",
+    )
+    cos_raw = F.when(F.col("__isnan"), F.lit(float("nan"))).otherwise(
+        F.round(F.col("__dot"), 6)
+        / F.sqrt(F.col("__n2a") * F.col("__n2b"))
+    )
+    return (
+        partial.withColumn("__cos_raw", cos_raw)
+        .filter(F.col("__cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__cos_raw", 6).alias("cosine"))
     )
 
 

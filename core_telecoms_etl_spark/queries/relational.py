@@ -1577,15 +1577,25 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter detection via `approx_top_k` (Apache DataSketches
     frequent-items under the hood): one pass, mergeable, bounded memory.
     With maxItemsTracked ≥ the distinct-key count the counts are EXACT, so
-    at test SF this oracle-checks against the plain GROUP BY top-k; past
-    the tracked bound (true 100 TB key explosions) the same plan degrades
-    gracefully to guaranteed-error estimates. The sketch's own tie-break
-    at the k boundary is arbitrary, so over-fetch (k=100) and apply the
-    deterministic (count desc, item) cut ourselves — sketch emission
-    order is not a contract."""
+    this oracle-checks against the plain GROUP BY top-k; past the tracked
+    bound (true 100 TB key explosions) the same plan degrades gracefully
+    to guaranteed-error estimates. maxItemsTracked is sized at 1M — above
+    the part-key DOMAIN (a dimension key, bounded by catalog size, 200k
+    at sf1), because the estimation-mode semantics past the bound are
+    "items above the purge error": on near-uniform data that is the
+    EMPTY set, the sketch's honest answer that there are no heavy
+    hitters (found live: the r10 sf1 sweep, 200k distinct vs the old
+    100k tracked, returned 0 rows — right sketch behavior, wrong mode
+    for an exact-top-k query; estimation mode is probed separately in
+    BASELINE.md's sketch estimation-mode section). ~1M tracked longs ≈
+    tens of MB of mergeable sketch state per partial — fine on 4 GB
+    executors. The sketch's own tie-break at the k boundary is
+    arbitrary, so over-fetch (k=100) and apply the deterministic
+    (count desc, item) cut ourselves — sketch emission order is not a
+    contract."""
     li = load_table(spark, sf_dir, "lineitem")
     topk = li.agg(
-        F.expr("approx_top_k(l_partkey, 100, 100000)").alias("tk")
+        F.expr("approx_top_k(l_partkey, 100, 1000000)").alias("tk")
     ).select(F.explode("tk").alias("e"))
     return (
         topk.select(
@@ -2754,7 +2764,16 @@ def recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every step as chains terminate. The walk relation is
     |parts|·depth ≈ 5|parts| rows of three BIGINTs; the final rollup
     is depth-grain. For graphs with unbounded or skewed depth the
-    large-star/small-star operator remains the escalation path."""
+    large-star/small-star operator remains the escalation path.
+
+    The cteRecursionRowLimit guard defaults to 1M cumulative rows —
+    the r10 sf1 sweep hit it live (200k parts × ~6 depth ≈ 1.2M):
+    raised here to 512M (a guard against runaway recursion, not a
+    memory bound — UnionLoop materializes per-step, and this walk is
+    provably depth-bounded by log₁₀(max key)). Setting it session-wide
+    only RELAXES a guard, so the shared-session check_oracle threads
+    can't be harmed. On a real cluster size it to |rows|·depth."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "536870912")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(
         """WITH RECURSIVE walk(p, cur, depth) AS (

@@ -118,7 +118,20 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection: all pairs with cosine ≥ 0.3 (exact
-    baseline; LSH/IVF below are the 100 TB paths)."""
+    baseline; LSH/IVF below are the 100 TB paths). Since r10 the O(n²)
+    scoring runs through the Arrow all-pairs scorer — the fold form
+    measured 719 s at sf1 (8k vectors = 32M interpreted folds); output
+    is bit-identical (`_cosine_pairs_fold` equality pytest)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs_arrow_rounded6(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3
+    )
+
+
+def _cosine_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r10 declarative join form of cosine_pairs — NOT
+    registered; the verification baseline the Arrow form is
+    equality-pinned against (tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("id_a"),
@@ -234,24 +247,13 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement. The kept-rows path itself is pytest-covered."""
     e = load_table(spark, sf_dir, "embeddings")
     n_vectors = e.count()
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("v_a"),
-        _rounded_n2("embedding").alias("n2_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("v_b"),
-        _rounded_n2("embedding").alias("n2_b"),
-    )
-    glob = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "__c", _rounded_cosine_from_norms("v_a", "v_b", "n2_a", "n2_b")
-        )
-        .filter(F.col("__c") >= _SEMDEDUP_TH)
-        .select("id_a", "id_b")
-    )
+    # exact global pair relation through the Arrow all-pairs scorer
+    # (bit-identical to the declarative fold join — r10: the fold form
+    # here cost ~64M interpreted folds at sf1 because the two counts
+    # below each re-derived it; now one Arrow pass, counted once)
+    glob = sim.cosine_pairs_arrow_rounded6(
+        e, id_col="vec_id", vec_col="embedding", threshold=_SEMDEDUP_TH
+    ).select("id_a", "id_b")
     assign = sim.cluster_assign_topn(
         e, n_clusters=16, n_assign=4, kmeans_iters=2
     )
@@ -263,9 +265,14 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    covered = glob.join(cand, ["id_a", "id_b"], "left_semi")
-    counts = glob.agg(F.count("*").alias("n_global_pairs")).crossJoin(
-        covered.agg(F.count("*").alias("__n_covered"))
+    # single pass over glob: total pairs + covered pairs in one agg
+    # (two separate aggregations would execute the scorer twice)
+    flagged = glob.join(
+        cand.withColumn("__cov", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    counts = flagged.agg(
+        F.count("*").alias("n_global_pairs"),
+        F.sum(F.coalesce(F.col("__cov"), F.lit(0))).alias("__n_covered"),
     )
     return counts.select(
         F.lit(n_vectors).cast("long").alias("n_vectors"),

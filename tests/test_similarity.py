@@ -456,3 +456,27 @@ def test_arrow_topk_zero_norm_raises(spark):
         sim.brute_force_topk_arrow(df, qz, k=5)
     with pytest.raises(ValueError, match="zero-norm query"):
         sim.brute_force_topk_arrow_rounded6(df, qz, k=5)
+
+
+def test_cosine_pairs_arrow_bit_identical(spark, sf_dir):
+    """The Arrow all-pairs scorer must return the EXACT rows of the
+    declarative join form — same (id_a, id_b) set and bit-identical
+    rounded cosines (the r10 sf1 sweep measured the fold form at 719s
+    for 8k vectors; the swap is only legal at exact equality)."""
+    from core_telecoms_etl_spark.queries.vector import (
+        _cosine_pairs_fold,
+        cosine_pairs,
+    )
+
+    fold = {
+        (r.id_a, r.id_b): r.cosine
+        for r in _cosine_pairs_fold(spark, sf_dir).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(spark, sf_dir).collect()
+    }
+    assert len(fold) > 0  # non-vacuous at sf0.001
+    assert set(fold) == set(arrow)
+    for key, c in fold.items():
+        assert arrow[key] == c, (key, arrow[key], c)  # bit equality

@@ -141,7 +141,13 @@ def main() -> int:
     from core_telecoms_etl_spark import get_spark
     from core_telecoms_etl_spark import queries as qmod
 
-    spark = get_spark("oracle-check")
+    # the compare collects full results driver-side; sf1-scale grid
+    # expansions (time_grid_fill ~30M rows) overrun the 1g default
+    # maxResultSize — a harness-collect limit, not a plan property
+    # (found live: r10 sf1 sweep). 8g matches the 48g local driver.
+    spark = get_spark(
+        "oracle-check", extra_conf={"spark.driver.maxResultSize": "8g"}
+    )
     qs = qmod.queries()
     oracles = qmod.oracle_sql()
 
