@@ -108,7 +108,12 @@ SECOND_PASS = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # parse a trailing sf<number> from the dir name; scratch corpora
+    # like /tmp/spark_graft_sf1 must parse too (r10 sf1 bench)
+    import re
+
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else -1.0
 
     from core_telecoms_etl_spark import get_spark
     from core_telecoms_etl_spark import queries as qmod

@@ -82,14 +82,17 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- 207 queries at 50 slots/round rotate fully in 5 rounds —
     # ---- the bar is max(round)-5 because ceil(207/50) = 5 (a 4-round
     # ---- bar is arithmetically unsatisfiable; r8 lesson).
-    # -- (1) changed r10: knn_classify exact arm now on the Arrow
-    # -- rounded-variant scorer (brute_force_topk_arrow_rounded6 —
-    # -- VERDICT r9 ask #2); knn_classify_ivf / vector_topk_ivf /
-    # -- vector_topk_lsh exact arms ride brute_force_topk_arrow, whose
-    # -- emit schema changed (NaN-flag reconstruction, ADVICE r9);
-    # -- partition_pruned_rollup layout publish is now write-once +
-    # -- atomic rename (ADVICE r9); containment/prefix-filter gained
-    # -- the _min_overlap_expr BIGINT-overflow guard (ADVICE r9)
+    # -- (1) changed r10: knn_classify/vector_topk exact arms +
+    # -- cosine_pairs + semantic_dedup's pair relation now on the
+    # -- Arrow scorers (BLAS selection + exact rescore, bit-identical;
+    # -- VERDICT r9 ask #2 and sf1 finding #5); knn_classify_ivf /
+    # -- vector_topk_ivf / vector_topk_lsh ride brute_force_topk_arrow
+    # -- whose emit+selection changed; heavy_hitters maxItemsTracked 1M
+    # -- (sf1 finding #1); dedup_clusters via the connected-components
+    # -- edge checkpoint (finding #3); recursive_hierarchy_walk
+    # -- recursion guard (finding #4); partition_pruned_rollup layout
+    # -- write-once (ADVICE r9); containment/prefix-filter overflow
+    # -- guard (ADVICE r9)
     "knn_classify",  # green r8
     "knn_classify_ivf",  # green r9
     "vector_topk_ivf",  # green r9
@@ -97,13 +100,18 @@ _CHECK_ORDER: tuple[str, ...] = (
     "partition_pruned_rollup",  # green r9
     "containment_near_dup",  # green r9
     "prefix_filter_near_dup",  # green r9
+    "cosine_pairs",  # green r9
+    "semantic_dedup",  # green r5
+    "vector_topk",  # green r5
+    "heavy_hitters",  # green r9
+    "recursive_hierarchy_walk",  # green r8
+    "dedup_clusters",  # green r9
     # -- (2) the 15 r5-last-green queries (they reach the 5-round
-    # -- staleness bar next round; promised the r10 head by the r9
+    # -- staleness bar next round; promised this head by the r9
     # -- tail comment and VERDICT r9 ask #6)
     "returned_item_report",  # green r5
     "revenue_topk_shipping",  # green r5
     "salted_skew_join",  # green r5
-    "semantic_dedup",  # green r5
     "sequence_pack",  # green r5
     "sessionize",  # green r5
     "sql_api",  # green r5
@@ -114,7 +122,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "text_profile",  # green r5
     "training_pipeline",  # green r5
     "vector_quantize",  # green r5
-    "vector_topk",  # green r5
     # -- (3) fill: the oldest remaining (r6-last-green) queries
     "ab_test_stats",  # green r6
     "activity_streaks",  # green r6
@@ -140,13 +147,13 @@ _CHECK_ORDER: tuple[str, ...] = (
     "multi_join",  # green r6
     "pareto_classes",  # green r6
     "point_in_time_join",  # green r6
+    # ---- 50-query window boundary. Tail is ascending last-green,
+    # ---- so the r11 rotation head reads straight off the top:
+    # ---- the remaining r6 rows lead, then r7, r8, r9.
     "promo_revenue",  # green r6
     "referential_integrity",  # green r6
     "rfm_segments",  # green r6
     "rolling_anomaly",  # green r6
-    # ---- 50-query window boundary. Tail is ascending last-green,
-    # ---- so the r11 rotation head reads straight off the top:
-    # ---- the remaining r6 rows lead, then r7, r8, r9.
     "segment_boilerplate_dedup",  # green r6
     "simhash_signatures",  # green r6
     "stream_cms_heavy_hitters",  # green r6
@@ -247,7 +254,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "order_price_consistency",  # green r8
     "pagerank_copurchase",  # green r8
     "psi_drift",  # green r8
-    "recursive_hierarchy_walk",  # green r8
     "runs_test",  # green r8
     "scalar_subquery",  # green r8
     "seasonal_naive_forecast",  # green r8
@@ -268,9 +274,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "bigram_surprisal",  # green r9
     "contamination",  # green r9
     "corpus_incremental_dedup",  # green r9
-    "cosine_pairs",  # green r9
     "date_funcs",  # green r9
-    "dedup_clusters",  # green r9
     "deterministic_shuffle",  # green r9
     "domain_cap",  # green r9
     "domain_mixture",  # green r9
@@ -281,7 +285,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "fuzzy_linkage",  # green r9
     "gopher_quality",  # green r9
     "grouped_map_zscore",  # green r9
-    "heavy_hitters",  # green r9
     "hll_rollup",  # green r9
     "json_funcs",  # green r9
     "kll_quantile_rollup",  # green r9

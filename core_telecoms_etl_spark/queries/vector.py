@@ -80,7 +80,24 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — exact brute-force cosine top-10 for a broadcast query set.
-    The corpus never shuffles; scoring is JVM higher-order-function math."""
+    Since r10 the scoring runs through the Arrow rounded-variant scorer
+    (`brute_force_topk_arrow_rounded6` — the inline fold join measured
+    13× for 4× more vectors in the sf1 bench); the final 6dp display
+    rounding stays a JVM projection, so output is bit-identical to the
+    pre-r10 fold form (`_vector_topk_fold` equality pytest)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    topk = sim.brute_force_topk_arrow_rounded6(
+        e, q, id_col="vec_id", vec_col="embedding", k=10
+    )
+    return topk.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _vector_topk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r10 inline fold form of vector_topk — NOT registered;
+    the verification baseline (tests/test_similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),

@@ -121,19 +121,23 @@ def test_sql_api_pushes_segment_filter_into_scan(spark, sf_dir):
 
 
 def test_vector_topk_broadcasts_queries_no_cartesian(spark, sf_dir):
-    """The brute-force ANN plan: query side broadcast (corpus never
-    shuffles for scoring), no CartesianProduct, and exactly the one
-    shuffle the per-query top-k window needs."""
+    """The brute-force ANN plan (Arrow scorer since r10): the corpus
+    never shuffles for scoring — the query side ships in the task
+    closure and the per-batch partial top-k runs inside an
+    Arrow-batched MapInPandas (never row-at-a-time BatchEvalPython);
+    no CartesianProduct and exactly the one shuffle the per-query
+    top-k window needs, with the rank<=k filter pushed down as a
+    WindowGroupLimit on BOTH sides of it (partial before the exchange
+    — the map-side combine — and final after), so the shuffle never
+    materializes the N×Q scored relation."""
     from core_telecoms_etl_spark.queries import queries
 
     plan = _formatted(queries()["vector_topk"](spark, sf_dir))
     assert _n_ops(plan, "CartesianProduct") == 0, plan
-    assert "BroadcastExchange" in plan, plan
+    assert _n_ops(plan, "MapInPandas") == 1, plan
+    assert _n_ops(plan, "BatchEvalPython") == 0, plan
     assert _n_exchanges(plan) == 1, plan  # only the window's hash exchange
-    # the rank<=k filter must push down as WindowGroupLimit: each map
-    # task keeps only ~k rows per query BEFORE the exchange, so the
-    # shuffle never materializes the N×Q scored relation
-    assert "WindowGroupLimit" in plan, plan
+    assert _n_ops(plan, "WindowGroupLimit") == 2, plan  # partial + final
 
 
 def test_near_dedup_single_exchange_per_side_no_cartesian(spark, sf_dir):

@@ -480,3 +480,16 @@ def test_cosine_pairs_arrow_bit_identical(spark, sf_dir):
     assert set(fold) == set(arrow)
     for key, c in fold.items():
         assert arrow[key] == c, (key, arrow[key], c)  # bit equality
+
+
+def test_vector_topk_arrow_matches_fold(spark, sf_dir):
+    """vector_topk on the Arrow scorer equals the pre-r10 inline fold
+    form row for row, bit-identical cosines included."""
+    from core_telecoms_etl_spark.queries.vector import (
+        _vector_topk_fold,
+        vector_topk,
+    )
+
+    new = sorted(tuple(r) for r in vector_topk(spark, sf_dir).collect())
+    old = sorted(tuple(r) for r in _vector_topk_fold(spark, sf_dir).collect())
+    assert new == old and len(new) > 0

@@ -517,7 +517,7 @@ def main() -> None:
                 )
         from pyspark.sql import Window
 
-        from core_telecoms_etl_spark.operators import packing as xp
+        from core_telecoms_etl_spark.functions import expressions as xp
 
         daily = (
             df.withColumn("day", F.col("ts").cast("date"))
