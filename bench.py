@@ -217,6 +217,14 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                # Self-describing metric definition (ADVICE r10): "value"
+                # changed meaning in r10 (per-query min of in-sweep and
+                # second-pass vs the raw in-sweep sum of BENCH_r01..r09);
+                # record the definition in-band so a consumer comparing
+                # rounds can see which metric each file carries instead
+                # of inferring it from a bench.py comment.
+                "total_def": "sum over queries of min(in_sweep, second_pass)",
+                "best_total": total,
                 "unit": "sec",
                 "queries": timings,
                 "second_pass": second_pass,

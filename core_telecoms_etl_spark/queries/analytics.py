@@ -1656,18 +1656,53 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_fingerprint(sf_dir: str) -> str:
+    """12-hex fingerprint of the events parquet source: sha256 over the
+    sorted (relative path, size, mtime_ns) listing. Cheap (metadata
+    stat only, no file reads) and changes whenever the source bytes
+    can have changed — exactly the invalidation key the derived layout
+    needs (ADVICE r10)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    entries: list[str] = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        entries.append(f"events.parquet\x00{st.st_size}\x00{st.st_mtime_ns}")
+    else:
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, src)}\x00"
+                    f"{st.st_size}\x00{st.st_mtime_ns}"
+                )
+    entries.sort()
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:12]
+
+
 def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize the date-partitioned star layout SURVEY §4.2 promises
     ("so pruning has something to bite on"): events written
     `partitionBy(event_date)` (one folder per day — the layout
     `sources/writers.py::write_parquet` produces in production) plus a
-    tiny date dimension (event_date, dow). Write-once per sf_dir: the
-    layout is a pure function of the (static) test data, so a completed
-    layout is reused; a missing one is built in a per-pid staging dir
-    and atomically renamed into place. Two concurrent processes (pytest
-    beside check_oracle — ADVICE r9) therefore never scan a
-    half-written fact: each either reuses the completed layout or
-    completes its own rename, and the rename loser reuses the winner's."""
+    tiny date dimension (event_date, dow). Write-once per SOURCE
+    GENERATION: the cache dir is keyed by (sf_dir, fingerprint of the
+    events parquet listing), so a layout built from an older generation
+    of a scratch corpus (e.g. a regenerated /tmp/spark_graft_sf1, which
+    is byte-different each rebuild) simply lives at a different path
+    and is never reused for the new bytes (ADVICE r10 — the r10
+    version keyed on sf_dir alone and trusted isdir, silently scanning
+    stale facts). A dir that exists under the fingerprinted name is
+    complete by construction: it can only appear via the atomic rename
+    below, and pre-fingerprint partial dirs have a different name. A
+    missing one is built in a per-pid staging dir and atomically
+    renamed into place, so two concurrent processes (pytest beside
+    check_oracle — ADVICE r9) never scan a half-written fact: each
+    either reuses the completed layout or completes its own rename,
+    and the rename loser reuses the winner's."""
     import os
     import re
     import shutil
@@ -1676,7 +1711,8 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from core_telecoms_etl_spark.sources.writers import write_parquet
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"ctes_pruned_{tag}")
+    fp = _events_fingerprint(sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"ctes_pruned_{tag}_{fp}")
     fact_path = os.path.join(base, "events_by_day")
     dim_path = os.path.join(base, "date_dim")
     if os.path.isdir(base):

@@ -2767,14 +2767,30 @@ def recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star operator remains the escalation path.
 
     The cteRecursionRowLimit guard defaults to 1M cumulative rows —
-    the r10 sf1 sweep hit it live (200k parts × ~6 depth ≈ 1.2M):
-    raised here to 512M (a guard against runaway recursion, not a
-    memory bound — UnionLoop materializes per-step, and this walk is
-    provably depth-bounded by log₁₀(max key)). Setting it session-wide
-    only RELAXES a guard, so the shared-session check_oracle threads
-    can't be harmed. On a real cluster size it to |rows|·depth."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "536870912")
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    the r10 sf1 sweep hit it live (200k parts × ~6 depth ≈ 1.2M). This
+    walk is provably bounded: the cumulative UnionLoop row count is
+    ≤ |parts| · (⌊log₁₀(max key)⌋ + 2), so the guard is sized to that
+    bound ×2 headroom from a one-pass (count, max) over the part dim
+    (ADVICE r10 — the r10 version set a blanket 512M session-wide,
+    permanently weakening the runaway-recursion guard for every OTHER
+    recursive query in shared sessions; a data-derived bound keeps the
+    guard meaningful: sf1 sizes it to ~2.8M, not 512M). The conf is
+    only ever RAISED (never lowered below the session's current value),
+    so concurrent check_oracle threads cannot lose protection they had.
+    The set must persist through execution (the returned DataFrame is
+    lazy), hence sized-not-restored rather than set-and-restore."""
+    part_df = load_table(spark, sf_dir, "part")
+    stats = part_df.agg(
+        F.count("*").alias("n"), F.max("p_partkey").alias("mx")
+    ).first()
+    n_parts = stats["n"] or 0
+    max_key = stats["mx"] or 0
+    depth_bound = len(str(max(int(max_key), 1))) + 1
+    needed = max(n_parts * depth_bound * 2, 1_000_000)
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if needed > current:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(needed))
+    part_df.createOrReplaceTempView("part")
     return spark.sql(
         """WITH RECURSIVE walk(p, cur, depth) AS (
              SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part

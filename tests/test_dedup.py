@@ -570,11 +570,16 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
 
 
-def test_min_overlap_expr_rejects_long_decimal_thresholds():
+def test_min_overlap_expr_rejects_long_decimal_thresholds(spark):
     """A threshold that is not a short decimal (e.g. float 1/3 →
     denominator 10^16) would overflow the exact-BIGINT product for
     shingle counts in the low thousands, and non-ANSI Spark wraps
-    silently — the guard must fail LOUDLY instead (ADVICE r9)."""
+    silently — the guard must fail LOUDLY instead (ADVICE r9).
+
+    Requests the spark fixture (ADVICE r10): the accepted-threshold arm
+    builds an F.expr Column, which needs an active SparkContext — without
+    the fixture the test passed only when an earlier test had already
+    created one (order-dependent)."""
     import pytest as _pytest
 
     from core_telecoms_etl_spark.operators.dedup import _min_overlap_expr

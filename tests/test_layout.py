@@ -124,3 +124,37 @@ def test_zorder_preserves_rows(spark, tmp_path):
     tot = out.agg(F.sum("x"), F.sum("y")).collect()[0]
     ref = df.agg(F.sum("x"), F.sum("y")).collect()[0]
     assert (tot[0], tot[1]) == (ref[0], ref[1])
+
+
+def test_pruned_layout_cache_invalidates_on_source_change(spark, tmp_path):
+    """The derived date-partitioned layout is keyed by a fingerprint of
+    the events source (ADVICE r10): same source bytes → same cache dir
+    (reuse); a changed source (regenerated scratch corpus) → a DIFFERENT
+    cache dir, rebuilt — a stale layout can never satisfy the lookup."""
+    import os
+    import shutil
+
+    from core_telecoms_etl_spark.queries.analytics import (
+        _events_fingerprint,
+        _pruned_layout_paths,
+    )
+
+    scratch = tmp_path / "sf_scratch"
+    scratch.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        scratch / "events.parquet",
+    )
+    fp1 = _events_fingerprint(str(scratch))
+    fact1, dim1 = _pruned_layout_paths(spark, str(scratch))
+    assert fp1 in fact1 and os.path.isdir(fact1) and os.path.isdir(dim1)
+    # unchanged source → identical paths (cache hit, no rebuild)
+    assert _pruned_layout_paths(spark, str(scratch)) == (fact1, dim1)
+    # "regenerate" the corpus: same bytes, new mtime — the fingerprint
+    # must change and the layout must be rebuilt under the new key
+    os.utime(scratch / "events.parquet")
+    fp2 = _events_fingerprint(str(scratch))
+    assert fp2 != fp1
+    fact2, dim2 = _pruned_layout_paths(spark, str(scratch))
+    assert fact2 != fact1 and fp2 in fact2
+    assert os.path.isdir(fact2) and os.path.isdir(dim2)
