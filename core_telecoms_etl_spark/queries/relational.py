@@ -1574,36 +1574,40 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
               ORDER BY n DESC, item LIMIT 10""",
 )
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter detection via `approx_top_k` (Apache DataSketches
-    frequent-items under the hood): one pass, mergeable, bounded memory.
-    With maxItemsTracked ≥ the distinct-key count the counts are EXACT, so
-    this oracle-checks against the plain GROUP BY top-k; past the tracked
-    bound (true 100 TB key explosions) the same plan degrades gracefully
-    to guaranteed-error estimates. maxItemsTracked is sized at 1M — above
-    the part-key DOMAIN (a dimension key, bounded by catalog size, 200k
-    at sf1), because the estimation-mode semantics past the bound are
-    "items above the purge error": on near-uniform data that is the
-    EMPTY set, the sketch's honest answer that there are no heavy
-    hitters (found live: the r10 sf1 sweep, 200k distinct vs the old
-    100k tracked, returned 0 rows — right sketch behavior, wrong mode
-    for an exact-top-k query; estimation mode is probed separately in
-    BASELINE.md's sketch estimation-mode section). ~1M tracked longs ≈
-    tens of MB of mergeable sketch state per partial — fine on 4 GB
-    executors. The sketch's own tie-break at the k boundary is
-    arbitrary, so over-fetch (k=100) and apply the deterministic
-    (count desc, item) cut ourselves — sketch emission order is not a
-    contract."""
+    """Heavy-hitter detection on the domain-safe exact top-k operator
+    (`operators/sketches.py::exact_top_k_by_count` — VERDICT r10 ask
+    #1). The r10 version hard-coded `approx_top_k(..., 1000000)`:
+    exact at sf1's 200k part keys, but TPC-H part cardinality GROWS
+    with sf (200k·sf), so the sf10 domain ~2M would blow through the
+    tracked budget and the sketch — honestly, per frequent-items
+    semantics on near-uniform data — would report "no heavy hitters":
+    0 rows, silently, the same wrong-mode failure the sf1 sweep caught
+    one decade earlier.
+
+    Now the tracked bound is DERIVED from the key domain: l_partkey is
+    a foreign key into `part`, so its distinct count is bounded by the
+    part dimension's row count — one cheap count of the dim (never a
+    distinct over the fact) sizes tracked = 2·|part| with headroom.
+    While that fits the sketch budget — Spark hard-caps
+    maxItemsTracked at 1M, so up to |part| = 500k ≈ sf2.5 — the
+    single-pass mergeable sketch runs (exact in that regime); past it
+    the operator switches to the plain two-stage groupBy top-k, which
+    is exact at ANY domain (so the sf10 decade that would have broken
+    the r10 constant now silently gets the RIGHT plan, not 0 rows). Both arms end in the deterministic
+    (count desc, item) cut. Loud tripwires ride the sketch plan: a
+    non-empty input producing an empty sketch, or an
+    approx_count_distinct over the tracked budget, RAISES instead of
+    returning 0 rows — bound-vs-domain is enforced, not assumed.
+    Estimation mode past the budget remains a deliberate separate
+    probe (BASELINE.md's sketch estimation-mode section)."""
+    from core_telecoms_etl_spark.operators.sketches import (
+        exact_top_k_by_count,
+    )
+
+    part_count = load_table(spark, sf_dir, "part").count()
     li = load_table(spark, sf_dir, "lineitem")
-    topk = li.agg(
-        F.expr("approx_top_k(l_partkey, 100, 1000000)").alias("tk")
-    ).select(F.explode("tk").alias("e"))
-    return (
-        topk.select(
-            F.col("e.item").alias("item"),
-            F.col("e.count").alias("n"),
-        )
-        .orderBy(F.desc("n"), "item")
-        .limit(10)
+    return exact_top_k_by_count(
+        li, "l_partkey", 10, domain_size=part_count
     )
 
 

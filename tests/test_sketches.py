@@ -256,3 +256,115 @@ def test_bloom_string_keys_round_trip(spark):
         sk.bloom_might_contain("k", mask, n_hashes=4, key_type="string")
     ).count()
     assert hits == 300
+
+
+# --- exact_top_k_by_count (VERDICT r10 ask #1) ------------------------------
+
+
+def test_exact_topk_bound_exceeds_domain_at_configured_sf(spark, sf_dir):
+    """The derived tracked budget must cover the ACTUAL distinct-key
+    count at the configured sf — bound-vs-domain enforced, not assumed."""
+    part_count = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    tracked = max(65536, 2 * part_count)
+    distinct_keys = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert tracked > distinct_keys
+    assert tracked >= 2 * part_count  # headroom for dirty FKs
+
+
+def test_exact_topk_2m_distinct_probe(spark):
+    """The scale probe the r10 verdict asked for: ≥2M distinct keys —
+    the exact cardinality regime (sf10 part keys) where the old
+    hard-coded 1M budget returned the EMPTY set — must yield the true
+    top-10 with exact counts. At this domain the operator auto-switches
+    to the groupBy arm (2M → tracked 4M > Spark's hard 1M sketch
+    ceiling), which is exactly the fix: the decade that silently broke
+    the sketch now silently gets the always-exact plan instead."""
+    n_domain = 2_000_000
+    base = spark.range(n_domain).select(F.col("id").alias("k"))
+    # 10 heavy keys get +id%7+2 extra copies via an explode of repeats
+    heavy = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") + 2).alias("reps")
+    )
+    extra = heavy.select(
+        F.explode(F.sequence(F.lit(1), F.col("reps"))).alias("_"),
+        "k",
+    ).select("k")
+    df = base.unionByName(extra.select("k"))
+    got = [
+        (r.item, r.n)
+        for r in sk.exact_top_k_by_count(
+            df, "k", 10, domain_size=n_domain
+        ).collect()
+    ]
+    # true counts: key i (i<10) has 1 + (i+2) copies; ties broken by item
+    expect = sorted(
+        [(i, 1 + i + 2) for i in range(10)], key=lambda t: (-t[1], t[0])
+    )
+    assert got == expect
+
+
+def test_exact_topk_sketch_arm_near_ceiling(spark):
+    """Sketch arm just under the engine ceiling: 400k distinct keys →
+    tracked 800k ≤ 1M — past the r10-sf1 failure point (200k distinct)
+    and the largest regime the sketch can serve exactly — returns the
+    true top-5."""
+    n_domain = 400_000
+    base = spark.range(n_domain).select(F.col("id").alias("k"))
+    extra = (
+        spark.range(5)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("id") + 2)
+            ).alias("_"),
+            F.col("id").alias("k"),
+        )
+        .select("k")
+    )
+    got = [
+        (r.item, r.n)
+        for r in sk.exact_top_k_by_count(
+            base.unionByName(extra), "k", 5, domain_size=n_domain
+        ).collect()
+    ]
+    expect = sorted(
+        [(i, 1 + i + 2) for i in range(5)], key=lambda t: (-t[1], t[0])
+    )
+    assert got == expect
+
+
+def test_exact_topk_groupby_arm_matches_sketch_arm(spark):
+    """Past max_tracked the operator switches to the plain groupBy
+    top-k; both arms must return identical (item, n) rows."""
+    df = _tokens(spark).select(
+        F.xxhash64("token").alias("k")
+    )
+    a = sk.exact_top_k_by_count(df, "k", 5, domain_size=100).collect()
+    b = sk.exact_top_k_by_count(
+        df, "k", 5, domain_size=100, max_tracked=10
+    ).collect()
+    assert [(r.item, r.n) for r in a] == [(r.item, r.n) for r in b]
+    assert len(a) == 5
+
+
+def test_exact_topk_tripwire_raises_past_budget(spark):
+    """An understated domain (tracked < true distinct) must RAISE
+    loudly, never return 0 rows — the r10-sf1 failure class."""
+    df = spark.range(200_000).select(F.col("id").alias("k"))
+    probe = sk.exact_top_k_by_count(
+        df, "k", 10, domain_size=0
+    )  # tracked = 65536 floor << 200k distinct
+    with pytest.raises(Exception, match="exact_top_k_by_count"):
+        probe.collect()
+
+
+def test_exact_topk_rejects_bad_args(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="k must be"):
+        sk.exact_top_k_by_count(df, "k", 0, domain_size=10)
+    with pytest.raises(ValueError, match="domain_size"):
+        sk.exact_top_k_by_count(df, "k", 1, domain_size=-1)
