@@ -21,6 +21,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Driver-memory bound on the eager-collected side of the Arrow scorers
+# (VERDICT r10 ask #5: "documented but unenforced" → enforced). 1M rows
+# of 64-dim double vectors ≈ 1 GB on the driver — the same order as the
+# broadcast the fold path ships, and far past the point where the
+# escalation paths (IVF/LSH top-k; LSH/IVF/SemDeDup for all-pairs) are
+# the right plan anyway. Overridable per call for deliberate probes.
+MAX_COLLECT_ROWS_DEFAULT = 1_000_000
+
+
+def _collect_bounded(proj: DataFrame, *, what: str, escalation: str,
+                     max_rows: int) -> list:
+    """Collect `proj` to the driver, RAISING if it exceeds `max_rows`
+    (the limit+1 trick: the driver never materializes more than
+    max_rows+1 rows even on the failing path — no separate count job,
+    no unbounded collect before the check)."""
+    rows = proj.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what}: the eager-collected side exceeds the driver-memory "
+            f"bound (> {max_rows} rows) — this exact form is the "
+            f"correctness baseline, not the scale path; use {escalation} "
+            "at this size, or raise max_collect_rows explicitly for a "
+            "deliberate probe"
+        )
+    return rows
+
+
 def dot_expr(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ with left-to-right fold in double — deterministic."""
     a = F.col(a) if isinstance(a, str) else a
@@ -80,10 +107,11 @@ def brute_force_topk(
     constructing this plan runs a Spark job — the query side is
     collect()ed to the driver at CALL time (bounded by definition:
     queries are the small relation in any ANN readout; the same bound
-    as the broadcast the fold path ships). Callers that must stay
-    fully lazy (plan inventories, deferred pipelines) should use
-    `brute_force_topk_fold`, which builds the identical result
-    declaratively without executing anything."""
+    as the broadcast the fold path ships — ENFORCED since r11: a query
+    side past the row bound raises naming ivf_topk/lsh_topk). Callers
+    that must stay fully lazy (plan inventories, deferred pipelines)
+    should use `brute_force_topk_fold`, which builds the identical
+    result declaratively without executing anything."""
     return brute_force_topk_arrow(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=k
     )
@@ -140,6 +168,7 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     k: int = 10,
     batch_topk: bool = True,
+    max_collect_rows: int = MAX_COLLECT_ROWS_DEFAULT,
 ) -> DataFrame:
     """Exact cosine top-k per query — Arrow-batched numpy scorer,
     BIT-IDENTICAL to `brute_force_topk` (equality pytest in
@@ -178,7 +207,9 @@ def brute_force_topk_arrow(
 
     The query side is collect()ed to the driver (bounded by definition —
     same rationale as the fold path's broadcast) and shipped to
-    executors in the task closure.
+    executors in the task closure. The bound is ENFORCED (r11, VERDICT
+    r10 ask #5): past `max_collect_rows` the collect raises naming the
+    escalation path instead of OOMing the driver.
 
     Zero-norm contract (ADVICE r9): a zero-norm vector makes the
     cosine denominator 0 — under ANSI mode (the session default) the
@@ -194,10 +225,11 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    q_rows = (
-        queries.select(F.col(id_col), F.col(vec_col))
-        .orderBy(id_col)
-        .collect()
+    q_rows = _collect_bounded(
+        queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col),
+        what="brute_force_topk_arrow",
+        escalation="ivf_topk / lsh_topk",
+        max_rows=max_collect_rows,
     )
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
@@ -307,6 +339,7 @@ def brute_force_topk_arrow_rounded6(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_collect_rows: int = MAX_COLLECT_ROWS_DEFAULT,
 ) -> DataFrame:
     """Exact top-k under the ROUNDED-fold cosine discipline
     (queries/vector.py: cosine = round(dot,6) / sqrt(round(n²q,6) ·
@@ -350,7 +383,8 @@ def brute_force_topk_arrow_rounded6(
       (NaN-greatest-under-DESC).
 
     EAGER-COLLECT CONTRACT: same as `brute_force_topk` — the query
-    side is collect()ed at call time.
+    side is collect()ed at call time; the `max_collect_rows` bound is
+    ENFORCED (raises past it, naming the escalation path).
 
     Zero-norm contract: raises ValueError on any zero-norm query or
     corpus vector (same loud failure as the ANSI fold path's
@@ -361,14 +395,15 @@ def brute_force_topk_arrow_rounded6(
     import numpy as np
     import pandas as pd
 
-    q_rows = (
+    q_rows = _collect_bounded(
         queries.select(
             F.col(id_col),
             F.col(vec_col),
             F.round(norm2_expr(vec_col), 6).alias("__qn2r"),
-        )
-        .orderBy(id_col)
-        .collect()
+        ).orderBy(id_col),
+        what="brute_force_topk_arrow_rounded6",
+        escalation="ivf_topk / lsh_topk",
+        max_rows=max_collect_rows,
     )
     out_schema = "query_id long, neighbor_id long, cosine double, rank long"
     if not q_rows:
@@ -496,6 +531,7 @@ def cosine_pairs_arrow_rounded6(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
+    max_collect_rows: int = MAX_COLLECT_ROWS_DEFAULT,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold under the ROUNDED-fold discipline
     (cos_raw = round(dot,6)/sqrt(round(n²a,6)·round(n²b,6))) — the
@@ -523,19 +559,22 @@ def cosine_pairs_arrow_rounded6(
     Scale bound: one side is collect()ed at call time (EAGER-COLLECT,
     same bound as the exact baseline's broadcast — all-pairs exact is
     the declared correctness baseline; LSH/IVF/SemDeDup are the 100 TB
-    paths). Each unordered pair is emitted once (streamed id < collected
+    paths). The `max_collect_rows` bound is ENFORCED (r11): a caller
+    handing this 10⁸ rows gets a ValueError naming the escalation
+    paths, not a driver OOM. Each unordered pair is emitted once (streamed id < collected
     id). Returns (id_a, id_b, cosine) with cosine rounded at 6dp."""
     import numpy as np
     import pandas as pd
 
-    rows = (
+    rows = _collect_bounded(
         df.select(
             F.col(id_col),
             F.col(vec_col),
             F.round(norm2_expr(vec_col), 6).alias("__n2r"),
-        )
-        .orderBy(id_col)
-        .collect()
+        ).orderBy(id_col),
+        what="cosine_pairs_arrow_rounded6",
+        escalation="minhash-LSH / ivf_topk / semantic_dedup",
+        max_rows=max_collect_rows,
     )
     if not rows:
         return df.sparkSession.createDataFrame(
