@@ -41,3 +41,64 @@ def release_caches() -> int:
         df.unpersist()
     _SCOPED_CACHES.clear()
     return n
+
+
+# --- write-once shared scratch dirs (fingerprint-keyed) --------------------
+
+
+def path_fingerprint(path: str) -> str:
+    """12-hex fingerprint of a file or directory tree: sha256 over the
+    sorted (relative path, size, mtime_ns) listing. Metadata-stat only
+    (no file reads), and changes whenever the source bytes can have
+    changed — the invalidation key derived-data caches need (ADVICE
+    r10: a cache keyed on path alone silently reuses stale derivations
+    after a scratch corpus is regenerated)."""
+    import hashlib
+    import os
+
+    entries: list[str] = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(
+            f"{os.path.basename(path)}\x00{st.st_size}\x00{st.st_mtime_ns}"
+        )
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, path)}\x00"
+                    f"{st.st_size}\x00{st.st_mtime_ns}"
+                )
+    entries.sort()
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:12]
+
+
+def build_once(name: str, build) -> str:
+    """Write-once shared scratch dir protocol: returns
+    `$TMPDIR/<name>`, building it via `build(stage_dir)` into a
+    per-pid staging dir atomically renamed into place if absent.
+
+    `name` must embed a content fingerprint of whatever the build
+    derives from (`path_fingerprint`), so an existing dir is complete
+    AND current by construction: it can only appear via the atomic
+    rename, and a regenerated source yields a different name. Two
+    concurrent processes never observe a half-written dir — each
+    either reuses the completed build or completes its own rename,
+    and the rename loser adopts the winner's."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), name)
+    if os.path.isdir(base):
+        return base
+    stage = f"{base}.tmp.{os.getpid()}"
+    build(stage)
+    try:
+        os.rename(stage, base)  # atomic publish (same tmpfs)
+    except OSError:
+        # another process published first; its build is complete
+        shutil.rmtree(stage, ignore_errors=True)
+    return base

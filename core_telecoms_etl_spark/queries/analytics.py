@@ -1657,30 +1657,13 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_fingerprint(sf_dir: str) -> str:
-    """12-hex fingerprint of the events parquet source: sha256 over the
-    sorted (relative path, size, mtime_ns) listing. Cheap (metadata
-    stat only, no file reads) and changes whenever the source bytes
-    can have changed — exactly the invalidation key the derived layout
-    needs (ADVICE r10)."""
-    import hashlib
+    """12-hex fingerprint of the events parquet source (ADVICE r10) —
+    the shared metadata-stat fingerprint from `caching.py`."""
     import os
 
-    src = os.path.join(sf_dir, "events.parquet")
-    entries: list[str] = []
-    if os.path.isfile(src):
-        st = os.stat(src)
-        entries.append(f"events.parquet\x00{st.st_size}\x00{st.st_mtime_ns}")
-    else:
-        for root, _dirs, files in os.walk(src):
-            for f in files:
-                p = os.path.join(root, f)
-                st = os.stat(p)
-                entries.append(
-                    f"{os.path.relpath(p, src)}\x00"
-                    f"{st.st_size}\x00{st.st_mtime_ns}"
-                )
-    entries.sort()
-    return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:12]
+    from core_telecoms_etl_spark.caching import path_fingerprint
+
+    return path_fingerprint(os.path.join(sf_dir, "events.parquet"))
 
 
 def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -1705,45 +1688,38 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     and the rename loser reuses the winner's."""
     import os
     import re
-    import shutil
-    import tempfile
 
+    from core_telecoms_etl_spark.caching import build_once
     from core_telecoms_etl_spark.sources.writers import write_parquet
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
     fp = _events_fingerprint(sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"ctes_pruned_{tag}_{fp}")
-    fact_path = os.path.join(base, "events_by_day")
-    dim_path = os.path.join(base, "date_dim")
-    if os.path.isdir(base):
-        return fact_path, dim_path
-    stage = f"{base}.tmp.{os.getpid()}"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        "value",
-        F.to_date("ts").alias("event_date"),
-    )
-    write_parquet(
-        ev,
-        os.path.join(stage, "events_by_day"),
-        mode="overwrite",
-        partition_by=["event_date"],
-    )
-    dim = (
-        ev.select("event_date")
-        .distinct()
-        .select(
-            "event_date", F.weekday("event_date").cast("int").alias("dow")
+
+    def _build(stage: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            F.to_date("ts").alias("event_date"),
         )
-    )
-    write_parquet(dim, os.path.join(stage, "date_dim"), mode="overwrite")
-    try:
-        os.rename(stage, base)  # atomic publish (same tmpfs)
-    except OSError:
-        # another process published first; its layout is complete
-        shutil.rmtree(stage, ignore_errors=True)
-    return fact_path, dim_path
+        write_parquet(
+            ev,
+            os.path.join(stage, "events_by_day"),
+            mode="overwrite",
+            partition_by=["event_date"],
+        )
+        dim = (
+            ev.select("event_date")
+            .distinct()
+            .select(
+                "event_date",
+                F.weekday("event_date").cast("int").alias("dow"),
+            )
+        )
+        write_parquet(dim, os.path.join(stage, "date_dim"), mode="overwrite")
+
+    base = build_once(f"ctes_pruned_{tag}_{fp}", _build)
+    return os.path.join(base, "events_by_day"), os.path.join(base, "date_dim")
 
 
 @query(

@@ -351,16 +351,17 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline) + the CMS structural flag (never undercounts) and the
     Cormode–Muthukrishnan e·N/width bound flag, both computed from the
     STREAM-accumulated counters."""
-    import tempfile
     from math import e as _e
 
     from core_telecoms_etl_spark.operators import sketches as sk
     from core_telecoms_etl_spark.streaming.events import run_stream_cms
 
     width = 1024
-    stage = tempfile.mkdtemp(prefix="cms_stream_")
+    # shared write-once slice staging (VERDICT r10 ask #6): repeat
+    # invocations and concurrent sweeps reuse one fingerprint-keyed
+    # stage instead of re-writing the key column every call
     counters = run_stream_cms(
-        spark, f"{sf_dir}/events.parquet", stage, width=width
+        spark, f"{sf_dir}/events.parquet", width=width
     )
     ev = load_table(spark, sf_dir, "events")
     top = (

@@ -507,10 +507,84 @@ def run_stream_dedup(
     return spark.table(query_name)
 
 
-def run_stream_cms(
+def staged_key_slices(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    key_col: str = "user_id",
+    n_slices: int = 3,
+) -> str:
+    """Shared, write-once staging of the events key column into
+    `n_slices` disjoint parquet slice files for multi-batch streaming
+    runs (VERDICT r10 ask #6: the r10 version re-staged into a fresh
+    mkdtemp on EVERY query invocation via three serial coalesce(1)
+    passes — at sf1 that staging dominated the streaming sweep rows).
+
+    - Keyed by (source fingerprint, key_col, n_slices) through
+      `caching.build_once`, so repeat invocations and the whole
+      streaming family reuse one staging per source GENERATION, and a
+      regenerated scratch corpus can never serve stale slices.
+    - Built in ONE pass: slice id = pmod(event_id, n) is a column, the
+      write is `repartition(n, slice).partitionBy(slice)` — parallel
+      writers, no per-slice serial coalesce(1) jobs.
+
+    Returns the stage dir containing flat `slice{i}_{j}.parquet` files
+    (disjoint by construction; ≥1 file per slice)."""
+    import re
+
+    from core_telecoms_etl_spark.caching import build_once, path_fingerprint
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark, nanos_as_long=True)
+    fp = path_fingerprint(events_path)
+    tag = re.sub(r"\W+", "_", key_col)
+
+    def _build(stage: str) -> None:
+        _stage_explicit_slices(
+            spark, events_path, stage, key_col=key_col, n_slices=n_slices
+        )
+
+    return build_once(f"ctes_slices_{tag}_{n_slices}_{fp}", _build)
+
+
+def _stage_explicit_slices(
     spark: SparkSession,
     events_path: str,
     stage_dir: str,
+    *,
+    key_col: str,
+    n_slices: int,
+) -> None:
+    """One-pass slice staging into a caller-owned dir (no sharing) —
+    for tests that need an isolated stage; same layout as
+    `staged_key_slices`."""
+    import glob
+    import os
+    import shutil
+
+    part_root = f"{stage_dir}__parts"
+    (
+        spark.read.parquet(events_path)
+        .select(key_col, "event_id")
+        .withColumn("__slice", F.pmod("event_id", F.lit(n_slices)))
+        .repartition(n_slices, "__slice")
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(part_root)
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    for i in range(n_slices):
+        for j, f in enumerate(
+            sorted(glob.glob(f"{part_root}/__slice={i}/part-*.parquet"))
+        ):
+            shutil.move(f, f"{stage_dir}/slice{i}_{j}.parquet")
+    shutil.rmtree(part_root)
+
+
+def run_stream_cms(
+    spark: SparkSession,
+    events_path: str,
+    stage_dir: str | None = None,
     *,
     key_col: str = "user_id",
     depth: int = 4,
@@ -527,31 +601,29 @@ def run_stream_cms(
 
     The events table is staged into `n_slices` disjoint files (pure
     file moves of Spark-written parts — no driver data path) so
-    maxFilesPerTrigger=1 genuinely exercises the multi-batch merge.
+    maxFilesPerTrigger=1 genuinely exercises the multi-batch merge;
+    staging is SHARED and write-once per source generation
+    (`staged_key_slices`) unless an explicit `stage_dir` is passed.
     The accumulated counter table is localized per batch via collect —
     small-by-construction (≤ depth·width rows), the same class as the
     DQ summaries; on a cluster the same loop writes it to a parquet
     target instead. Returns the final counter table."""
-    import glob
-    import os
-    import shutil
-
     from core_telecoms_etl_spark.operators import sketches as sk
     from core_telecoms_etl_spark.sources.readers import ensure_session_confs
 
     ensure_session_confs(spark, nanos_as_long=True)
-    keys = spark.read.parquet(events_path).select(key_col, "event_id")
-    os.makedirs(stage_dir, exist_ok=True)
-    for i in range(n_slices):
-        part_dir = f"{stage_dir}__part{i}"
-        keys.filter(F.pmod("event_id", F.lit(n_slices)) == i).select(
-            key_col
-        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
-        for j, f in enumerate(
-            sorted(glob.glob(f"{part_dir}/part-*.parquet"))
-        ):
-            shutil.move(f, f"{stage_dir}/slice{i}_{j}.parquet")
-        shutil.rmtree(part_dir)
+    if stage_dir is None:
+        stage_dir = staged_key_slices(
+            spark, events_path, key_col=key_col, n_slices=n_slices
+        )
+    else:
+        _stage_explicit_slices(
+            spark,
+            events_path,
+            stage_dir,
+            key_col=key_col,
+            n_slices=n_slices,
+        )
 
     state: dict[str, DataFrame | None] = {"counters": None}
 
