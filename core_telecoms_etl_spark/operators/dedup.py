@@ -81,7 +81,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, shingles) with token + shingle arrays materialized in their own
     projections — keeps Catalyst from re-inlining the tokenizer into every
-    downstream reference (see word_shingles PERF note)."""
+    downstream reference (see word_shingles PERF note).
+
+    EXPLODE CAVEAT (found by the r11 minhash profile): a plain
+    `F.explode(shingles)` directly over this relation triggers
+    InferFiltersFromGenerate, whose inferred `size(shingles) > 0`
+    predicate Catalyst pushes into the parquet scan filter BY
+    SUBSTITUTION — re-inlining the full tokenize+shingle expression,
+    whose per-element element_at(filter(split(text))) lambda makes the
+    filter O(words²) per doc (measured: the posting explode at sf0.1
+    went 0.4s → 4.5s, 12×; at sf1 it dominated the whole near-dup
+    family). Exploding sites over an UNCACHED _shingled must use
+    `F.explode_outer` + an isNotNull filter on the generated column
+    (identical semantics — the arrays are non-empty by construction —
+    but the outer generate infers no pushable filter). Sites that
+    explode a `cache_scoped` relation are safe: the InMemoryRelation
+    is an optimizer barrier."""
     toks = df.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
     ).filter(F.size("__toks") >= n)
@@ -95,10 +110,15 @@ def shingle_postings(
 ) -> DataFrame:
     """(id, shingle, n_shingles) exploded inverted index over distinct word
     n-grams. Docs with < n tokens carry no shingles and drop out."""
-    return _shingled(df, id_col, text_col, n).select(
-        "doc",
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+    # explode_outer + isNotNull: see _shingled's EXPLODE CAVEAT
+    return (
+        _shingled(df, id_col, text_col, n)
+        .select(
+            "doc",
+            F.size("shingles").alias("n_shingles"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -519,9 +539,14 @@ def minhash_signature(
     that is ~512 bytes/doc with map-side combine, cheaper than the
     memory churn it replaces."""
     sh = _shingled(_ensure_parallelism(df), id_col, text_col, n)
-    posts = sh.select(
-        "doc", F.explode("shingles").alias("__s")
-    ).withColumn("__h", F.xxhash64("__s"))
+    # explode_outer + isNotNull: see _shingled's EXPLODE CAVEAT (the
+    # r11 minhash profile measured this single generate at 4.5s of the
+    # signature stage's 5.1s at sf0.1 with plain explode)
+    posts = (
+        sh.select("doc", F.explode_outer("shingles").alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .withColumn("__h", F.xxhash64("__s"))
+    )
     mins = posts.groupBy("doc").agg(
         *[
             F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
@@ -827,10 +852,14 @@ def incremental_dedup(
                     F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
                 ).alias("shingles"),
             )
-        return sh.select(
-            F.col("doc").alias(f"{side}_id"),
-            F.size("shingles").alias(f"n_{side}"),
-            F.explode("shingles").alias("shingle"),
+        # explode_outer + isNotNull: see _shingled's EXPLODE CAVEAT
+        return (
+            sh.select(
+                F.col("doc").alias(f"{side}_id"),
+                F.size("shingles").alias(f"n_{side}"),
+                F.explode_outer("shingles").alias("shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
         )
 
     near_hits = (

@@ -25,7 +25,13 @@ see. Measured targets (sf0.1 → sf1):
   Jan 2024; props = '{"k": <0..99>}'.
 - documents: 10–100 uniform words from the exact 31-word vocab,
   lang 40% en / 15% each other, source = src(doc_id % 20),
-  ~0.16% exact-dup injection (text seed collapsed onto doc_id % 50).
+  ~0.16% exact-dup injection (text seed collapsed onto doc_id % 50),
+  plus ~0.6% MUTATED near-duplicates (VERDICT r10 ask #2: token-level
+  substitutions of a base doc's text targeting distinct-3-shingle
+  jaccard ≈ 0.75–0.92, seeded child streams, engine-independent) so
+  the post-exact-collapse pair relation is NON-EMPTY at sf1 and
+  minhash/prefix/containment do real recall work — the r10 sweep's
+  `near_dedup_layered` row was vacuously green (exact copies only).
 - embeddings: unit-normalized 64-dim standard gaussians (measured:
   ||v|| = 1.0 ± 3e-8, component std 1/8), label = geometry-independent
   uniform 0–9 (measured same-label vs diff-label cosine both ≈ 0).
@@ -322,7 +328,40 @@ def main() -> None:
             )
         return texts[seed]
 
-    doc_text = [text_of(int(s)) for s in seeds]
+    # organic near-duplicates (VERDICT r10 ask #2): ~0.6% of docs get a
+    # MUTATED copy of a guaranteed-present base text (bases 0..49 are
+    # their own docs' seeds and are excluded from mutation), built by
+    # m token substitutions sized for a target distinct-3-shingle
+    # jaccard drawn uniform in [0.75, 0.92]: an isolated substitution
+    # removes ≤3 shingles and adds ≤3, so j ≈ (s-3m)/(s+3m) with
+    # s = w-2 distinct shingles → m = round(s(1-j)/(3(1+j))). Short
+    # docs land below the 0.8 threshold — deliberate sub-threshold
+    # mass, so recall filters have something to reject. NOTE: this adds
+    # one main-stream draw, so lang/embeddings differ byte-for-byte
+    # from any pre-r11 sf1 — regenerate, don't mix (established rule).
+    near_mask = (~dup_mask) & (rng.random(N_DOCS) < (1 / 166))
+    near_mask[:200] = False
+
+    def mutated_text(base_seed: int, doc_id: int) -> str:
+        r = np.random.default_rng(SEED * 2_000_003 + doc_id)
+        toks = text_of(base_seed).split()
+        w = len(toks)
+        j_target = r.uniform(0.75, 0.92)
+        m = max(
+            1, int(round((w - 2) * (1 - j_target) / (3 * (1 + j_target))))
+        )
+        for p in r.choice(w, size=min(m, w), replace=False):
+            cur = toks[p]
+            alt = cur
+            while alt == cur:
+                alt = VOCAB[int(r.integers(0, len(VOCAB)))]
+            toks[p] = alt
+        return " ".join(toks)
+
+    doc_text = [
+        mutated_text(i % 50, i) if near_mask[i] else text_of(int(s))
+        for i, s in enumerate(seeds)
+    ]
     write(
         pd.DataFrame(
             {
