@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 # the right plan anyway. Overridable per call for deliberate probes.
 MAX_COLLECT_ROWS_DEFAULT = 1_000_000
 
+# Query-chunk width for the BLAS selection matrix in the top-k scorers
+# (VERDICT r10 ask #7): the per-batch n×Q cosine matrix grows with the
+# query-set size — at Q = 10⁴ and the default 10⁴-row Arrow batch it
+# would be 800 MB PER TASK, far past a sane executor budget at 32-way
+# parallelism. Chunking the query axis bounds it at n×1024×8 ≈ 80 MB
+# per batch; selection is per-query, so chunking cannot change which
+# rows survive beyond BLAS shape-dependent rounding — which the
+# interval-sound keep rule already absorbs, and the EMITTED values
+# come from the exact dim-ascending rescore either way (bit-identity
+# is pinned by the equality pytests and the Q>chunk probe test).
+Q_CHUNK = 1024
+
 
 def _collect_bounded(proj: DataFrame, *, what: str, escalation: str,
                      max_rows: int) -> list:
@@ -169,6 +181,7 @@ def brute_force_topk_arrow(
     k: int = 10,
     batch_topk: bool = True,
     max_collect_rows: int = MAX_COLLECT_ROWS_DEFAULT,
+    q_chunk: int = Q_CHUNK,
 ) -> DataFrame:
     """Exact cosine top-k per query — Arrow-batched numpy scorer,
     BIT-IDENTICAL to `brute_force_topk` (equality pytest in
@@ -270,36 +283,39 @@ def brute_force_topk_arrow(
                     "undefined (ANSI fold path raises DIVIDE_BY_ZERO); "
                     "filter them upstream"
                 )
-            # BLAS scoring for SELECTION only (docstring)
-            cos_b = (cm @ qm.T) / np.sqrt(
-                c_n2[:, None] * q_n2[None, :]
-            )
             out_q, out_n, out_c = [], [], []
             idx = np.arange(len(n_ids))
-            for j in range(len(q_ids)):
-                mask = n_ids != q_ids[j]
-                cand_i, cand_c = idx[mask], cos_b[mask, j]
-                if batch_topk and len(cand_i) > k:
-                    # interval-sound partial top-k: NaN cosines
-                    # (NaN-component vectors) get (lo, hi) =
-                    # (−inf, +inf) so they are always kept, matching
-                    # Spark's NaN-greatest-under-DESC window order
-                    # (ADVICE r9); finite rows are dropped only when
-                    # ≥ k rows' lower edges provably beat them
-                    finite = np.isfinite(cand_c)
-                    lo = np.where(finite, cand_c - blas_eps, -np.inf)
-                    hi = np.where(finite, cand_c + blas_eps, np.inf)
-                    thr = np.partition(lo, len(lo) - k)[len(lo) - k]
-                    cand_i = cand_i[hi >= thr]
-                # exact dim-ascending rescore of the survivors — the
-                # emitted doubles are the fold's, bit for bit
-                dots = np.zeros(len(cand_i))
-                for d in range(dim):
-                    dots += cm[cand_i, d] * qm[j, d]
-                cexact = dots / np.sqrt(c_n2[cand_i] * q_n2[j])
-                out_q.append(np.full(len(cand_i), q_ids[j]))
-                out_n.append(n_ids[cand_i])
-                out_c.append(cexact)
+            for j0 in range(0, len(q_ids), q_chunk):
+                j1 = min(j0 + q_chunk, len(q_ids))
+                # BLAS scoring for SELECTION only (docstring); chunked
+                # over the query axis to bound the matrix (Q_CHUNK note)
+                cos_b = (cm @ qm[j0:j1].T) / np.sqrt(
+                    c_n2[:, None] * q_n2[None, j0:j1]
+                )
+                for j in range(j0, j1):
+                    mask = n_ids != q_ids[j]
+                    cand_i, cand_c = idx[mask], cos_b[mask, j - j0]
+                    if batch_topk and len(cand_i) > k:
+                        # interval-sound partial top-k: NaN cosines
+                        # (NaN-component vectors) get (lo, hi) =
+                        # (−inf, +inf) so they are always kept, matching
+                        # Spark's NaN-greatest-under-DESC window order
+                        # (ADVICE r9); finite rows are dropped only when
+                        # ≥ k rows' lower edges provably beat them
+                        finite = np.isfinite(cand_c)
+                        lo = np.where(finite, cand_c - blas_eps, -np.inf)
+                        hi = np.where(finite, cand_c + blas_eps, np.inf)
+                        thr = np.partition(lo, len(lo) - k)[len(lo) - k]
+                        cand_i = cand_i[hi >= thr]
+                    # exact dim-ascending rescore of the survivors — the
+                    # emitted doubles are the fold's, bit for bit
+                    dots = np.zeros(len(cand_i))
+                    for d in range(dim):
+                        dots += cm[cand_i, d] * qm[j, d]
+                    cexact = dots / np.sqrt(c_n2[cand_i] * q_n2[j])
+                    out_q.append(np.full(len(cand_i), q_ids[j]))
+                    out_n.append(n_ids[cand_i])
+                    out_c.append(cexact)
             all_c = np.concatenate(out_c)
             yield pd.DataFrame(
                 {
@@ -340,6 +356,7 @@ def brute_force_topk_arrow_rounded6(
     vec_col: str = "embedding",
     k: int = 10,
     max_collect_rows: int = MAX_COLLECT_ROWS_DEFAULT,
+    q_chunk: int = Q_CHUNK,
 ) -> DataFrame:
     """Exact top-k under the ROUNDED-fold cosine discipline
     (queries/vector.py: cosine = round(dot,6) / sqrt(round(n²q,6) ·
@@ -440,38 +457,41 @@ def brute_force_topk_arrow_rounded6(
             cm = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
             )  # (n, D)
-            # BLAS scoring for SELECTION only; survivors re-scored
-            # with the exact dim-ascending accumulation before emit
-            denom = np.sqrt(c_n2r[:, None] * q_n2r[None, :])
-            cos_b = (cm @ qm.T) / denom
             out_q, out_n, out_dot, out_cn2, out_qn2 = [], [], [], [], []
             idx = np.arange(len(n_ids))
-            for j in range(len(q_ids)):
-                mask = n_ids != q_ids[j]
-                cand_i = idx[mask]
-                cand_c = cos_b[mask, j]
-                if len(cand_i) > k:
-                    # interval-sound partial top-k (docstring): the
-                    # true Spark cosine of finite rows lies within
-                    # ε = dot_eps/denom + 1e-11 of the BLAS cosine;
-                    # drop a row only when ≥ k rows' LOWER edges beat
-                    # its UPPER edge.
-                    finite = np.isfinite(cand_c)
-                    eps = dot_eps / denom[mask, j] + 1e-11
-                    lo = np.where(finite, cand_c - eps, -np.inf)
-                    hi = np.where(finite, cand_c + eps, np.inf)
-                    thr = np.partition(lo, len(lo) - k)[len(lo) - k]
-                    cand_i = cand_i[hi >= thr]
-                # exact dim-ascending rescore — the emitted raw dots
-                # are the fold's doubles, bit for bit
-                dots = np.zeros(len(cand_i))
-                for d in range(dim):
-                    dots += cm[cand_i, d] * qm[j, d]
-                out_q.append(np.full(len(cand_i), q_ids[j]))
-                out_n.append(n_ids[cand_i])
-                out_dot.append(dots)
-                out_cn2.append(c_n2r[cand_i])
-                out_qn2.append(np.full(len(cand_i), q_n2r[j]))
+            for j0 in range(0, len(q_ids), q_chunk):
+                j1 = min(j0 + q_chunk, len(q_ids))
+                # BLAS scoring for SELECTION only; survivors re-scored
+                # with the exact dim-ascending accumulation before
+                # emit; chunked over the query axis (Q_CHUNK note)
+                denom = np.sqrt(c_n2r[:, None] * q_n2r[None, j0:j1])
+                cos_b = (cm @ qm[j0:j1].T) / denom
+                for j in range(j0, j1):
+                    mask = n_ids != q_ids[j]
+                    cand_i = idx[mask]
+                    cand_c = cos_b[mask, j - j0]
+                    if len(cand_i) > k:
+                        # interval-sound partial top-k (docstring): the
+                        # true Spark cosine of finite rows lies within
+                        # ε = dot_eps/denom + 1e-11 of the BLAS cosine;
+                        # drop a row only when ≥ k rows' LOWER edges
+                        # beat its UPPER edge.
+                        finite = np.isfinite(cand_c)
+                        eps = dot_eps / denom[mask, j - j0] + 1e-11
+                        lo = np.where(finite, cand_c - eps, -np.inf)
+                        hi = np.where(finite, cand_c + eps, np.inf)
+                        thr = np.partition(lo, len(lo) - k)[len(lo) - k]
+                        cand_i = cand_i[hi >= thr]
+                    # exact dim-ascending rescore — the emitted raw
+                    # dots are the fold's doubles, bit for bit
+                    dots = np.zeros(len(cand_i))
+                    for d in range(dim):
+                        dots += cm[cand_i, d] * qm[j, d]
+                    out_q.append(np.full(len(cand_i), q_ids[j]))
+                    out_n.append(n_ids[cand_i])
+                    out_dot.append(dots)
+                    out_cn2.append(c_n2r[cand_i])
+                    out_qn2.append(np.full(len(cand_i), q_n2r[j]))
             dot = np.concatenate(out_dot)
             # a NaN dot (NaN-component vector on either side) would be
             # read back as SQL NULL at the Arrow boundary; flag it and
