@@ -71,7 +71,7 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r10 window: head is EXACTLY 50, policy (enforced data-driven
+    # ---- r11 window: head is EXACTLY 50, policy (enforced data-driven
     # ---- by tests/test_entry.py::test_window_head_rotation, which
     # ---- computes never-green and staleness from CORRECTNESS_r01..rN):
     # ---- (1) queries whose bytes, operators, or plans changed this
@@ -82,74 +82,35 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- 207 queries at 50 slots/round rotate fully in 5 rounds —
     # ---- the bar is max(round)-5 because ceil(207/50) = 5 (a 4-round
     # ---- bar is arithmetically unsatisfiable; r8 lesson).
-    # -- (1) changed r10: knn_classify/vector_topk exact arms +
-    # -- cosine_pairs + semantic_dedup's pair relation now on the
-    # -- Arrow scorers (BLAS selection + exact rescore, bit-identical;
-    # -- VERDICT r9 ask #2 and sf1 finding #5); knn_classify_ivf /
-    # -- vector_topk_ivf / vector_topk_lsh ride brute_force_topk_arrow
-    # -- whose emit+selection changed; heavy_hitters maxItemsTracked 1M
-    # -- (sf1 finding #1); dedup_clusters via the connected-components
-    # -- edge checkpoint (finding #3); recursive_hierarchy_walk
-    # -- recursion guard (finding #4); partition_pruned_rollup layout
-    # -- write-once (ADVICE r9); containment/prefix-filter overflow
-    # -- guard (ADVICE r9)
-    "knn_classify",  # green r8
-    "knn_classify_ivf",  # green r9
-    "vector_topk_ivf",  # green r9
-    "vector_topk_lsh",  # green r9
-    "partition_pruned_rollup",  # green r9
-    "containment_near_dup",  # green r9
-    "prefix_filter_near_dup",  # green r9
-    "cosine_pairs",  # green r9
-    "semantic_dedup",  # green r5
-    "vector_topk",  # green r5
-    "heavy_hitters",  # green r9
-    "recursive_hierarchy_walk",  # green r8
-    "dedup_clusters",  # green r9
-    # -- (2) the 15 r5-last-green queries (they reach the 5-round
-    # -- staleness bar next round; promised this head by the r9
-    # -- tail comment and VERDICT r9 ask #6)
-    "returned_item_report",  # green r5
-    "revenue_topk_shipping",  # green r5
-    "salted_skew_join",  # green r5
-    "sequence_pack",  # green r5
-    "sessionize",  # green r5
-    "sql_api",  # green r5
-    "stratified_sample",  # green r5
-    "string_funcs_extended",  # green r5
-    "text_chunks",  # green r5
-    "text_exact_dedup",  # green r5
-    "text_profile",  # green r5
-    "training_pipeline",  # green r5
-    "vector_quantize",  # green r5
-    # -- (3) fill: the oldest remaining (r6-last-green) queries
-    "ab_test_stats",  # green r6
-    "activity_streaks",  # green r6
-    "anti_join",  # green r6
-    "benford_profile",  # green r6
-    "cms_heavy_hitters",  # green r6
-    "completeness_gaps",  # green r6
-    "copurchase_pairs",  # green r6
-    "events_tumbling",  # green r6
-    "exists_subquery",  # green r6
-    "feature_scaling",  # green r6
-    "groupby_agg",  # green r6
-    "grouped_correlation",  # green r6
-    "incremental_rollup",  # green r6
-    "iqr_outliers",  # green r6
-    "ks_two_sample",  # green r6
-    "large_volume_customers",  # green r6
-    "mad_outliers",  # green r6
-    "market_share",  # green r6
-    "markov_transitions",  # green r6
-    "minhash_near_dup",  # green r6
-    "mom_revenue_growth",  # green r6
-    "multi_join",  # green r6
-    "pareto_classes",  # green r6
-    "point_in_time_join",  # green r6
-    # ---- 50-query window boundary. Tail is ascending last-green,
-    # ---- so the r11 rotation head reads straight off the top:
-    # ---- the remaining r6 rows lead, then r7, r8, r9.
+    # -- (1) changed r11: the vector family rides the Arrow scorers,
+    # -- whose BLAS selection is now query-axis-chunked (bounded
+    # -- per-batch matrix; VERDICT r10 ask #7) and whose query-side
+    # -- collect bound is ENFORCED (ask #5); heavy_hitters' exact mode
+    # -- is domain-safe (bound derived from the part dimension,
+    # -- groupBy fallback past Spark's 1M sketch ceiling, empty-sketch
+    # -- tripwire; ask #1); recursive_hierarchy_walk sizes + restores
+    # -- its recursion guard (ADVICE r10); partition_pruned_rollup's
+    # -- layout cache is fingerprint-keyed (ADVICE r10);
+    # -- text_exact_dedup / training_pipeline / near_dedup_layered /
+    # -- corpus_incremental_dedup ride the explode_outer fix for the
+    # -- InferFiltersFromGenerate O(words^2) scan-filter regression
+    "knn_classify",  # green r10
+    "knn_classify_ivf",  # green r10
+    "vector_topk",  # green r10
+    "vector_topk_ivf",  # green r10
+    "vector_topk_lsh",  # green r10
+    "cosine_pairs",  # green r10
+    "semantic_dedup",  # green r10
+    "heavy_hitters",  # green r10
+    "recursive_hierarchy_walk",  # green r10
+    "partition_pruned_rollup",  # green r10
+    "text_exact_dedup",  # green r10
+    "training_pipeline",  # green r10
+    "near_dedup_layered",  # green r9
+    "corpus_incremental_dedup",  # green r9
+    # -- (2) the 22 r6-last-green queries (they reach the 5-round
+    # -- staleness bar this round; promised this head by the r10
+    # -- tail comment and VERDICT r10 ask #4)
     "promo_revenue",  # green r6
     "referential_integrity",  # green r6
     "rfm_segments",  # green r6
@@ -172,6 +133,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "weighted_median",  # green r6
     "weighted_sample",  # green r6
     "windowed_funnel",  # green r6
+    # -- (3) fill: the oldest remaining (14 r7-last-green) queries
     "cohort_retention",  # green r7
     "count_filter",  # green r7
     "csv_scan",  # green r7
@@ -186,6 +148,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "feature_binning",  # green r7
     "filter_predicate",  # green r7
     "full_outer_join",  # green r7
+    # ---- 50-query window boundary. Tail is ascending last-green,
+    # ---- so the r12 rotation head reads straight off the top:
+    # ---- the remaining r7 rows lead, then r8, r9, r10.
     "funnel",  # green r7
     "histogram_agg",  # green r7
     "important_stock",  # green r7
@@ -273,7 +238,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "asof_join_forward",  # green r9
     "bigram_surprisal",  # green r9
     "contamination",  # green r9
-    "corpus_incremental_dedup",  # green r9
     "date_funcs",  # green r9
     "deterministic_shuffle",  # green r9
     "domain_cap",  # green r9
@@ -291,7 +255,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "local_supplier_volume",  # green r9
     "math_funcs",  # green r9
     "near_dedup",  # green r9
-    "near_dedup_layered",  # green r9
     "null_handling",  # green r9
     "null_safe_join",  # green r9
     "pandas_udf_scalar",  # green r9
@@ -307,6 +270,44 @@ _CHECK_ORDER: tuple[str, ...] = (
     "unpivot_metrics",  # green r9
     "window_range_frame",  # green r9
     "window_rank_funcs",  # green r9
+    "ab_test_stats",  # green r10
+    "activity_streaks",  # green r10
+    "anti_join",  # green r10
+    "benford_profile",  # green r10
+    "cms_heavy_hitters",  # green r10
+    "completeness_gaps",  # green r10
+    "containment_near_dup",  # green r10
+    "copurchase_pairs",  # green r10
+    "dedup_clusters",  # green r10
+    "events_tumbling",  # green r10
+    "exists_subquery",  # green r10
+    "feature_scaling",  # green r10
+    "groupby_agg",  # green r10
+    "grouped_correlation",  # green r10
+    "incremental_rollup",  # green r10
+    "iqr_outliers",  # green r10
+    "ks_two_sample",  # green r10
+    "large_volume_customers",  # green r10
+    "mad_outliers",  # green r10
+    "market_share",  # green r10
+    "markov_transitions",  # green r10
+    "minhash_near_dup",  # green r10
+    "mom_revenue_growth",  # green r10
+    "multi_join",  # green r10
+    "pareto_classes",  # green r10
+    "point_in_time_join",  # green r10
+    "prefix_filter_near_dup",  # green r10
+    "returned_item_report",  # green r10
+    "revenue_topk_shipping",  # green r10
+    "salted_skew_join",  # green r10
+    "sequence_pack",  # green r10
+    "sessionize",  # green r10
+    "sql_api",  # green r10
+    "stratified_sample",  # green r10
+    "string_funcs_extended",  # green r10
+    "text_chunks",  # green r10
+    "text_profile",  # green r10
+    "vector_quantize",  # green r10
 )
 
 
