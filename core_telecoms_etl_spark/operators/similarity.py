@@ -767,12 +767,51 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 0,
+    max_collect_rows: int = MAX_COLLECT_ROWS_DEFAULT,
+    q_chunk: int = Q_CHUNK,
 ) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest centroid buckets
     per query, brute-force only inside them. Recall rises with n_probe;
     n_probe == n_centroids degenerates to exact. kmeans_iters > 0 refines
     the coarse quantizer with deterministic Lloyd iterations (better-
-    balanced buckets => better recall at the same n_probe)."""
+    balanced buckets => better recall at the same n_probe).
+
+    Arrow single-pass scorer by DEFAULT since r11 — bit-identical to
+    the declarative form `_ivf_topk_fold` (equality pytest). The fold
+    form scored every (bucket row × probing query) candidate through
+    the interpreted HOF fold AND assigned the corpus via a
+    corpus×centroids fold join + a row_number window over n·C rows
+    (a 64M-row shuffle at 1M corpus): the r11 Q=10^4×10^6 memory
+    probe measured it PAST 590 s where the chunked exact Arrow scorer
+    takes 217 s — the approximate index lost to its own exact
+    baseline, the same interpreted-fold class as sf1 finding #5. The
+    Arrow path does assignment + probing + scoring in ONE corpus scan
+    (see _ivf_topk_arrow)."""
+    return _ivf_topk_arrow(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        n_centroids=n_centroids, n_probe=n_probe,
+        kmeans_iters=kmeans_iters, max_collect_rows=max_collect_rows,
+        q_chunk=q_chunk,
+    )
+
+
+def _ivf_topk_fold(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Declarative IVF top-k (the r8-r10 form, retained as the
+    verification oracle for `_ivf_topk_arrow`'s equality pytest and
+    for callers that must stay fully lazy). Scoring and assignment run
+    on the interpreted HOF fold — correct at query-gate scale,
+    interpreter-bound at the 100-TB readout shape (docstring of
+    ivf_topk)."""
     cents_in = (
         kmeans_centroids(
             corpus, id_col=id_col, vec_col=vec_col, k=n_centroids,
@@ -826,6 +865,212 @@ def ivf_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ivf_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    kmeans_iters: int,
+    max_collect_rows: int,
+    q_chunk: int,
+) -> DataFrame:
+    """Single-pass Arrow IVF — assignment, probing, and scoring in ONE
+    corpus scan, BIT-IDENTICAL to `_ivf_topk_fold` (equality pytest in
+    tests/test_similarity.py).
+
+    Why one pass: the fold form materializes corpus×centroids (n·C
+    rows) through a broadcast join, shuffles it for a per-id
+    row_number window, then joins the probed buckets against a
+    broadcast probes relation and scores every candidate through the
+    interpreted HOF fold. At the 100-TB readout shape (r11 probe:
+    10^6 corpus × 10^4 queries) that is interpreter-bound and
+    shuffle-heavy — the approximate index measured SLOWER than the
+    chunked exact Arrow scorer. Here the corpus is scanned once by
+    `mapInPandas`; centroids (≤ n_centroids rows) and the query matrix
+    (bounded, enforced) ship in the task closure; per batch each row
+    is assigned to its centroid and scored only against the queries
+    PROBING that centroid; only per-(batch, bucket, query) partial
+    top-k rows leave Python (map-side combine); one final small
+    shuffle ranks globally. No n·C materialization, no
+    centroid-keyed exchange, no per-id window over the corpus.
+
+    Bit-equality discipline (same as brute_force_topk_arrow):
+    - ASSIGNMENT must match the fold's row_number choice exactly — a
+      flipped near-tie changes the candidate SET, which no rescore can
+      absorb — so assignment sims use the exact dim-ascending
+      accumulation (n×C is small: C ≤ n_centroids), NaN sims treated
+      as greatest (Spark's DESC order) and ties broken by ascending
+      centroid_id (np.argmax returns the first maximum; centroids are
+      sorted by centroid_id);
+    - query-side PROBE selection replicates the fold's
+      (sim DESC NaN-greatest, centroid_id ASC) window driver-side with
+      the same dim-ascending sims (stable argsort on the negated
+      NaN-adjusted row);
+    - bucket SCORING selects with BLAS under the interval-sound keep
+      rule (±1e-12 absorbs the ≤ dim·2⁻⁵² reordering bound) and
+      re-scores survivors dim-ascending — emitted cosines are the
+      fold's doubles, bit for bit;
+    - zero-norm query/corpus/centroid vectors raise (the fold's ANSI
+      DIVIDE_BY_ZERO, failed at the source)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "query_id long, neighbor_id long, cosine double, rank long"
+    cents_df = (
+        kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, k=n_centroids,
+            iters=kmeans_iters,
+        )
+        if kmeans_iters > 0
+        else _centroids(corpus, id_col, vec_col, n_centroids)
+    )
+    cent_rows = cents_df.orderBy("centroid_id").collect()  # ≤ n_centroids
+    q_rows = _collect_bounded(
+        queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col),
+        what="ivf_topk",
+        escalation="a larger q_chunk / per-query-shard runs",
+        max_rows=max_collect_rows,
+    )
+    if not cent_rows or not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    centm = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in cent_rows]
+    )  # (C, D)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in q_rows]
+    )  # (Q, D)
+    dim = qm.shape[1]
+    n_cent = len(cent_rows)
+
+    def _n2_dim_ascending(m: np.ndarray) -> np.ndarray:
+        n2 = np.zeros(len(m))
+        for d in range(dim):
+            n2 += m[:, d] * m[:, d]
+        return n2
+
+    q_n2 = _n2_dim_ascending(qm)
+    cent_n2 = _n2_dim_ascending(centm)
+    if np.any(q_n2 == 0.0):
+        raise ValueError(
+            "zero-norm query vector(s): "
+            f"{q_ids[q_n2 == 0.0][:5].tolist()} — cosine is undefined "
+            "(ANSI fold path raises DIVIDE_BY_ZERO); filter them upstream"
+        )
+    if np.any(cent_n2 == 0.0):
+        raise ValueError(
+            "zero-norm centroid(s) — cosine probing is undefined "
+            "(ANSI fold path raises DIVIDE_BY_ZERO)"
+        )
+
+    # probe selection, dim-ascending (bit-identical to the fold window)
+    acc = np.zeros((len(q_ids), n_cent))
+    for d in range(dim):
+        acc += qm[:, d, None] * centm[None, :, d]
+    sim_qc = acc / np.sqrt(q_n2[:, None] * cent_n2[None, :])
+    adj = np.where(np.isnan(sim_qc), np.inf, sim_qc)
+    # stable sort on -adj: equal sims keep ascending centroid index =
+    # ascending centroid_id (the fold's tie-break)
+    probe_idx = np.argsort(-adj, axis=1, kind="stable")[
+        :, : min(n_probe, n_cent)
+    ]
+    probed_by_cent = [
+        np.nonzero((probe_idx == c).any(axis=1))[0] for c in range(n_cent)
+    ]
+    blas_eps = 1e-12  # cosine-scale bound on BLAS reordering (see above)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["__nid"].to_numpy(np.int64)
+            cm = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )
+            c_n2 = np.zeros(len(n_ids))
+            for d in range(dim):
+                c_n2 += cm[:, d] * cm[:, d]
+            if np.any(c_n2 == 0.0):
+                raise ValueError(
+                    "zero-norm corpus vector(s): "
+                    f"{n_ids[c_n2 == 0.0][:5].tolist()} — cosine is "
+                    "undefined (ANSI fold path raises DIVIDE_BY_ZERO); "
+                    "filter them upstream"
+                )
+            # in-batch assignment, dim-ascending (bit-identity note)
+            acc_b = np.zeros((len(n_ids), n_cent))
+            for d in range(dim):
+                acc_b += cm[:, d, None] * centm[None, :, d]
+            sim_nc = acc_b / np.sqrt(c_n2[:, None] * cent_n2[None, :])
+            assigned = np.argmax(
+                np.where(np.isnan(sim_nc), np.inf, sim_nc), axis=1
+            )
+            out_q, out_n, out_c = [], [], []
+            for c in np.unique(assigned):
+                qidx = probed_by_cent[c]
+                if not len(qidx):
+                    continue
+                rows = np.nonzero(assigned == c)[0]
+                cm_c, ids_c, n2_c = cm[rows], n_ids[rows], c_n2[rows]
+                ridx = np.arange(len(rows))
+                for j0 in range(0, len(qidx), q_chunk):
+                    js = qidx[j0 : j0 + q_chunk]
+                    cos_b = (cm_c @ qm[js].T) / np.sqrt(
+                        n2_c[:, None] * q_n2[None, js]
+                    )
+                    for jj, j in enumerate(js):
+                        mask = ids_c != q_ids[j]
+                        cand_i, cand_c = ridx[mask], cos_b[mask, jj]
+                        if len(cand_i) > k:
+                            finite = np.isfinite(cand_c)
+                            lo = np.where(finite, cand_c - blas_eps, -np.inf)
+                            hi = np.where(finite, cand_c + blas_eps, np.inf)
+                            thr = np.partition(lo, len(lo) - k)[len(lo) - k]
+                            cand_i = cand_i[hi >= thr]
+                        dots = np.zeros(len(cand_i))
+                        for d in range(dim):
+                            dots += cm_c[cand_i, d] * qm[j, d]
+                        cexact = dots / np.sqrt(n2_c[cand_i] * q_n2[j])
+                        out_q.append(np.full(len(cand_i), q_ids[j]))
+                        out_n.append(ids_c[cand_i])
+                        out_c.append(cexact)
+            if not out_c:
+                continue
+            all_c = np.concatenate(out_c)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "__cos": np.where(np.isnan(all_c), 0.0, all_c),
+                    "__isnan": np.isnan(all_c),
+                }
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(
+        score, "query_id long, neighbor_id long, __cos double, __isnan boolean"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("__isnan"), F.lit(float("nan")))
+        .otherwise(F.col("__cos"))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -111,6 +111,51 @@ def test_ivf_full_probe_is_exact(spark, sf_dir):
     assert full == exact
 
 
+def test_ivf_arrow_bit_identical_to_fold(spark, sf_dir):
+    """The r11 single-pass Arrow IVF must return the EXACT rows of the
+    retained declarative fold form — same (query_id, neighbor_id,
+    rank) and bit-identical cosine doubles — for both the naive
+    lowest-id quantizer and the kmeans-refined one (different centroid
+    geometry → different bucket boundaries exercise the assignment
+    tie discipline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    for iters in (0, 2):
+        fold = {
+            (r.query_id, r.neighbor_id, r.rank): r.cosine
+            for r in sim._ivf_topk_fold(
+                e, q, k=10, n_centroids=16, n_probe=4, kmeans_iters=iters
+            ).collect()
+        }
+        arrow = {
+            (r.query_id, r.neighbor_id, r.rank): r.cosine
+            for r in sim.ivf_topk(
+                e, q, k=10, n_centroids=16, n_probe=4, kmeans_iters=iters
+            ).collect()
+        }
+        assert set(fold) == set(arrow), iters
+        for key, c in fold.items():
+            assert arrow[key] == c, (iters, key, arrow[key], c)
+
+
+def test_ivf_arrow_chunked_queries_bit_identical(spark, sf_dir):
+    """Q-chunking inside the bucket scorer must not change results
+    (3 < |probing queries| forces multi-chunk paths)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    wide = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in sim.ivf_topk(e, q, k=10, n_centroids=8, n_probe=8).collect()
+    }
+    chunked = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in sim.ivf_topk(
+            e, q, k=10, n_centroids=8, n_probe=8, q_chunk=3
+        ).collect()
+    }
+    assert wide == chunked
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 4)

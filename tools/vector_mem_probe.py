@@ -15,7 +15,10 @@ This probe measures, on synthetic seeded vectors:
   - the analytic selection-matrix bound for each variant.
 
 Results go in BASELINE.md (round-11 section). Usage:
-    python tools/vector_mem_probe.py [N_CORPUS] [N_QUERIES]
+    python tools/vector_mem_probe.py [N_CORPUS] [N_QUERIES] [VARIANTS]
+VARIANTS: comma-separated subset of chunked,unchunked,ivf (default all)
+— the full-scale unchunked arm alone runs >6 min, so long runs go one
+variant at a time.
 """
 
 from __future__ import annotations
@@ -129,8 +132,14 @@ def main() -> None:
         f"corpus {n_corpus} x dim {DIM}, Q={n_queries}, k=10, "
         f"arrow batch {batch_rows} rows"
     )
+    which = (
+        set(sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else {"chunked", "unchunked", "ivf"}
+    )
     variants = [
         (
+            "chunked",
             "exact q_chunk=1024",
             lambda: sim.brute_force_topk_arrow(
                 corpus, queries, k=10, q_chunk=1024
@@ -138,6 +147,7 @@ def main() -> None:
             batch_rows * min(1024, n_queries) * 8,
         ),
         (
+            "unchunked",
             f"exact unchunked (q_chunk={n_queries})",
             lambda: sim.brute_force_topk_arrow(
                 corpus, queries, k=10, q_chunk=n_queries
@@ -145,6 +155,7 @@ def main() -> None:
             batch_rows * n_queries * 8,
         ),
         (
+            "ivf",
             "ivf 64c/8p",
             lambda: sim.ivf_topk(
                 corpus, queries, k=10, n_centroids=64, n_probe=8
@@ -152,7 +163,9 @@ def main() -> None:
             None,
         ),
     ]
-    for name, fn, matrix_bytes in variants:
+    for key, name, fn, matrix_bytes in variants:
+        if key not in which:
+            continue
         t0 = time.time()
         with WorkerRssSampler() as s:
             n = fn().count()
