@@ -1127,20 +1127,52 @@ def lsh_topk(
     n_bits: int = 16,
     max_hamming: int = 6,
     n_tables: int = 1,
+    max_collect_rows: int = MAX_COLLECT_ROWS_DEFAULT,
+    q_chunk: int = Q_CHUNK,
 ) -> DataFrame:
     """LSH-prefiltered top-k: score only candidates whose sign-bit sketch
     is within `max_hamming` of the query's. The Hamming filter is a cheap
-    bit_count on longs; the expensive cosine runs on the surviving
+    XOR + popcount on longs; the expensive cosine runs on the surviving
     fraction only.
 
     `n_tables > 1` is the standard E2LSH-style recall lever: L independent
     sketch tables (different hyperplane seeds), a pair is a candidate if
     ANY table passes the Hamming filter. Recall of one table is
-    1-(1-p)^1; of L tables 1-(1-p)^L — each extra table trades extra
-    scan-side sketch bits (L longs per row, still no shuffle) for
-    exponentially fewer missed neighbors. The candidate union is computed
-    per-row with a bitwise OR-reduce over the per-table filters, not a
-    union of L joins, so the corpus is still read once."""
+    1-(1-p)^1; of L tables 1-(1-p)^L.
+
+    Arrow single-pass scorer by DEFAULT since r11 — bit-identical to
+    the declarative form `_lsh_topk_fold` (equality pytest). The fold
+    form evaluated the Hamming filter inside an n×Q broadcast
+    nested-loop join (10^10 pair evaluations at the r11 probe shape)
+    and scored survivors through the interpreted HOF fold; the Arrow
+    path scans the corpus once and its compute scales with the
+    CANDIDATE count — the thing LSH exists to shrink (see
+    _lsh_topk_arrow)."""
+    return _lsh_topk_arrow(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        n_bits=n_bits, max_hamming=max_hamming, n_tables=n_tables,
+        max_collect_rows=max_collect_rows, q_chunk=q_chunk,
+    )
+
+
+def _lsh_topk_fold(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 16,
+    max_hamming: int = 6,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Declarative LSH top-k (the r7-r10 form, retained as the
+    verification oracle for `_lsh_topk_arrow`'s equality pytest and for
+    fully-lazy callers). The candidate union is computed per-row with a
+    bitwise OR-reduce over the per-table filters, not a union of L
+    joins, so the corpus is still read once — but the Hamming filter
+    itself runs inside an n×Q broadcast nested-loop join and the
+    scoring is the interpreted fold (see lsh_topk docstring)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -1184,6 +1216,217 @@ def lsh_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_signs(spark, dim: int, n_bits: int, seed: int):
+    """The ±1 hyperplane sign matrix (dim × n_bits) behind
+    `_sketch_expr`, computed by the JVM's own xxhash64 so the numpy
+    sketch replication is BIT-EXACT (the hash is data-independent —
+    signs depend only on (dimension index, bit index, seed) — so one
+    tiny dim-row job materializes the whole family). The dimension
+    index is cast to INT to match `_sketch_expr`'s `F.sequence`
+    element type (xxhash64 hashes ints and longs differently)."""
+    import numpy as np
+
+    d_int = F.col("id").cast("int")
+    rows = (
+        spark.range(dim)
+        .select(
+            *[
+                F.when(
+                    F.xxhash64(d_int, F.lit(i), F.lit(seed)).bitwiseAND(1)
+                    == 1,
+                    1.0,
+                )
+                .otherwise(-1.0)
+                .alias(f"b{i}")
+                for i in range(n_bits)
+            ]
+        )
+        .collect()
+    )
+    return np.array([[r[i] for i in range(n_bits)] for r in rows])
+
+
+def _popcount64(x):
+    """Vectorized SWAR popcount on a uint64 ndarray (numpy < 2 has no
+    bitwise_count). Matches Spark's bit_count on the same longs."""
+    x = x - ((x >> 1) & 0x5555555555555555)
+    x = (x & 0x3333333333333333) + ((x >> 2) & 0x3333333333333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F0F0F0F0F
+    return (x * 0x0101010101010101) >> 56
+
+
+def _lsh_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_bits: int,
+    max_hamming: int,
+    n_tables: int,
+    max_collect_rows: int,
+    q_chunk: int,
+) -> DataFrame:
+    """Single-pass Arrow LSH top-k — sketching, Hamming filtering, and
+    scoring in ONE corpus scan, BIT-IDENTICAL to `_lsh_topk_fold`
+    (equality pytest in tests/test_similarity.py).
+
+    Identity argument, piece by piece:
+    - SKETCHES: the hyperplane signs are the JVM's own xxhash64 values
+      (`_hyperplane_signs`); the projection accumulates dim-ascending
+      (the fold's exact order), and `proj > 0` is the same IEEE
+      comparison — so every sketch long equals `_sketch_expr`'s,
+      including NaN-component vectors (NaN > 0 is false on both
+      sides → sketch 0).
+    - CANDIDATES: XOR + SWAR popcount on the same longs ==
+      `bit_count(a ^ b)`; the per-table OR-reduce is the fold's
+      `any_table_close`; self-pairs excluded identically. Same longs +
+      same rule ⇒ the same candidate SET — no interval slack needed
+      where it matters most (set membership).
+    - SCORES: candidates are gathered (a few hundred rows per query —
+      the fraction LSH exists to shrink) and selected with a BLAS
+      matvec under the interval-sound keep rule, then survivors are
+      re-scored dim-ascending — emitted cosines are the fold's
+      doubles, bit for bit. Compute scales with the candidate count,
+      not n×Q: the fold evaluated its Hamming predicate INSIDE an n×Q
+      broadcast nested-loop join (10^10 evaluations at the r11 probe
+      shape).
+    - zero-norm QUERY vectors raise upfront (brute/IVF contract); a
+      zero-norm CORPUS vector raises only when it is a candidate —
+      exactly when the fold's ANSI divide would raise."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "query_id long, neighbor_id long, cosine double, rank long"
+    q_rows = _collect_bounded(
+        queries.select(F.col(id_col), F.col(vec_col)).orderBy(id_col),
+        what="lsh_topk",
+        escalation="a larger q_chunk / per-query-shard runs",
+        max_rows=max_collect_rows,
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    dim = qm.shape[1]
+    spark = corpus.sparkSession
+    hs = [
+        _hyperplane_signs(spark, dim, n_bits, 42 + t)
+        for t in range(n_tables)
+    ]  # each (dim, n_bits)
+    bit_weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    def _sketches(m: np.ndarray) -> list:
+        out = []
+        for h in hs:
+            acc = np.zeros((len(m), n_bits))
+            for d in range(dim):
+                acc += m[:, d, None] * h[None, d, :]
+            out.append(((acc > 0) * bit_weights).sum(axis=1))
+        return out  # n_tables × (rows,) int64
+
+    def _n2(m: np.ndarray) -> np.ndarray:
+        n2 = np.zeros(len(m))
+        for d in range(dim):
+            n2 += m[:, d] * m[:, d]
+        return n2
+
+    q_n2 = _n2(qm)
+    if np.any(q_n2 == 0.0):
+        raise ValueError(
+            "zero-norm query vector(s): "
+            f"{q_ids[q_n2 == 0.0][:5].tolist()} — cosine is undefined "
+            "(ANSI fold path raises DIVIDE_BY_ZERO); filter them upstream"
+        )
+    q_sk = _sketches(qm)
+    blas_eps = 1e-12  # cosine-scale BLAS reordering bound (see brute)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["__nid"].to_numpy(np.int64)
+            cm = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+            )
+            c_n2 = _n2(cm)
+            c_sk = _sketches(cm)
+            out_q, out_n, out_c = [], [], []
+            for j0 in range(0, len(q_ids), q_chunk):
+                j1 = min(j0 + q_chunk, len(q_ids))
+                ok = None
+                for t in range(n_tables):
+                    x = np.bitwise_xor(
+                        c_sk[t][:, None].astype(np.uint64),
+                        q_sk[t][None, j0:j1].astype(np.uint64),
+                    )
+                    close = _popcount64(x) <= max_hamming
+                    ok = close if ok is None else (ok | close)
+                for j in range(j0, j1):
+                    cand_i = np.nonzero(
+                        ok[:, j - j0] & (n_ids != q_ids[j])
+                    )[0]
+                    if not len(cand_i):
+                        continue
+                    if np.any(c_n2[cand_i] == 0.0):
+                        raise ValueError(
+                            "zero-norm corpus vector(s) among LSH "
+                            "candidates — cosine is undefined (ANSI "
+                            "fold path raises DIVIDE_BY_ZERO); filter "
+                            "them upstream"
+                        )
+                    cm_c = cm[cand_i]  # gathered: |cand| × D
+                    if len(cand_i) > k:
+                        cos_b = (cm_c @ qm[j]) / np.sqrt(
+                            c_n2[cand_i] * q_n2[j]
+                        )
+                        finite = np.isfinite(cos_b)
+                        lo = np.where(finite, cos_b - blas_eps, -np.inf)
+                        hi = np.where(finite, cos_b + blas_eps, np.inf)
+                        thr = np.partition(lo, len(lo) - k)[len(lo) - k]
+                        keep = hi >= thr
+                        cand_i, cm_c = cand_i[keep], cm_c[keep]
+                    dots = np.zeros(len(cand_i))
+                    for d in range(dim):
+                        dots += cm_c[:, d] * qm[j, d]
+                    cexact = dots / np.sqrt(c_n2[cand_i] * q_n2[j])
+                    out_q.append(np.full(len(cand_i), q_ids[j]))
+                    out_n.append(n_ids[cand_i])
+                    out_c.append(cexact)
+            if not out_c:
+                continue
+            all_c = np.concatenate(out_c)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "__cos": np.where(np.isnan(all_c), 0.0, all_c),
+                    "__isnan": np.isnan(all_c),
+                }
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(
+        score, "query_id long, neighbor_id long, __cos double, __isnan boolean"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("__isnan"), F.lit(float("nan")))
+        .otherwise(F.col("__cos"))
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

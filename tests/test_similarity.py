@@ -156,6 +156,34 @@ def test_ivf_arrow_chunked_queries_bit_identical(spark, sf_dir):
     assert wide == chunked
 
 
+def test_lsh_arrow_bit_identical_to_fold(spark, sf_dir):
+    """The r11 single-pass Arrow LSH must return the EXACT rows of the
+    retained declarative fold form — same candidate set (the JVM-hash
+    hyperplane signs + dim-ascending projection make every sketch long
+    equal `_sketch_expr`'s), same (query_id, neighbor_id, rank), and
+    bit-identical cosine doubles — single-table and multi-table, and
+    with q_chunk forced below the query count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    for n_tables, q_chunk in ((1, 1024), (4, 1024), (4, 3)):
+        fold = {
+            (r.query_id, r.neighbor_id, r.rank): r.cosine
+            for r in sim._lsh_topk_fold(
+                e, q, k=10, n_bits=16, max_hamming=6, n_tables=n_tables
+            ).collect()
+        }
+        arrow = {
+            (r.query_id, r.neighbor_id, r.rank): r.cosine
+            for r in sim.lsh_topk(
+                e, q, k=10, n_bits=16, max_hamming=6,
+                n_tables=n_tables, q_chunk=q_chunk,
+            ).collect()
+        }
+        assert set(fold) == set(arrow), (n_tables, q_chunk)
+        for key, c in fold.items():
+            assert arrow[key] == c, (n_tables, q_chunk, key, arrow[key], c)
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 4)

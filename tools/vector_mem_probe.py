@@ -16,7 +16,8 @@ This probe measures, on synthetic seeded vectors:
 
 Results go in BASELINE.md (round-11 section). Usage:
     python tools/vector_mem_probe.py [N_CORPUS] [N_QUERIES] [VARIANTS]
-VARIANTS: comma-separated subset of chunked,unchunked,ivf (default all)
+VARIANTS: comma-separated subset of chunked,unchunked,ivf,lsh
+(default all)
 — the full-scale unchunked arm alone runs >6 min, so long runs go one
 variant at a time.
 """
@@ -135,7 +136,7 @@ def main() -> None:
     which = (
         set(sys.argv[3].split(","))
         if len(sys.argv) > 3
-        else {"chunked", "unchunked", "ivf"}
+        else {"chunked", "unchunked", "ivf", "lsh"}
     )
     variants = [
         (
@@ -159,6 +160,15 @@ def main() -> None:
             "ivf 64c/8p",
             lambda: sim.ivf_topk(
                 corpus, queries, k=10, n_centroids=64, n_probe=8
+            ),
+            None,
+        ),
+        (
+            "lsh",
+            "lsh 16b/ham6/4t",
+            lambda: sim.lsh_topk(
+                corpus, queries, k=10, n_bits=16, max_hamming=6,
+                n_tables=4,
             ),
             None,
         ),
