@@ -531,9 +531,12 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes candidate volume O(Q·√N·bucket) instead of O(Q·N); the probe
     fraction here is a data artifact, not the operator's asymptote.
 
-    Scale: candidates form only inside probed (centroid, bucket)
-    partitions — the corpus is never broadcast; the vote and both flag
-    reductions run on the k·|Q|-row candidate relation."""
+    Scale: since r11 `ivf_topk` is the single-pass Arrow scorer — one
+    mapInPandas corpus scan fuses assignment, probing, and bucket
+    scoring (71 s at the 10^6×10^4 probe vs the fold form's >590 s
+    kill); the corpus is never broadcast or materialized n·C-wide, and
+    the vote and both flag reductions run on the k·|Q|-row candidate
+    relation."""
     from core_telecoms_etl_spark.queries import cache_scoped
 
     e = load_table(spark, sf_dir, "embeddings")
