@@ -533,6 +533,65 @@ def test_arrow_topk_nan_cosine_matches_fold(spark):
     assert math.isnan(nan_cos)
 
 
+def test_ivf_lsh_arrow_nan_vectors_match_fold(spark):
+    """NaN-component corpus vectors through the r11 single-pass paths:
+    IVF assignment treats a NaN sim as greatest with the min-centroid
+    tie-break (the fold window's NaN-DESC order), LSH sketches a
+    NaN projection to bit 0 (NaN > 0 is false on both sides), and both
+    keep NaN cosines first in the final order — row-for-row equal to
+    the fold forms on the same frame."""
+    import math
+
+    nan = float("nan")
+    rows = [(i, [1.0 + 0.01 * i, 0.5, 0.0]) for i in range(30)]
+    rows.append((98, [nan, 1.0, 0.0]))
+    rows.append((99, [nan, 1.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    for arrow_fn, fold_fn, kw in (
+        (sim.ivf_topk, sim._ivf_topk_fold,
+         dict(n_centroids=4, n_probe=4)),
+        (sim.lsh_topk, sim._lsh_topk_fold,
+         dict(n_bits=16, max_hamming=16, n_tables=2)),
+    ):
+        fold = [
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in fold_fn(df, q, k=5, **kw).orderBy("rank").collect()
+        ]
+        arrow = [
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in arrow_fn(df, q, k=5, **kw).orderBy("rank").collect()
+        ]
+        assert arrow == fold, arrow_fn.__name__
+        assert fold[0][1] == 98 and fold[1][1] == 99, fold
+        nan_cos = (
+            arrow_fn(df, q, k=5, **kw)
+            .filter("neighbor_id = 98")
+            .collect()[0]
+            .cosine
+        )
+        assert math.isnan(nan_cos), arrow_fn.__name__
+
+
+def test_ivf_lsh_arrow_zero_norm_corpus_raises(spark):
+    """Zero-norm corpus vectors raise loudly on the r11 single-pass
+    paths (the IVF assignment divides for every row; the LSH path
+    raises when the row becomes a candidate — max_hamming=16 makes
+    every pair a candidate here)."""
+    import pytest
+
+    rows = [(i, [1.0 + 0.01 * i, 0.5, 0.0]) for i in range(20)]
+    rows.append((99, [0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    with pytest.raises(Exception, match="zero-norm"):
+        sim.ivf_topk(df, q, k=5, n_centroids=4, n_probe=4).count()
+    with pytest.raises(Exception, match="zero-norm"):
+        sim.lsh_topk(
+            df, q, k=5, n_bits=16, max_hamming=16, n_tables=1
+        ).count()
+
+
 def test_arrow_topk_zero_norm_raises(spark):
     """Zero-norm vectors make cosine undefined; the ANSI fold path
     raises DIVIDE_BY_ZERO, so the Arrow scorers raise the same loud
