@@ -15,9 +15,16 @@ This probe measures, on synthetic seeded vectors:
   - the analytic selection-matrix bound for each variant.
 
 Results go in BASELINE.md (round-11 section). Usage:
-    python tools/vector_mem_probe.py [N_CORPUS] [N_QUERIES] [VARIANTS]
-VARIANTS: comma-separated subset of chunked,unchunked,ivf,lsh
-(default all)
+    python tools/vector_mem_probe.py [N_CORPUS] [N_QUERIES] [VARIANTS] [DIST]
+VARIANTS: comma-separated subset of chunked,unchunked,ivf,lsh,recall
+(default all except recall)
+DIST: uniform (default) | clustered — clustered draws each vector
+around one of 64 gaussian centers (std 0.25), the regime where
+locality-sensitive indexes earn their keep; uniform gaussians are the
+adversarial case (pairwise cosines concentrate near 0, so LSH buckets
+and IVF cells are near-uniformly full).
+`recall` runs exact + IVF + LSH at Q=min(Q,1000) and reports
+recall@10 of each approximate arm against the exact sets.
 — the full-scale unchunked arm alone runs >6 min, so long runs go one
 variant at a time.
 """
@@ -38,20 +45,32 @@ SEED = 11
 STAGE = "/tmp/spark_graft_vecprobe"
 
 
-def stage_vectors(n_corpus: int) -> str:
+def stage_vectors(n_corpus: int, dist: str = "uniform") -> str:
     """Seeded synthetic corpus written once (pyarrow, no Spark): vec_id
     long + embedding array<float> matching the testdata embeddings
-    schema. Unit-scale gaussians — zero-norm is impossible at dim 64."""
+    schema. uniform = unit gaussians (zero-norm impossible at dim 64);
+    clustered = 64 gaussian centers + std-0.25 noise, vec i on center
+    i % 64."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = f"{STAGE}/corpus_{n_corpus}.parquet"
+    tag = "" if dist == "uniform" else f"_{dist}"
+    path = f"{STAGE}/corpus_{n_corpus}{tag}.parquet"
     if os.path.exists(path):
         return path
     os.makedirs(STAGE, exist_ok=True)
     rng = np.random.default_rng(SEED)
     ids = pa.array(np.arange(n_corpus, dtype=np.int64))
-    flat = rng.standard_normal(n_corpus * DIM, dtype=np.float32)
+    if dist == "clustered":
+        centers = rng.standard_normal((64, DIM), dtype=np.float32)
+        noise = rng.standard_normal(
+            (n_corpus, DIM), dtype=np.float32
+        ) * np.float32(0.25)
+        flat = (
+            centers[np.arange(n_corpus) % 64] + noise
+        ).reshape(-1)
+    else:
+        flat = rng.standard_normal(n_corpus * DIM, dtype=np.float32)
     emb = pa.FixedSizeListArray.from_arrays(pa.array(flat), DIM).cast(
         pa.list_(pa.float32())
     )
@@ -107,6 +126,7 @@ class WorkerRssSampler:
 def main() -> None:
     n_corpus = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    dist = sys.argv[4] if len(sys.argv) > 4 else "uniform"
     from pyspark.sql import functions as F
 
     from core_telecoms_etl_spark import get_spark
@@ -117,7 +137,7 @@ def main() -> None:
     batch_rows = int(
         spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     )
-    path = stage_vectors(n_corpus)
+    path = stage_vectors(n_corpus, dist)
     corpus = spark.read.parquet(path).repartition(32)
     queries = spark.read.parquet(path).filter(
         F.col("vec_id") < n_queries
@@ -188,6 +208,45 @@ def main() -> None:
             f"peak worker RSS {s.peak_kib / 1024:7.0f} MB  "
             f"selection matrix {mat}"
         )
+
+    if "recall" in which:
+        # recall@10 of the approximate arms vs exact, on a bounded
+        # query set (collected pair sets stay ≤ Q_r·k rows each)
+        q_r = min(n_queries, 1000)
+        qs = spark.read.parquet(path).filter(F.col("vec_id") < q_r)
+        qs.collect()
+
+        def pairs(df):
+            return {
+                (r.query_id, r.neighbor_id) for r in df.collect()
+            }
+
+        t0 = time.time()
+        exact = pairs(sim.brute_force_topk_arrow(corpus, qs, k=10))
+        t_exact = time.time() - t0
+        for aname, afn in (
+            (
+                "ivf 64c/8p",
+                lambda: sim.ivf_topk(
+                    corpus, qs, k=10, n_centroids=64, n_probe=8
+                ),
+            ),
+            (
+                "lsh 16b/ham6/4t",
+                lambda: sim.lsh_topk(
+                    corpus, qs, k=10, n_bits=16, max_hamming=6,
+                    n_tables=4,
+                ),
+            ),
+        ):
+            t0 = time.time()
+            approx = pairs(afn())
+            wall = time.time() - t0
+            rec = len(exact & approx) / max(1, len(exact))
+            print(
+                f"recall@10 {aname:24s} {rec:6.3f}  wall {wall:6.1f}s"
+                f"  (exact arm {t_exact:.1f}s, Q={q_r}, dist={dist})"
+            )
 
 
 if __name__ == "__main__":
