@@ -1289,14 +1289,19 @@ def _lsh_topk_arrow(
       `any_table_close`; self-pairs excluded identically. Same longs +
       same rule ⇒ the same candidate SET — no interval slack needed
       where it matters most (set membership).
-    - SCORES: candidates are gathered (a few hundred rows per query —
-      the fraction LSH exists to shrink) and selected with a BLAS
-      matvec under the interval-sound keep rule, then survivors are
-      re-scored dim-ascending — emitted cosines are the fold's
-      doubles, bit for bit. Compute scales with the candidate count,
-      not n×Q: the fold evaluated its Hamming predicate INSIDE an n×Q
-      broadcast nested-loop join (10^10 evaluations at the r11 probe
-      shape).
+    - SCORES: selection is density-adaptive per (batch, query-chunk).
+      Sparse candidates (the fraction LSH exists to shrink) are
+      gathered and BLAS-matvec'd per query; past a ~25 % candidate
+      density one full-chunk GEMM is cheaper than the per-query
+      gathers (the r11 clustered probe: whole clusters collide into
+      every query's candidate set and the gather path ran 321 s where
+      exact's GEMM took 120 s). Either route only SELECTS under the
+      interval-sound keep rule on the SAME candidate set; survivors
+      are re-scored dim-ascending — emitted cosines are the fold's
+      doubles, bit for bit, route-independent (equality pytest forces
+      both routes). Compute scales with the candidate count, not n×Q:
+      the fold evaluated its Hamming predicate INSIDE an n×Q broadcast
+      nested-loop join (10^10 evaluations at the r11 probe shape).
     - zero-norm QUERY vectors raise upfront (brute/IVF contract); a
       zero-norm CORPUS vector raises only when it is a candidate —
       exactly when the fold's ANSI divide would raise."""
@@ -1368,6 +1373,17 @@ def _lsh_topk_arrow(
                     )
                     close = _popcount64(x) <= max_hamming
                     ok = close if ok is None else (ok | close)
+                # density-adaptive selection route (docstring): past
+                # ~25% candidate density one full-chunk GEMM beats the
+                # per-query gathers; either route feeds the same
+                # interval rule and the same exact rescore
+                dense = ok.mean() > 0.25
+                cos_full = (
+                    (cm @ qm[j0:j1].T)
+                    / np.sqrt(c_n2[:, None] * q_n2[None, j0:j1])
+                    if dense
+                    else None
+                )
                 for j in range(j0, j1):
                     cand_i = np.nonzero(
                         ok[:, j - j0] & (n_ids != q_ids[j])
@@ -1381,17 +1397,19 @@ def _lsh_topk_arrow(
                             "fold path raises DIVIDE_BY_ZERO); filter "
                             "them upstream"
                         )
-                    cm_c = cm[cand_i]  # gathered: |cand| × D
                     if len(cand_i) > k:
-                        cos_b = (cm_c @ qm[j]) / np.sqrt(
-                            c_n2[cand_i] * q_n2[j]
-                        )
+                        if dense:
+                            cos_b = cos_full[cand_i, j - j0]
+                        else:
+                            cos_b = (cm[cand_i] @ qm[j]) / np.sqrt(
+                                c_n2[cand_i] * q_n2[j]
+                            )
                         finite = np.isfinite(cos_b)
                         lo = np.where(finite, cos_b - blas_eps, -np.inf)
                         hi = np.where(finite, cos_b + blas_eps, np.inf)
                         thr = np.partition(lo, len(lo) - k)[len(lo) - k]
-                        keep = hi >= thr
-                        cand_i, cm_c = cand_i[keep], cm_c[keep]
+                        cand_i = cand_i[hi >= thr]
+                    cm_c = cm[cand_i]
                     dots = np.zeros(len(cand_i))
                     for d in range(dim):
                         dots += cm_c[:, d] * qm[j, d]

@@ -161,27 +161,32 @@ def test_lsh_arrow_bit_identical_to_fold(spark, sf_dir):
     retained declarative fold form — same candidate set (the JVM-hash
     hyperplane signs + dim-ascending projection make every sketch long
     equal `_sketch_expr`'s), same (query_id, neighbor_id, rank), and
-    bit-identical cosine doubles — single-table and multi-table, and
-    with q_chunk forced below the query count."""
+    bit-identical cosine doubles — single-table and multi-table, with
+    q_chunk forced below the query count, and with max_hamming at both
+    ends so BOTH density-adaptive selection routes run (ham=16 makes
+    every pair a candidate → density 1.0 → full-GEMM route; ham=6 on
+    these embeddings stays on the gathered-matvec route)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    for n_tables, q_chunk in ((1, 1024), (4, 1024), (4, 3)):
+    for n_tables, q_chunk, ham in (
+        (1, 1024, 6), (4, 1024, 6), (4, 3, 6), (1, 1024, 16),
+    ):
         fold = {
             (r.query_id, r.neighbor_id, r.rank): r.cosine
             for r in sim._lsh_topk_fold(
-                e, q, k=10, n_bits=16, max_hamming=6, n_tables=n_tables
+                e, q, k=10, n_bits=16, max_hamming=ham, n_tables=n_tables
             ).collect()
         }
         arrow = {
             (r.query_id, r.neighbor_id, r.rank): r.cosine
             for r in sim.lsh_topk(
-                e, q, k=10, n_bits=16, max_hamming=6,
+                e, q, k=10, n_bits=16, max_hamming=ham,
                 n_tables=n_tables, q_chunk=q_chunk,
             ).collect()
         }
-        assert set(fold) == set(arrow), (n_tables, q_chunk)
+        assert set(fold) == set(arrow), (n_tables, q_chunk, ham)
         for key, c in fold.items():
-            assert arrow[key] == c, (n_tables, q_chunk, key, arrow[key], c)
+            assert arrow[key] == c, (n_tables, q_chunk, ham, key, arrow[key], c)
 
 
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
