@@ -99,6 +99,42 @@ def build_once(name: str, build) -> str:
     try:
         os.rename(stage, base)  # atomic publish (same tmpfs)
     except OSError:
-        # another process published first; its build is complete
+        # Either another process published first (its build is
+        # complete — adopt it) or the rename failed for an unrelated
+        # reason (permissions, EXDEV under an unusual TMPDIR layout).
+        # Only the former may be swallowed: handing back a nonexistent
+        # path after destroying the staged build turns an
+        # environmental error into silent data loss (ADVICE r11).
         shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.isdir(base):
+            raise
+    else:
+        _gc_stale_generations(name)
     return base
+
+
+def _gc_stale_generations(name: str) -> int:
+    """Garbage-collect sibling write-once dirs that share `name`'s
+    prefix but carry a DIFFERENT fingerprint suffix (ADVICE r11:
+    fingerprint-keyed dirs otherwise accumulate in $TMPDIR forever —
+    every regenerated scratch corpus strands the previous generation's
+    staged layout on disk). Called only on a successful publish: at
+    that moment the newly published fingerprint is the current one, so
+    same-prefix dirs with other fingerprints are provably stale.
+    Returns the number of dirs removed."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    m = re.fullmatch(r"(.+)_[0-9a-f]{12}", name)
+    if not m:
+        return 0  # no fingerprint suffix — nothing safely collectable
+    pat = re.compile(re.escape(m.group(1)) + r"_[0-9a-f]{12}")
+    tmp = tempfile.gettempdir()
+    removed = 0
+    for d in os.listdir(tmp):
+        if d != name and pat.fullmatch(d):
+            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+            removed += 1
+    return removed

@@ -291,6 +291,11 @@ def exact_top_k_by_count(
     on near-uniform data honestly reports "no heavy hitters", i.e. 0
     rows, the wrong MODE for an exact-top-k query).
 
+    NULL keys are excluded in BOTH arms (ADVICE r11: approx_top_k
+    ignores nulls while groupBy counts NULL as a group, so a nullable
+    key would change the emitted rows depending solely on which arm
+    the domain routed to — the arm choice must never be observable).
+
     `domain_size` is the caller's bound on the distinct-key count —
     for a foreign key, the referenced dimension's row count (cheap:
     one metadata-ish count of the dim, never a distinct over the
@@ -306,22 +311,40 @@ def exact_top_k_by_count(
       domain this is the right plan — the sketch's fixed-size state
       pitch is void once "fixed" must exceed the domain.
 
-    Loud tripwires, evaluated INSIDE the sketch plan (no extra pass —
-    count and approx_count_distinct ride the same aggregation):
-    - non-empty input with an empty sketch result RAISES (the exact
-      r10-sf1 failure class can never again return 0 rows silently);
-    - approx_count_distinct(key) > tracked RAISES (partial purging —
-      counts may be estimates — is caught BEFORE it empties the
-      result; acd's ~5% rsd is far inside the 2× headroom).
+    The sketch arm executes its single-row aggregate EAGERLY (a
+    bounded driver read: one row whose array carries ≤ fetch entries)
+    because two properties are only checkable from the result:
+
+    - loud tripwires (the r10-sf1 failure class): a non-empty input
+      with an empty sketch RAISES, and approx_count_distinct(key) >
+      tracked RAISES (partial purging — counts may be estimates — is
+      caught before it empties the result; acd's ~5% rsd is far
+      inside the 2× headroom). Both ride the same aggregation as the
+      sketch — no extra pass.
+    - deterministic tie enclosure (ADVICE r11): the contract is the
+      (n desc, item) cut, but when the tie group AT the k-th count is
+      not fully inside the fetched prefix, approx_top_k hands back an
+      arbitrary subset of the tied items — plausible on the
+      near-uniform distributions this operator is aimed at. The cut
+      is deterministic iff the boundary is ENCLOSED: fewer than
+      `fetch` items came back (the sketch returned everything), or
+      the last fetched count is strictly below the k-th count (every
+      item ≥ the k-th count is then provably present). On an
+      unenclosed boundary the fetch is escalated ×4 (re-running the
+      one aggregate; ≤ log₄(tracked/fetch₀) retries, and
+      fetch = tracked encloses by construction since the acd tripwire
+      bounds the true domain by tracked).
 
     Returns (item, n) under the deterministic (n desc, item) order,
-    limit k — sketch emission order at the k boundary is not a
-    contract, so the sketch arm over-fetches and re-cuts.
+    limit k. The sketch arm materializes the ≤ k rows it already
+    holds driver-side via createDataFrame rather than re-running the
+    scan; the groupBy arm stays fully lazy.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if domain_size < 0:
         raise ValueError(f"domain_size must be >= 0, got {domain_size}")
+    df = df.where(F.col(key_col).isNotNull())
     # the engine ceiling binds even if the caller asks for more — a
     # bigger budget is not a choice Spark offers (see constant above)
     max_tracked = min(max_tracked, MAX_EXACT_TRACKED_DEFAULT)
@@ -333,50 +356,50 @@ def exact_top_k_by_count(
             .orderBy(F.desc("n"), "item")
             .limit(k)
         )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("item", df.schema[key_col].dataType, True),
+            StructField("n", LongType(), False),
+        ]
+    )
     fetch = min(max(4 * k, 100), tracked)
-    agg = df.agg(
-        F.expr(
-            f"approx_top_k({key_col}, {fetch}, {tracked})"
-        ).alias("tk"),
-        F.count("*").alias("__n_in"),
-        F.approx_count_distinct(key_col).alias("__acd"),
-    )
-    checked = agg.where(
-        F.assert_true(
-            (F.col("__n_in") == 0) | (F.size("tk") > 0),
-            F.concat(
-                F.lit(
-                    "exact_top_k_by_count: approx_top_k returned an "
-                    "empty sketch for "
-                ),
-                F.col("__n_in").cast("string"),
-                F.lit(
-                    f" input rows (tracked={tracked}) — the key domain "
-                    "exceeds the tracked budget; fix domain_size or "
-                    "raise max_tracked"
-                ),
-            ),
-        ).isNull()
-        & F.assert_true(
-            F.col("__acd") <= F.lit(tracked),
-            F.concat(
-                F.lit("exact_top_k_by_count: ~"),
-                F.col("__acd").cast("string"),
-                F.lit(
-                    f" distinct keys exceed the tracked budget "
-                    f"{tracked} (domain_size={domain_size} was too "
-                    "small) — sketch counts may be purged estimates, "
-                    "not exact"
-                ),
-            ),
-        ).isNull()
-    )
-    return (
-        checked.select(F.explode("tk").alias("e"))
-        .select(
-            F.col("e.item").alias("item"),
-            F.col("e.count").alias("n"),
+    while True:
+        row = df.agg(
+            F.expr(
+                f"approx_top_k({key_col}, {fetch}, {tracked})"
+            ).alias("tk"),
+            F.count("*").alias("n_in"),
+            F.approx_count_distinct(key_col).alias("acd"),
+        ).first()
+        if row.n_in == 0:
+            return df.sparkSession.createDataFrame([], out_schema)
+        if not row.tk:
+            raise RuntimeError(
+                "exact_top_k_by_count: approx_top_k returned an empty "
+                f"sketch for {row.n_in} input rows (tracked={tracked})"
+                " — the key domain exceeds the tracked budget; fix "
+                "domain_size or raise max_tracked"
+            )
+        if row.acd > tracked:
+            raise RuntimeError(
+                f"exact_top_k_by_count: ~{row.acd} distinct keys "
+                f"exceed the tracked budget {tracked} "
+                f"(domain_size={domain_size} was too small) — sketch "
+                "counts may be purged estimates, not exact"
+            )
+        items = sorted(
+            ((e["item"], e["count"]) for e in row.tk),
+            key=lambda t: (-t[1], t[0]),
         )
-        .orderBy(F.desc("n"), "item")
-        .limit(k)
-    )
+        enclosed = (
+            len(items) < fetch
+            or len(items) <= k
+            or items[-1][1] < items[k - 1][1]
+        )
+        if enclosed or fetch >= tracked:
+            return df.sparkSession.createDataFrame(
+                items[:k], out_schema
+            )
+        fetch = min(4 * fetch, tracked)

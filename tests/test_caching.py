@@ -1,0 +1,111 @@
+"""Tests for the write-once scratch-dir protocol (caching.build_once)
+— the two ADVICE r11 hardening items: publish-race diagnosis must not
+swallow real rename failures, and stale fingerprint generations must
+be garbage-collected on publish."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from core_telecoms_etl_spark import caching
+
+
+def _build_marker(stage: str) -> None:
+    os.makedirs(stage)
+    with open(os.path.join(stage, "marker"), "w") as f:
+        f.write("built")
+
+
+def test_build_once_builds_and_reuses(tmp_path, monkeypatch):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)  # re-read TMPDIR
+    calls = []
+
+    def build(stage):
+        calls.append(stage)
+        _build_marker(stage)
+
+    name = "tc_build_aaaaaaaaaaaa"
+    p1 = caching.build_once(name, build)
+    p2 = caching.build_once(name, build)
+    assert p1 == p2 and os.path.isfile(os.path.join(p1, "marker"))
+    assert len(calls) == 1  # second call reused the published dir
+
+
+def test_build_once_gcs_stale_generations(tmp_path, monkeypatch):
+    """Publishing fingerprint B must remove the same-prefix dir with
+    fingerprint A (ADVICE r11: regenerated scratch corpora otherwise
+    strand every previous generation in $TMPDIR forever) — and must
+    NOT touch unrelated dirs or other prefixes."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)
+    old = tmp_path / "tc_gen_111111111111"
+    other_prefix = tmp_path / "tc_other_111111111111"
+    unrelated = tmp_path / "tc_gen_notafingerprint"
+    for d in (old, other_prefix, unrelated):
+        d.mkdir()
+    caching.build_once("tc_gen_222222222222", _build_marker)
+    assert not old.exists()  # stale generation collected
+    assert other_prefix.exists()  # different prefix untouched
+    assert unrelated.exists()  # non-fingerprint suffix untouched
+    assert (tmp_path / "tc_gen_222222222222").is_dir()
+
+
+def test_build_once_reraises_real_rename_failure(tmp_path, monkeypatch):
+    """A rename failing when the winner's dir does NOT exist is a real
+    environmental error (permissions, EXDEV) — it must propagate, not
+    be misdiagnosed as a lost publish race that silently destroys the
+    build and returns a nonexistent path (ADVICE r11)."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)
+
+    def broken_rename(src, dst):
+        raise OSError(18, "Invalid cross-device link")
+
+    monkeypatch.setattr(os, "rename", broken_rename)
+    with pytest.raises(OSError, match="cross-device"):
+        caching.build_once("tc_fail_333333333333", _build_marker)
+
+
+def test_build_once_adopts_race_winner(tmp_path, monkeypatch):
+    """If the rename loses but the winner's dir IS there, adopt it —
+    the pre-existing behavior the re-raise must not break."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)
+    name = "tc_race_444444444444"
+    winner = tmp_path / name
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if dst == str(winner):
+            # simulate the other process publishing a beat earlier
+            winner.mkdir()
+            (winner / "marker").write_text("winner")
+            raise OSError(39, "Directory not empty")
+        return real_rename(src, dst)
+
+    build_ran = []
+
+    def slow_build(stage):
+        build_ran.append(stage)
+        _build_marker(stage)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    got = caching.build_once(name, slow_build)
+    assert got == str(winner)
+    assert (winner / "marker").read_text() == "winner"
+    assert build_ran  # we did build, then adopted the winner's
+    # the loser's staging dir must be cleaned up
+    assert not any(
+        d.startswith(f"{name}.tmp.") for d in os.listdir(tmp_path)
+    )

@@ -353,13 +353,54 @@ def test_exact_topk_groupby_arm_matches_sketch_arm(spark):
 
 def test_exact_topk_tripwire_raises_past_budget(spark):
     """An understated domain (tracked < true distinct) must RAISE
-    loudly, never return 0 rows — the r10-sf1 failure class."""
+    loudly, never return 0 rows — the r10-sf1 failure class. The
+    sketch arm is eager (ADVICE r11 tie-enclosure fix), so the raise
+    happens at call time."""
     df = spark.range(200_000).select(F.col("id").alias("k"))
-    probe = sk.exact_top_k_by_count(
-        df, "k", 10, domain_size=0
-    )  # tracked = 65536 floor << 200k distinct
     with pytest.raises(Exception, match="exact_top_k_by_count"):
-        probe.collect()
+        # tracked = 65536 floor << 200k distinct
+        sk.exact_top_k_by_count(df, "k", 10, domain_size=0)
+
+
+def test_exact_topk_boundary_tie_deterministic(spark):
+    """ADVICE r11: a tie group at the k-th count WIDER than the
+    initial fetch (max(4k,100)=100 here vs 200 tied items) must still
+    yield the deterministic (n desc, item) cut — the operator
+    escalates fetch until the boundary count is fully enclosed, never
+    emitting an arbitrary subset of the tied items."""
+    heavy = spark.range(3).select(
+        F.explode(F.array(*[F.lit(1)] * 5)).alias("_"),
+        F.col("id").alias("k"),
+    ).select("k")
+    # keys 1000..1199 appear exactly twice each — the boundary tie
+    tied = spark.range(1000, 1200).select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("_"),
+        F.col("id").alias("k"),
+    ).select("k")
+    df = heavy.unionByName(tied)
+    got = [
+        (r.item, r.n)
+        for r in sk.exact_top_k_by_count(
+            df, "k", 5, domain_size=203
+        ).collect()
+    ]
+    assert got == [(0, 5), (1, 5), (2, 5), (1000, 2), (1001, 2)]
+
+
+def test_exact_topk_null_keys_excluded_both_arms(spark):
+    """ADVICE r11: approx_top_k ignores NULLs while groupBy counts
+    NULL as a group — both arms must exclude NULL keys so the
+    domain-driven arm choice is never observable in the rows."""
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(1,)] * 3 + [(2,)] * 2 + [(3,)] * 1,
+        "k: int",
+    )
+    a = sk.exact_top_k_by_count(df, "k", 3, domain_size=10).collect()
+    b = sk.exact_top_k_by_count(
+        df, "k", 3, domain_size=10, max_tracked=1
+    ).collect()
+    assert [(r.item, r.n) for r in a] == [(1, 3), (2, 2), (3, 1)]
+    assert [(r.item, r.n) for r in b] == [(1, 3), (2, 2), (3, 1)]
 
 
 def test_exact_topk_rejects_bad_args(spark):
