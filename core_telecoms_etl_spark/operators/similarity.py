@@ -1450,6 +1450,21 @@ def _lsh_topk_arrow(
     )
 
 
+# Fixed-point grid for the order-independent k-means centroid update:
+# each component is rounded to multiples of 2^-30 (~9.3e-10) BEFORE
+# accumulation, so the per-cluster sum is a sum of int64s — exact and
+# associative, hence bit-identical for every partitioning, Arrow batch
+# split, and execution order. 2^-30 quantization error on the MEAN is
+# ≤ 2^-31 per component — noise relative to the coarse-quantizer role
+# (bucket boundaries), and five orders below the recall-flag margins.
+KMEANS_GRID_BITS = 30
+# Loud input bound: |component| ≤ 1e4 keeps the per-batch int64 sums
+# (≤ 1e5-row batches × 1e4 × 2^30 ≈ 1.1e18) inside int64, and the
+# Spark-side cross-batch sum runs in decimal(38,0) — overflow-free to
+# ~1e38/2^30 ≈ 9e26 total absolute mass, i.e. any realistic corpus.
+_KMEANS_MAX_ABS = 1e4
+
+
 def kmeans_centroids(
     df: DataFrame,
     *,
@@ -1458,20 +1473,192 @@ def kmeans_centroids(
     k: int = 16,
     iters: int = 3,
 ) -> DataFrame:
-    """Deterministic Lloyd iterations as pure DataFrame ops: init from the
-    k lowest-id vectors, then repeat [broadcast-assign to nearest centroid
-    by cosine → per-cluster dimension-wise mean]. No MLlib, no RNG — the
-    same input always yields the same centroids, so IVF results stay
-    reproducible. Empty clusters drop out (k may shrink).
+    """Deterministic Lloyd iterations with an ORDER-FIXED centroid
+    update (VERDICT r11 ask #2): init from the k lowest-id vectors,
+    then repeat [assign to nearest centroid by cosine → per-cluster
+    mean on a fixed-point grid]. No MLlib, no RNG, and — unlike a
+    float `avg` — no dependence on aggregation order: components are
+    quantized to the 2^-30 grid and summed as integers (int64 per
+    Arrow batch, decimal(38,0) across batches), so the same corpus
+    yields BIT-IDENTICAL centroids under any partitioning, batch
+    split, or cluster size (pinned by pytest). Empty clusters drop
+    out (k may shrink).
 
-    The mean is computed with one F.avg per dimension (dim agg
-    expressions): fine up to a few hundred dims; beyond that switch the
-    update step to a posexplode + (cluster, dim) aggregation."""
+    Physical shape per iteration (the r11 probe measured the previous
+    broadcast-join + row_number-window + F.avg form at 26.8 s/iter on
+    10⁶×64-dim — an n·k-row interpreted-fold join plus an n·k-row
+    shuffle): ONE mapInPandas corpus scan that assigns each row via a
+    dim-ascending numpy accumulation (bit-deterministic per row — the
+    reduction order never depends on batch composition; argmax breaks
+    exact ties toward the lowest centroid_id, NaN rows follow Spark's
+    NaN-sorts-first-desc convention) and emits per-(batch, cluster)
+    integer partial sums — ≤ k rows per batch, carrying dim int64s.
+    The only exchange is the k-row-per-map-task partial-agg combine;
+    no window, no per-pair fold. Non-finite components poison the
+    affected dimension to NaN (matching what float avg did) via a
+    max-combined mask instead of corrupting the integer sums.
+
+    The cross-batch combine is a posexplode to (cluster, dim) rows —
+    ≤ k·dim·n_batches tiny rows, summed with ONE decimal(38,0) sum
+    expression instead of a dim-wide agg list (the 2·dim-expression
+    wide-agg form measured ~1.0 s/iter of extra codegen+decimal
+    machinery at dim=64; the explode form is plan-size-independent of
+    dim and measured ~0.1 s over the scan floor). Measured on the
+    10⁶×64-dim probe (tools/kmeans_probe.py): ~1.9 s/iter warm vs the
+    fold reference's 40.7 s/iter (r11 verdict row: 26.8 s/iter) —
+    the scan is the whole cost, as it should be."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     # empty-corpus guard: .first() returns None on zero rows — there is
     # nothing to cluster, so the refinement loop degenerates to the
     # (empty) seed centroids and every downstream probe/assign join
     # yields empty results instead of raising (r8 empty-facts
     # differential)
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or iters < 1:
+        return _centroids(df, id_col, vec_col, k)
+    dim = row.d
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cent_ids = [int(r[0]) for r in seed_rows]
+    cent_mat = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in seed_rows]
+    )  # (C, dim), ordered by centroid_id ascending (argmax tie-break)
+    scale = float(1 << KMEANS_GRID_BITS)
+    vec_only = df.select(F.col(vec_col).alias("__v"))
+    out_schema = (
+        "cid long, cnt long, qsum array<long>, nmask array<long>"
+    )
+    for _ in range(iters):
+        cm = cent_mat  # rebind for closure capture per iteration
+        c_ids = np.array(cent_ids, dtype=np.int64)
+        # per-centroid inverse norm, dim-ascending fold — deterministic
+        c_n2 = np.zeros(len(cm))
+        for d in range(dim):
+            c_n2 += cm[:, d] * cm[:, d]
+        with np.errstate(divide="ignore"):
+            c_inv = 1.0 / np.sqrt(c_n2)  # zero-norm centroid → +inf
+
+        def assign_partials(batches, _cm=cm, _cinv=c_inv):
+            nC = _cm.shape[0]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )  # (n, dim)
+                if vm.shape[1] != dim:
+                    raise ValueError(
+                        f"kmeans_centroids: ragged vector width "
+                        f"{vm.shape[1]} != {dim}"
+                    )
+                # dim-ascending dot accumulation: reduction order is
+                # fixed per row — independent of batch composition
+                dots = np.zeros((len(vm), nC))
+                for d in range(dim):
+                    dots += vm[:, d : d + 1] * _cm[None, :, d][0]
+                # zero-norm centroid: inv=inf → sim ±inf/nan; forced
+                # unattractive below so it empties deterministically
+                with np.errstate(invalid="ignore"):
+                    sims = dots * _cinv[None, :]
+                sims[:, ~np.isfinite(_cinv)] = -np.inf
+                near = np.argmax(sims, axis=1)  # first max → lowest cid
+                finite = np.isfinite(vm)
+                bad = ~finite
+                if np.any(np.abs(np.where(finite, vm, 0.0)) > _KMEANS_MAX_ABS):
+                    raise ValueError(
+                        "kmeans_centroids: |component| exceeds "
+                        f"{_KMEANS_MAX_ABS:g} — the fixed-point update "
+                        "grid assumes embedding-scale inputs; rescale "
+                        "upstream"
+                    )
+                q = np.rint(
+                    np.where(finite, vm, 0.0) * scale
+                ).astype(np.int64)
+                cids, counts, qsums, nmasks = [], [], [], []
+                for ci in np.unique(near):
+                    sel = near == ci
+                    cids.append(int(c_ids[ci]))
+                    counts.append(int(sel.sum()))
+                    qsums.append(
+                        q[sel].sum(axis=0, dtype=np.int64).tolist()
+                    )
+                    nmasks.append(
+                        bad[sel].any(axis=0).astype(np.int64).tolist()
+                    )
+                yield pd.DataFrame(
+                    {
+                        "cid": cids,
+                        "cnt": counts,
+                        "qsum": qsums,
+                        "nmask": nmasks,
+                    }
+                )
+
+        part = vec_only.mapInPandas(assign_partials, out_schema)
+        # plan-size-independent-of-dim combine: k·dim·n_batches tiny
+        # rows, exact decimal sums (integer grid → order-independent);
+        # cnt is carried once per cid on the d==0 row to keep this a
+        # single pass over the mapInPandas output
+        agg = (
+            part.select(
+                "cid",
+                "cnt",
+                F.posexplode(F.arrays_zip("qsum", "nmask")).alias(
+                    "d", "z"
+                ),
+            )
+            .groupBy("cid", "d")
+            .agg(
+                F.sum(F.col("z.qsum").cast("decimal(38,0)")).alias("q"),
+                F.max("z.nmask").alias("m"),
+                F.sum(
+                    F.when(F.col("d") == 0, F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("cnt0"),
+            )
+        )
+        cells = agg.collect()
+        cnts = {r["cid"]: int(r["cnt0"]) for r in cells if r["d"] == 0}
+        cent_ids = sorted(cnts)
+        cid_pos = {cid: i for i, cid in enumerate(cent_ids)}
+        cent_mat = np.zeros((len(cent_ids), dim))
+        for r in cells:
+            cent_mat[cid_pos[r["cid"]], r["d"]] = (
+                math.nan
+                if r["m"]
+                else (int(r["q"]) / cnts[r["cid"]]) / scale
+            )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (cid, [float(x) for x in cent_mat[i]])
+            for i, cid in enumerate(cent_ids)
+        ],
+        "centroid_id long, centroid array<double>",
+    )
+
+
+def _kmeans_centroids_fold(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Pre-r12 declarative Lloyd form (broadcast-assign fold join +
+    row_number window + per-dim F.avg), retained as the semantic
+    reference for `kmeans_centroids`' pytest comparison. Deterministic
+    for a FIXED partitioning but order-SENSITIVE in its float avg —
+    which is why the Arrow fixed-point form above replaced it on the
+    hot path (26.8 s/iter at 10⁶×64-dim, and low-bit centroid drift
+    across partitionings)."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None:
         return _centroids(df, id_col, vec_col, k)
@@ -1675,4 +1862,168 @@ def quantize_vectors(
         "scale",
         qvec.alias("qvec"),
         err.alias("max_abs_err"),
+    )
+
+
+# --- corpus-shape-routed top-k (VERDICT r11 ask #4) -------------------------
+
+# Routing gate for the clusteredness probe, in GAP space: route IVF
+# iff the corpus closes at least half the gap between the analytic
+# uniform null sqrt(2 ln n / dim) and perfect concentration (1.0) —
+# i.e. (1 - stat) <= GAP_RATIO * (1 - null_bound). A near-uniform
+# corpus's sample mean-NN cosine sits UNDER the null (extreme-value
+# concentration of n(n-1)/2 ~N(0, 1/dim) cosines; measured 0.41 vs
+# bound 0.49 at n=2048, dim=64 — and 0.21 vs 0.24 at dim=256), so its
+# remaining gap EXCEEDS (1 - null): far from the gate. Clustered
+# corpora (the r11 decision-matrix generation: gaussian centers +
+# relative noise) measure 0.64-0.96. Gap space matters because a
+# multiplicative gate (c * null_bound) saturates past 1.0 at low dim
+# where the null is large (dim=32: null 0.69 → 1.4x gate 0.97, above
+# a tight 16-center corpus's 0.966) and goes slack at high dim where
+# the null is small. The 0.5 ratio routes IVF only when the corpus is
+# CLEARLY clustered: exact is the recall-safe default, so borderline
+# shapes (noise std equal to the center scale, dim=64 stat 0.64 →
+# gap 0.36 > 0.5*(1-0.49)=0.256) stay exact. Degenerate inputs have
+# null_bound=inf (gate negative) → always exact, and a null_bound
+# >= 1 (tiny dim) also forces exact — there IVF cells cannot separate
+# anything the exact scorer wouldn't.
+AUTO_TOPK_GAP_RATIO = 0.5
+
+
+def _auto_topk_routes_ivf(probe: dict, gap_ratio: float) -> bool:
+    """The routing predicate, shared by auto_topk and its tests:
+    clustered ⇔ the measured mean-NN cosine closes ≥ (1 - gap_ratio)
+    of the (null_bound, 1.0] concentration gap."""
+    remaining = 1.0 - probe["stat"]
+    budget = gap_ratio * (1.0 - probe["null_bound"])
+    return budget > 0 and remaining <= budget
+
+
+def clusteredness_probe(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+) -> dict:
+    """Cheap, deterministic corpus-shape statistic: the mean
+    nearest-neighbor cosine over a hash-ordered sample, compared to
+    the analytic near-uniform null sqrt(2 ln n / dim). High stat/null
+    ratio means tight directional clusters exist — the regime where
+    IVF cells align with the data and probing few cells keeps recall
+    (r11 matrix: recall 1.000 at ~half exact cost); stat at or under
+    the null means neighbors are concentration-bound arbitrary — the
+    regime where IVF recall collapses (0.495 measured) and the exact
+    chunked scorer is the right plan.
+
+    Deterministic end to end: the sample is the `sample_rows` lowest
+    xxhash64(id) rows (hash order is corpus-layout-independent), and
+    the pairwise scoring runs dim-ascending on the id-sorted sample —
+    no BLAS reduction-order dependence. Cost: one narrow corpus scan
+    (TakeOrdered, no shuffle of the full relation) + an
+    O(sample_rows^2 * dim) driver-side score, ~0.3 s at the default
+    2048x64 — independent of corpus size past the scan.
+
+    Returns {"stat", "null_bound", "n_sample", "dim"} (stat and bound
+    6dp-rounded; stat 0.0 and bound inf on empty/degenerate input, so
+    the router's exact arm wins by construction)."""
+    import math
+
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_rows)
+    )
+    rows = sorted(sample.collect(), key=lambda r: r[0])
+    degenerate = {
+        "stat": 0.0, "null_bound": math.inf, "n_sample": 0, "dim": 0,
+    }
+    if len(rows) < 3:
+        return degenerate
+    vm = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    n, dim = vm.shape
+    n2 = np.zeros(n)
+    for d in range(dim):  # fixed dim-ascending reduction
+        n2 += vm[:, d] * vm[:, d]
+    keep = (n2 > 0) & np.isfinite(n2)
+    vm, n2 = vm[keep], n2[keep]
+    n = len(vm)
+    if n < 3:
+        return degenerate
+    vn = vm / np.sqrt(n2)[:, None]
+    cos = np.zeros((n, n))
+    for d in range(dim):  # deterministic pairwise accumulation
+        cos += vn[:, d : d + 1] * vn[:, d][None, :]
+    np.fill_diagonal(cos, -np.inf)
+    best = cos.max(axis=1)
+    acc = 0.0
+    for x in best:  # fixed id-ascending accumulation
+        acc += float(x)
+    return {
+        "stat": round(acc / n, 6),
+        "null_bound": round(math.sqrt(2.0 * math.log(n) / dim), 6),
+        "n_sample": n,
+        "dim": dim,
+    }
+
+
+def auto_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 2,
+    sample_rows: int = 2048,
+    gap_ratio: float = AUTO_TOPK_GAP_RATIO,
+) -> DataFrame:
+    """Top-k with the exact-vs-IVF choice made BY THE OPERATOR from a
+    measured corpus statistic, not documentation (VERDICT r11 ask #4:
+    the r11 decision matrix showed the right scorer is corpus-shape-
+    dependent — clustered -> IVF at recall 1.000 and ~half exact cost,
+    near-uniform -> exact, since IVF recall collapses to ~0.5). Runs
+    `clusteredness_probe` (one sample scan + a driver-side pairwise
+    score), then routes:
+
+    - (1 - stat) <= gap_ratio * (1 - null_bound) -> `ivf_topk`
+      (bucketed candidate set, the 100-TB plan for clustered
+      corpora); the gate lives in GAP space — see AUTO_TOPK_GAP_RATIO
+      for why a multiplicative-null gate saturates at low dim;
+    - otherwise -> `brute_force_topk` (chunked exact Arrow scorer —
+      the recall-safe default, and per the r11 matrix also the FASTER
+      plan on near-uniform data, where IVF scans most cells anyway).
+
+    The decision is REPORTED, not hidden: every output row carries
+    `route` ('ivf' | 'exact') and `probe_stat` (the 6dp statistic),
+    so a plan reader and the driver's oracle can pin which physical
+    strategy produced the neighbors. Deterministic: the probe is
+    deterministic (see clusteredness_probe), so the route — and hence
+    the result — is a pure function of the corpus content.
+    Returns (query_id, neighbor_id, cosine, rank, route, probe_stat).
+    """
+    probe = clusteredness_probe(
+        corpus, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
+    )
+    if _auto_topk_routes_ivf(probe, gap_ratio):
+        route, top = "ivf", ivf_topk(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            kmeans_iters=kmeans_iters,
+        )
+    else:
+        route, top = "exact", brute_force_topk(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+        )
+    return top.withColumn("route", F.lit(route)).withColumn(
+        "probe_stat", F.lit(probe["stat"])
     )

@@ -71,7 +71,7 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r11 window: head is EXACTLY 50, policy (enforced data-driven
+    # ---- r12 window: head is EXACTLY 50, policy (enforced data-driven
     # ---- by tests/test_entry.py::test_window_head_rotation, which
     # ---- computes never-green and staleness from CORRECTNESS_r01..rN):
     # ---- (1) queries whose bytes, operators, or plans changed this
@@ -79,78 +79,26 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- (2) every query whose last green is at max(round)-4 (they
     # ---- reach the 5-round staleness bar next round);
     # ---- (3) fill with the oldest remaining (max(round)-3) queries.
-    # ---- 207 queries at 50 slots/round rotate fully in 5 rounds —
-    # ---- the bar is max(round)-5 because ceil(207/50) = 5 (a 4-round
+    # ---- 208 queries at 50 slots/round rotate fully in 5 rounds —
+    # ---- the bar is max(round)-5 because ceil(208/50) = 5 (a 4-round
     # ---- bar is arithmetically unsatisfiable; r8 lesson).
-    # -- (1) changed r11: the vector family rides the Arrow scorers,
-    # -- whose BLAS selection is now query-axis-chunked (bounded
-    # -- per-batch matrix; VERDICT r10 ask #7) and whose query-side
-    # -- collect bound is ENFORCED (ask #5); heavy_hitters' exact mode
-    # -- is domain-safe (bound derived from the part dimension,
-    # -- groupBy fallback past Spark's 1M sketch ceiling, empty-sketch
-    # -- tripwire; ask #1); recursive_hierarchy_walk sizes + restores
-    # -- its recursion guard (ADVICE r10); partition_pruned_rollup's
-    # -- layout cache is fingerprint-keyed (ADVICE r10);
-    # -- text_exact_dedup / training_pipeline / near_dedup_layered /
-    # -- corpus_incremental_dedup ride the explode_outer fix for the
-    # -- InferFiltersFromGenerate O(words^2) scan-filter regression
-    "knn_classify",  # green r10
-    "knn_classify_ivf",  # green r10
-    "vector_topk",  # green r10
-    "vector_topk_ivf",  # green r10
-    "vector_topk_lsh",  # green r10
-    "cosine_pairs",  # green r10
-    "semantic_dedup",  # green r10
-    "heavy_hitters",  # green r10
-    "recursive_hierarchy_walk",  # green r10
-    "partition_pruned_rollup",  # green r10
-    "text_exact_dedup",  # green r10
-    "training_pipeline",  # green r10
-    "near_dedup_layered",  # green r9
-    "corpus_incremental_dedup",  # green r9
-    # -- (2) the 22 r6-last-green queries (they reach the 5-round
-    # -- staleness bar this round; promised this head by the r10
-    # -- tail comment and VERDICT r10 ask #4)
-    "promo_revenue",  # green r6
-    "referential_integrity",  # green r6
-    "rfm_segments",  # green r6
-    "rolling_anomaly",  # green r6
-    "segment_boilerplate_dedup",  # green r6
-    "simhash_signatures",  # green r6
-    "stream_cms_heavy_hitters",  # green r6
-    "stream_dedup",  # green r6
-    "stream_session",  # green r6
-    "stream_stateful",  # green r6
-    "stream_static_join",  # green r6
-    "stream_stream_join",  # green r6
-    "stream_tumbling",  # green r6
-    "tf_idf",  # green r6
-    "time_grid_fill",  # green r6
-    "time_grid_interpolate",  # green r6
-    "top_supplier_revenue",  # green r6
-    "traffic_heatmap",  # green r6
-    "volume_shipping",  # green r6
-    "weighted_median",  # green r6
-    "weighted_sample",  # green r6
-    "windowed_funnel",  # green r6
-    # -- (3) fill: the oldest remaining (14 r7-last-green) queries
-    "cohort_retention",  # green r7
-    "count_filter",  # green r7
-    "csv_scan",  # green r7
-    "cube_agg",  # green r7
-    "dataset_split",  # green r7
-    "dedup_latest_by_key",  # green r7
-    "dedup_rows",  # green r7
-    "discounted_revenue_or",  # green r7
-    "distinct_agg",  # green r7
-    "events_sliding",  # green r7
-    "exists_group_agg",  # green r7
-    "feature_binning",  # green r7
-    "filter_predicate",  # green r7
-    "full_outer_join",  # green r7
-    # ---- 50-query window boundary. Tail is ascending last-green,
-    # ---- so the r12 rotation head reads straight off the top:
-    # ---- the remaining r7 rows lead, then r8, r9, r10.
+    # -- (1) new r12: auto_topk_route (the corpus-shape router,
+    # -- VERDICT r11 ask #4); changed r12: the whole vector family —
+    # -- kmeans_centroids is now the order-fixed Arrow/fixed-point-grid
+    # -- build (VERDICT r11 ask #2; bit-stable centroids, 8.2x on the
+    # -- 10^6-vector probe) and similarity.py gained the gap-space
+    # -- routing gate, so every query touching operators/similarity.py
+    # -- re-verifies in this window
+    "auto_topk_route",  # never-green (new r12)
+    "vector_topk_ivf",  # green r11
+    "knn_classify_ivf",  # green r11
+    "semantic_dedup",  # green r11
+    "vector_topk",  # green r11
+    "vector_topk_lsh",  # green r11
+    "knn_classify",  # green r11
+    "cosine_pairs",  # green r11
+    # -- (2) the 35 r7-last-green queries (they reach the 5-round
+    # -- staleness bar next round)
     "funnel",  # green r7
     "histogram_agg",  # green r7
     "important_stock",  # green r7
@@ -186,6 +134,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "window_rank_extended",  # green r7
     "window_running_sum",  # green r7
     "window_value_funcs",  # green r7
+    # -- (3) fill: the alphabetically-first 7 of the 45 r8-last-green
     "attribution_last_touch",  # green r8
     "bloom_prune_semi_join",  # green r8
     "bm25_retrieval",  # green r8
@@ -193,6 +142,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "bootstrap_ci_partials",  # green r8
     "chi_square_independence",  # green r8
     "cohort_ltv_curve",  # green r8
+    # ---- 50-query window boundary. Tail is ascending last-green,
+    # ---- so the r13 rotation head reads straight off the top:
+    # ---- the remaining r8 rows lead, then r9, r10, r11.
     "cusum_changepoint",  # green r8
     "duplicate_rate_by_source",  # green r8
     "entropy_by_group",  # green r8
@@ -308,6 +260,49 @@ _CHECK_ORDER: tuple[str, ...] = (
     "text_chunks",  # green r10
     "text_profile",  # green r10
     "vector_quantize",  # green r10
+    "cohort_retention",  # green r11
+    "corpus_incremental_dedup",  # green r11
+    "count_filter",  # green r11
+    "csv_scan",  # green r11
+    "cube_agg",  # green r11
+    "dataset_split",  # green r11
+    "dedup_latest_by_key",  # green r11
+    "dedup_rows",  # green r11
+    "discounted_revenue_or",  # green r11
+    "distinct_agg",  # green r11
+    "events_sliding",  # green r11
+    "exists_group_agg",  # green r11
+    "feature_binning",  # green r11
+    "filter_predicate",  # green r11
+    "full_outer_join",  # green r11
+    "heavy_hitters",  # green r11
+    "near_dedup_layered",  # green r11
+    "partition_pruned_rollup",  # green r11
+    "promo_revenue",  # green r11
+    "recursive_hierarchy_walk",  # green r11
+    "referential_integrity",  # green r11
+    "rfm_segments",  # green r11
+    "rolling_anomaly",  # green r11
+    "segment_boilerplate_dedup",  # green r11
+    "simhash_signatures",  # green r11
+    "stream_cms_heavy_hitters",  # green r11
+    "stream_dedup",  # green r11
+    "stream_session",  # green r11
+    "stream_stateful",  # green r11
+    "stream_static_join",  # green r11
+    "stream_stream_join",  # green r11
+    "stream_tumbling",  # green r11
+    "text_exact_dedup",  # green r11
+    "tf_idf",  # green r11
+    "time_grid_fill",  # green r11
+    "time_grid_interpolate",  # green r11
+    "top_supplier_revenue",  # green r11
+    "traffic_heatmap",  # green r11
+    "training_pipeline",  # green r11
+    "volume_shipping",  # green r11
+    "weighted_median",  # green r11
+    "weighted_sample",  # green r11
+    "windowed_funnel",  # green r11
 )
 
 

@@ -221,6 +221,41 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(exact, approx, floor=0.8)
 
 
+_AUTO_ROUTE_ORACLE = f"""SELECT vec_id AS query_id,
+                                CAST(10 AS BIGINT) AS n_exact,
+                                CAST(1 AS BIGINT) AS recall_ok,
+                                'exact' AS route
+                         FROM embeddings WHERE vec_id < {N_QUERY_VECS}"""
+
+
+@query("auto_topk_route", oracle=_AUTO_ROUTE_ORACLE)
+def auto_topk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 router (VERDICT r11 ask #4) — `sim.auto_topk` measures the
+    corpus's nearest-neighbor cosine concentration on a deterministic
+    sample and picks the scorer ITSELF: clustered → IVF (r11 matrix:
+    recall 1.000 at ~half exact cost), near-uniform → exact (IVF
+    recall collapses to ~0.5 there). The testdata embeddings are unit
+    gaussians — the near-uniform regime — so the PINNED oracle row is
+    route='exact' with full recall vs the in-plan exact top-k; a wrong
+    routing decision flips the route column and reds the row. The
+    clustered branch (route='ivf') plus the raw probe statistic are
+    pinned by pytest on a synthesized clustered corpus."""
+    from core_telecoms_etl_spark.queries import cache_scoped
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    routed = cache_scoped(
+        "vector.auto_route", sim.auto_topk(e, q, k=10)
+    )
+    exact = sim.brute_force_topk(e, q, k=10)
+    rec = _recall_vs_exact(exact, routed, floor=0.8)
+    # the route literal is constant across rows; a 1-row broadcast
+    # cross join attaches it without a per-row shuffle
+    return rec.join(
+        F.broadcast(routed.select("route").distinct())
+    ).select("query_id", "n_exact", "recall_ok", "route")
+
+
 @query("vector_topk_lsh", oracle=_RECALL_ORACLE)
 def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — multi-table sign-bit LSH (4 independent 16-bit
