@@ -41,6 +41,23 @@ class LoadReport:
     skipped: int
 
 
+@dataclass
+class RunNotification:
+    """What a pipeline-level notification hook receives — the analog of
+    the reference's success/failure email payloads
+    (airflow/dags/pipeline.py:20-43,240-264), minus the transport: the
+    engine reports, the caller decides whether that means email, a
+    metrics counter, or nothing. `attempts` counts `process` executions
+    (1 = first try succeeded), mirroring the reference's task-retry
+    counter (pipeline.py:110)."""
+
+    status: str  # "success" | "failure"
+    folder: str
+    report: LoadReport | None
+    error: Exception | None
+    attempts: int
+
+
 class IncrementalLoader:
     """Manifest-backed incremental file loader.
 
@@ -125,25 +142,64 @@ class IncrementalLoader:
         process: Callable[[list[str]], None],
         *,
         extensions: Sequence[str] = (".parquet", ".csv", ".json"),
+        retries: int = 0,
+        on_success: Callable[[RunNotification], None] | None = None,
+        on_failure: Callable[[RunNotification], None] | None = None,
     ) -> LoadReport:
         """Filter candidates by extension (the reference's suffix predicate,
         plugins/s3_copy.py:92-93), anti-join against the manifest, process
         all new files as ONE multi-file batch, then record them. The
         `process` callback takes the new-file list (it must build reader
         paths on the driver regardless); the manifest bookkeeping itself
-        runs through the DataFrame path."""
+        runs through the DataFrame path.
+
+        Orchestration hooks (VERDICT r11 ask #7 — the reference's one
+        behavior with no engine analog, airflow/dags/pipeline.py:20-43,
+        110,240-264), deliberately OUTSIDE the query surface:
+
+        - `retries`: re-run a failing `process` up to this many extra
+          times (the reference's task `retries=1`). The manifest is
+          recorded only after a SUCCESSFUL process, so a retried batch
+          re-reads the same new-file list — idempotency unchanged.
+        - `on_success` / `on_failure`: called once with a
+          `RunNotification` (the email-on-success/failure analog).
+          After exhausted retries the original exception re-raises —
+          a notification hook observes failure, it never swallows it.
+          Hook exceptions propagate (a misconfigured notifier should
+          be loud, matching the reference's failing email task)."""
         candidates = [
             f for f in files if os.path.splitext(f)[1].lower() in extensions
         ]
         new = self.new_files(folder, candidates)
+        attempts = 0
         if new:
-            process(new)
+            while True:
+                attempts += 1
+                try:
+                    process(new)
+                    break
+                except Exception as e:
+                    if attempts > retries:
+                        if on_failure is not None:
+                            on_failure(
+                                RunNotification(
+                                    "failure", folder, None, e, attempts
+                                )
+                            )
+                        raise
             self.record(folder, new)
-        return LoadReport(
+        report = LoadReport(
             candidates=len(candidates),
             new_files=new,
             skipped=len(candidates) - len(new),
         )
+        if on_success is not None:
+            on_success(
+                RunNotification(
+                    "success", folder, report, None, attempts
+                )
+            )
+        return report
 
 
 def streaming_incremental_load(

@@ -616,6 +616,193 @@ def test_http_json_api_datasource_real_transport(spark):
         srv.server_close()
 
 
+def test_http_json_api_token_auth_with_expiry(spark):
+    """The credentialed-connector path (VERDICT r11 ask #6) against a
+    live local server that REQUIRES a bearer token: every data/meta
+    request without the CURRENT token is 401-rejected, and the server
+    rotates the token every 3 authenticated requests — so a scan of 5
+    pages + 1 meta request can only succeed if (a) the driver fetches
+    a token and (b) each executor task authenticates itself (the
+    reader pickles WITHOUT the live token). Also pins the failure
+    mode: a scan with no token_url raises (401), never returns
+    partial data."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    N_ROWS, PAGE, ROTATE_EVERY = 23, 5, 3
+    state = {"gen": 0, "served": 0, "issued": 0, "rejected": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            path = urlparse(self.path).path
+            with lock:
+                if path == "/token":
+                    state["issued"] += 1
+                    body = {"token": f"tok-{state['gen']}"}
+                else:
+                    want = f"Bearer tok-{state['gen']}"
+                    if self.headers.get("Authorization") != want:
+                        state["rejected"] += 1
+                        self.send_response(401)
+                        self.end_headers()
+                        return
+                    state["served"] += 1
+                    if state["served"] % ROTATE_EVERY == 0:
+                        state["gen"] += 1  # expire the current token
+                    if "meta" in q:
+                        body = {"n_rows": N_ROWS}
+                    else:
+                        p, size = int(q["page"][0]), int(q["page_size"][0])
+                        start = p * size
+                        body = {
+                            "rows": [
+                                {"id": i, "name": f"r{i}", "score": i * 0.5}
+                                for i in range(
+                                    start, min(start + size, N_ROWS)
+                                )
+                            ]
+                        }
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from core_telecoms_etl_spark.sources.api_source import register_http
+
+        register_http(spark)
+        def reader(**extra):
+            # fresh DataFrameReader per scan — .option() mutates in
+            # place, so reusing one reader would leak token_url into
+            # the credential-less case
+            r = (
+                spark.read.format("http_json_api")
+                .schema("id long, name string, score double")
+                .option("url", f"http://127.0.0.1:{port}/values")
+                .option("page_size", str(PAGE))
+            )
+            for k, v in extra.items():
+                r = r.option(k, v)
+            return r
+
+        df = reader(token_url=f"http://127.0.0.1:{port}/token").load()
+        rows = sorted(df.collect(), key=lambda r: r.id)
+        assert len(rows) == N_ROWS
+        assert rows[0].name == "r0" and rows[22].score == 11.0
+        with lock:
+            # the reader pickles WITHOUT a live token, so every task
+            # authenticated itself: 6 tokens for 6 requests (1 meta +
+            # 5 pages) — surviving two mid-scan rotations. (The
+            # 401-refresh branch is exercised deterministically by
+            # test_token_auth_refreshes_on_401 below; just-in-time
+            # per-task fetches never present a stale token here.)
+            assert state["served"] == 6  # 1 meta + 5 pages
+            assert state["issued"] == 6, state
+
+        # credential-less scan against the same server: loud failure
+        # (Spark wraps the driver-side HTTPError; match on the code)
+        import pytest
+
+        with pytest.raises(Exception, match="401"):
+            reader().load().collect()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_token_auth_refreshes_on_401():
+    """The 401-refresh-retry branch of TokenAuth, deterministically:
+    the server issues SINGLE-USE tokens, so the second `get` with the
+    cached token is 401-rejected — TokenAuth must refresh exactly once
+    and retry, never fail and never loop. A server that 401s even
+    fresh tokens surfaces as the original HTTPError (one retry, then
+    raise — no infinite refresh)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import urlparse
+
+    state = {"n": 0, "valid": set(), "rejected": 0, "always_401": False}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                if urlparse(self.path).path == "/token":
+                    state["n"] += 1
+                    tok = f"one-shot-{state['n']}"
+                    state["valid"].add(tok)
+                    body = {"token": tok}
+                else:
+                    tok = (self.headers.get("Authorization") or "").removeprefix(
+                        "Bearer "
+                    )
+                    if state["always_401"] or tok not in state["valid"]:
+                        state["rejected"] += 1
+                        self.send_response(401)
+                        self.end_headers()
+                        return
+                    state["valid"].discard(tok)  # single use
+                    body = {"ok": True}
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import urllib.error
+
+        from core_telecoms_etl_spark.sources.api_source import TokenAuth
+
+        auth = TokenAuth(f"http://127.0.0.1:{port}/token")
+        url = f"http://127.0.0.1:{port}/data"
+        assert auth.get(url, {}) == {"ok": True}  # fresh token, 200
+        assert auth.get(url, {}) == {"ok": True}  # cached→401→refresh
+        with lock:
+            assert state["rejected"] == 1 and state["n"] == 2, state
+
+        # pickling drops the live token (executors re-authenticate)
+        import pickle
+
+        auth2 = pickle.loads(pickle.dumps(auth))
+        assert auth2._token is None and auth2.token_url == auth.token_url
+
+        # a server that rejects even fresh tokens: ONE refresh, then
+        # the 401 propagates (no retry loop)
+        with lock:
+            state["always_401"] = True
+            before = state["n"]
+        try:
+            auth.get(url, {})
+            raise AssertionError("expected HTTPError 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        with lock:
+            assert state["n"] <= before + 2  # bounded refresh attempts
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_xml_round_trip_and_schema(spark, tmp_path):
     from core_telecoms_etl_spark.sources.readers import read_xml
     from core_telecoms_etl_spark.sources.writers import write_xml

@@ -39,9 +39,18 @@ see. Measured targets (sf0.1 → sf1):
 Deterministic: one numpy PCG64(seed=42) stream in a fixed generation
 order. Usage:
 
-    python tools/make_sf1_testdata.py [/tmp/spark_graft_sf1]
+    python tools/make_sf1_testdata.py [/tmp/spark_graft_sf1] [mult]
     SF_DIR=/tmp/spark_graft_sf1 python tools/check_oracle.py --jobs 8
-"""
+
+`mult` (default 1) scales every row count linearly above sf1 —
+`mult=10` is the sf10 decade (VERDICT r11 ask #1: each decade so far
+caught defects the gate scale cannot see) — EXCEPT embeddings, which
+follow the observed sublinear 4x/decade law (8k·mult^log10(4)), and
+the fixed dims region/nation. mult=1 reproduces sf1 byte-for-byte
+(same single main-stream draw order). Date/time spans stay FIXED at
+every mult (denser days — the realistic scale-up shape: history
+doesn't stretch because volume grew), so grid-shaped queries
+(time_grid_*) scale in keys, not span."""
 
 from __future__ import annotations
 
@@ -107,6 +116,16 @@ def write(df: pd.DataFrame, schema: pa.Schema, path: str) -> None:
 
 def main() -> None:
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    # rebind the module-level counts at `mult`x (mult=1 keeps sf1
+    # byte-identical: same values, same draw order)
+    global N_CUST, N_SUPP, N_PART, N_ORDERS, N_EVENTS, N_USERS
+    global N_DOCS, N_EMB
+    N_CUST, N_SUPP, N_PART = N_CUST * mult, N_SUPP * mult, N_PART * mult
+    N_ORDERS, N_EVENTS = N_ORDERS * mult, N_EVENTS * mult
+    N_USERS, N_DOCS = N_USERS * mult, N_DOCS * mult
+    # embeddings: sublinear 4x/decade (8k at sf1 → 32k at sf10)
+    N_EMB = int(round(N_EMB * 4 ** np.log10(mult)))
     os.makedirs(dst, exist_ok=True)
     rng = np.random.default_rng(SEED)
 
