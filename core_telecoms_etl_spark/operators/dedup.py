@@ -641,6 +641,90 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return w.select(id_col, simhash_from_weights(F.col("__w")).alias("simhash"))
 
 
+def _pick_combo_order(
+    n_rows: int, max_hamming: int, budget_per_row: float = 128.0
+) -> int:
+    """Smallest combination order m ∈ [1, 5] whose expected
+    random-collision candidate count at `n_rows` docs fits the budget
+    (~budget_per_row·n, floor 1M — small corpora always take m = 1).
+    The estimate sums n²/2 ÷ 2^key_bits over every combination key
+    using each key's TRUE packed width (block widths differ by ±1), ×2
+    for simhash bit bias. Monotone: bigger corpora pick bigger m. m = 5
+    is the ceiling — C(max_hamming + 5, 5) keys per doc is where the
+    explode cost overtakes the join saving; past that, widen the
+    signature (128-bit simhash), don't deepen the blocking."""
+    from itertools import combinations
+
+    budget = max(budget_per_row * n_rows, 1e6)
+    best = 1
+    for m in range(1, 6):
+        n_b = max_hamming + m
+        if n_b > 64:
+            break
+        starts = [round(i * 64 / n_b) for i in range(n_b + 1)]
+        widths = [starts[i + 1] - starts[i] for i in range(n_b)]
+        best = m
+        est = 2.0 * sum(
+            n_rows * n_rows / 2.0 / 2.0 ** sum(widths[j] for j in S)
+            for S in combinations(range(n_b), m)
+        )
+        if est <= budget:
+            break
+    return best
+
+
+def _simhash_mass_tripwire(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    n_rows: int,
+    max_candidates: int,
+    sample_size: int = 2048,
+) -> None:
+    """Estimate the TRUE hamming ≤ max_hamming pair mass from a bounded
+    deterministic signature sample and raise if it exceeds the budget.
+    Bounded collect: ≤ sample_size longs cross the driver. The sample is
+    id-ordered (deterministic across partitionings); density resolution
+    is ~2/sample_size², plenty to catch quadratic-mass corpora (the
+    failure mode is density ~1e-2, resolution ~5e-7)."""
+    import numpy as np
+
+    sig_sample = (
+        simhash_signatures(df, id_col, text_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .select("simhash")
+        .collect()
+    )
+    a = np.array([r.simhash for r in sig_sample], dtype=np.int64).astype(
+        np.uint64
+    )
+    if len(a) < 2:
+        return
+    x = a[:, None] ^ a[None, :]
+    ham = np.zeros(x.shape, dtype=np.int8)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int8)
+        x >>= np.uint64(1)
+    h = ham[np.triu_indices(len(a), 1)]
+    density = float((h <= max_hamming).sum()) / len(h)
+    est = density * n_rows * (n_rows - 1) / 2
+    if est > max_candidates:
+        raise RuntimeError(
+            "simhash_pairs: the corpus itself holds an estimated "
+            f"{est:.2e} pairs within hamming <= {max_hamming} "
+            f"(sampled density {density:.2e}, median sample hamming "
+            f"{float(np.median(h)):.0f}/64, n_rows={n_rows}) — past "
+            f"max_candidates={max_candidates}. This is intrinsic "
+            "quadratic mass (signatures concentrate on this corpus "
+            "shape), not a blocking problem: no pigeonhole scheme can "
+            "shrink a result this large. Use minhash banding "
+            "(minhash_lsh_pairs) or a wider signature, lower "
+            "max_hamming, or pass max_candidates=None to run anyway."
+        )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -648,21 +732,88 @@ def simhash_pairs(
     *,
     max_hamming: int = 8,
     n_blocks: int | None = None,
+    n_rows: int | None = None,
+    max_candidates: int | None = 1_000_000_000,
 ) -> DataFrame:
-    """SimHash near-dup pairs via bit-block blocking + exact Hamming
-    filter. Blocking is pigeonhole-COMPLETE by default: the 64-bit
-    signature splits into `n_blocks = max_hamming + 1` blocks, so any
-    pair within `max_hamming` differs in at most max_hamming blocks and
-    must agree on at least one — every qualifying pair is guaranteed to
-    be a candidate (no probabilistic recall), while pairs differing in
-    every block are never compared. Pass a smaller `n_blocks` to trade
-    guaranteed recall for fewer candidates."""
-    if n_blocks is None:
-        n_blocks = max_hamming + 1
-    if not 1 <= n_blocks <= 64:
-        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+    """SimHash near-dup pairs via GENERALIZED pigeonhole blocking + exact
+    Hamming filter. The 64-bit signature splits into B = max_hamming + m
+    blocks, and candidates are keyed on every m-block COMBINATION
+    (C(B, m) keys per doc): a pair within `max_hamming` damages at most
+    max_hamming blocks, so at least m blocks agree, so at least one
+    m-combination key is shared — completeness is still pigeonhole, not
+    luck, for EVERY m ≥ 1. m = 1 is the classic k+1-block scheme; larger
+    m trades more keys per doc (C(B, m)) for m×-wider keys, which is
+    what survives scale: single-block keys carry only 64/(k+1) bits
+    (~7 bits at k = 8 — 128 distinct values), so bucket sizes grow
+    linearly with the corpus and the self-join quadratically — measured
+    ENOSPC'ing a 77 GB disk at 500k docs (sf10, r12) where m = 4 keys
+    carry ~21 bits. This is the 64-bit version of the
+    Manku-Das Sarma-Garcia-Molina table scheme (WWW'07, public).
+
+    m is chosen driver-side from the corpus size: smallest m ≤ 5 whose
+    expected random-collision candidate count (sum over combination
+    keys of n²/2 ÷ 2^key_bits, ×2 bias margin — simhash bits of real
+    text are not perfectly uniform) fits ~128·n. Pass `n_rows` to skip
+    the one count job that sizing otherwise runs.
+
+    QUADRATIC-MASS TRIPWIRE (`max_candidates`): blocking can only
+    remove pairs the Hamming filter would reject — when the corpus
+    itself holds ≥ max_candidates pairs within `max_hamming`, the
+    result is intrinsically that large and NO blocking scheme shrinks
+    it. That is a corpus-shape property, measured, not hypothetical:
+    the sf10 synthetic corpus (short docs over a shared vocabulary)
+    concentrates signatures at median pairwise hamming 17, putting
+    1.5% of ALL pairs inside hamming ≤ 8 — ~1.9e9 true candidates at
+    500k docs, which ENOSPC'd even the combination-blocked join. So
+    past the point where n²/2 could exceed the budget, a 2048-doc
+    signature sample estimates the true pair mass (density × n²/2,
+    bounded collect of 2048 longs) and RAISES with the measurement and
+    the escalation path (minhash banding separates this regime; or a
+    wider signature) instead of silently launching a shuffle that
+    cannot fit. Pass max_candidates=None to run regardless.
+
+    Passing `n_blocks` explicitly keeps the legacy single-block scheme
+    with that many blocks (m = 1; n_blocks < max_hamming + 1 trades
+    guaranteed recall for fewer candidates, as before) and skips the
+    tripwire — manual control opts out of the guard rails."""
+    from itertools import combinations
+
+    if n_blocks is not None:
+        if not 1 <= n_blocks <= 64:
+            raise ValueError(
+                f"n_blocks must be in [1, 64], got {n_blocks}"
+            )
+        n_b, m = n_blocks, 1
+    else:
+        if n_rows is None:
+            n_rows = df.count()
+        if (
+            max_candidates is not None
+            and n_rows * (n_rows - 1) / 2 > max_candidates
+        ):
+            _simhash_mass_tripwire(
+                df, id_col, text_col, max_hamming, n_rows, max_candidates
+            )
+        m = _pick_combo_order(n_rows, max_hamming)
+        n_b = max_hamming + m
     # block i covers bits [starts[i], starts[i+1]) — widths differ by ≤1
-    starts = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
+    starts = [round(i * 64 / n_b) for i in range(n_b + 1)]
+    widths = [starts[i + 1] - starts[i] for i in range(n_b)]
+
+    def block(i: int):
+        # a full-width block (n_blocks=1) needs the all-ones long:
+        # (1 << 64) - 1 overflows LongType
+        mask = -1 if widths[i] == 64 else (1 << widths[i]) - 1
+        return F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(mask)
+
+    # one packed long per combination: disjoint sub-64-bit blocks always
+    # fit (total shifted width = sum of the combo's widths ≤ 64)
+    keys = []
+    for S in combinations(range(n_b), m):
+        e = block(S[0])
+        for j in S[1:]:
+            e = F.shiftleft(e, widths[j]).bitwiseOR(block(j))
+        keys.append(e)
     # signature computation is the expensive pass; the blocking self-join
     # reads it twice → cache
     sig = cache_scoped(
@@ -671,21 +822,16 @@ def simhash_pairs(
     chunks = sig.select(
         F.col(id_col).alias("doc"),
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(
-                        # a full-width block (n_blocks=1) needs the
-                        # all-ones long: (1 << 64) - 1 overflows LongType
-                        -1
-                        if starts[i + 1] - starts[i] == 64
-                        else (1 << (starts[i + 1] - starts[i])) - 1
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("chunk_pos", "chunk"),
+        F.posexplode(F.array(*keys)).alias("chunk_pos", "chunk"),
     )
+    # Catalyst cannot size explode output — at m ≥ 2 it estimated the
+    # n·C(B,m)-row chunk relation below the broadcast threshold and
+    # tried to BROADCAST 26.5 GiB (fatal, observed at sf10). The scale
+    # regime always wants a shuffled hash join on (chunk_pos, chunk);
+    # m = 1 keeps the planner's choice (tiny corpora genuinely benefit
+    # from broadcast there).
+    if m >= 2:
+        chunks = chunks.hint("shuffle_hash")
     cand = (
         chunks.alias("x")
         .join(

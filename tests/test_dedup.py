@@ -589,3 +589,98 @@ def test_min_overlap_expr_rejects_long_decimal_thresholds(spark):
     # 4-decimal thresholds stay accepted
     _min_overlap_expr(0.1234)
     _min_overlap_expr(0.5)
+
+
+def test_simhash_combination_blocking_is_pigeonhole_complete(
+    spark, sf_dir
+):
+    """The generalized scheme (m ≥ 2: B = max_hamming + m blocks keyed
+    on m-block combinations) must find EXACTLY the same pairs as brute
+    force — completeness is pigeonhole (≥ m undamaged blocks → one
+    shared combination key), not luck. Forced to m = 4/5 via the
+    n_rows override (the real corpus is small; the sizing is what a
+    500k-doc sf10 corpus picks — the shape that ENOSPC'd the
+    single-block scheme in the r12 decade sweep)."""
+    from core_telecoms_etl_spark.operators import dedup as dd
+    from core_telecoms_etl_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sig = dd.simhash_signatures(docs, "doc_id", "text")
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 8)
+        .collect()
+    }
+    for forced_n in (500_000, 5_000_000):  # m = 4, then m = 5
+        blocked = {
+            (r.doc_a, r.doc_b)
+            for r in dd.simhash_pairs(
+                docs,
+                "doc_id",
+                "text",
+                max_hamming=8,
+                n_rows=forced_n,
+                # n_rows here is a lie to force m — the real corpus is
+                # 200 docs, so the mass tripwire (which extrapolates
+                # sample density to n_rows) must be opted out
+                max_candidates=None,
+            ).collect()
+        }
+        assert blocked == brute, (
+            f"n_rows={forced_n}: missed {brute - blocked}, "
+            f"extra {blocked - brute}"
+        )
+
+
+def test_simhash_combo_order_scales_with_corpus():
+    """m is monotone in corpus size, 1 for small corpora (classic k+1
+    single blocks — cheapest correct plan), ≥ 4 at the sf10 shape that
+    overwhelmed single-block keys, and never past the m = 5 ceiling."""
+    from core_telecoms_etl_spark.operators.dedup import _pick_combo_order
+
+    ms = [
+        _pick_combo_order(n, 8)
+        for n in (100, 1000, 10_000, 100_000, 500_000, 10_000_000)
+    ]
+    assert ms == sorted(ms), f"not monotone: {ms}"
+    assert ms[0] == 1 and ms[-1] <= 5
+    assert _pick_combo_order(500_000, 8) >= 4
+    # k = 0 keeps the single full-width block at ANY size (64-bit keys
+    # already have maximal entropy; more blocks only narrow them)
+    assert _pick_combo_order(10_000_000, 0) == 1
+
+
+def test_simhash_quadratic_mass_tripwire(spark):
+    """When the corpus intrinsically holds more hamming<=k pairs than
+    the budget (a corpus-SHAPE property — measured live at sf10 where
+    concentrated signatures put 1.5% of all pairs inside hamming 8),
+    the operator must refuse LOUDLY with the measurement instead of
+    launching a shuffle that cannot fit; max_candidates=None opts out;
+    the explicit-n_blocks legacy path never probes."""
+    import pytest
+
+    docs = _docs(spark)  # holds an exact-dup pair -> sample density > 0
+    with pytest.raises(RuntimeError, match="intrinsic quadratic mass"):
+        dd.simhash_pairs(
+            docs,
+            "doc_id",
+            "text",
+            max_hamming=8,
+            n_rows=10_000_000,  # the scale the density extrapolates to
+            max_candidates=1_000_000,
+        )
+    # opt-out and the manual path both still run
+    assert (
+        dd.simhash_pairs(
+            docs, "doc_id", "text", n_rows=10_000_000,
+            max_candidates=None,
+        ).count()
+        >= 1
+    )
+    assert (
+        dd.simhash_pairs(docs, "doc_id", "text", n_blocks=9).count() >= 1
+    )

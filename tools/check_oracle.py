@@ -145,8 +145,20 @@ def main() -> int:
     # expansions (time_grid_fill ~30M rows) overrun the 1g default
     # maxResultSize — a harness-collect limit, not a plan property
     # (found live: r10 sf1 sweep). 8g matches the 48g local driver.
+    #
+    # periodicGC: Spark keeps every finished query's shuffle files on
+    # local disk until the driver GCs the ShuffleDependency (default
+    # periodic GC is 30 MINUTES) — a long many-query sweep at sf10
+    # accumulated 55+ GB of dead shuffle files and ENOSPC'd the box
+    # (found live: r12 sf10 sweep). 2 minutes bounds the dead-file
+    # window; the same knob matters on real clusters, where executor
+    # local disks are shared by every query the session has ever run.
     spark = get_spark(
-        "oracle-check", extra_conf={"spark.driver.maxResultSize": "8g"}
+        "oracle-check",
+        extra_conf={
+            "spark.driver.maxResultSize": "8g",
+            "spark.cleaner.periodicGC.interval": "2min",
+        },
     )
     qs = qmod.queries()
     oracles = qmod.oracle_sql()
@@ -159,7 +171,16 @@ def main() -> int:
 
     def con_factory():
         if getattr(tls, "con", None) is None:
-            c = duckdb.connect()
+            # bounded memory + disk spill: an unbounded in-process
+            # DuckDB got OOM-killed at 107 GB RSS on the sf10
+            # triangle-count oracle (r12 decade sweep) — the oracle
+            # must SPILL at decade scales, same as Spark does
+            c = duckdb.connect(
+                config={
+                    "memory_limit": "48GB",
+                    "temp_directory": "/tmp/duckdb_spill",
+                }
+            )
             for t in TABLES:
                 p = f"{sf_dir}/{t}.parquet"
                 # Spark-written tables are directories of part files
