@@ -25,8 +25,27 @@ the big-component / high-diameter escalation path.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Lineage cuts go through ONE helper so the storage level is a policy,
+# not a per-call accident. Dataset.localCheckpoint's default level
+# stores DESERIALIZED row objects; at the sf10 decade the copurchase
+# edge set (~186M rows after symmetrize) held as row objects plus the
+# per-iteration join's execution memory GC-thrashed a 48 GB heap to
+# death (java.lang.OutOfMemoryError in the codegen row buffer — found
+# live, r12 decade sweep). MEMORY_AND_DISK from PySpark maps to
+# serialized-in-memory + disk overflow: compact UnsafeRow blocks that
+# unroll incrementally and spill instead of exploding the old gen. At
+# cluster scale these calls become checkpoint() to HDFS either way
+# (module docstring); the level only governs the local/driver profile.
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager lineage cut with the serialized spill-safe storage level."""
+    return df.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
 
 
 def connected_components(
@@ -50,12 +69,12 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(_ckpt)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -71,7 +90,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()  # cut the per-iteration join lineage
+            .transform(_ckpt)  # cut the per-iteration join lineage
         )
         changed = (
             new_labels.alias("n")
@@ -143,16 +162,16 @@ def connected_components_star(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _ckpt(_small_star(_large_star(e)))
         converged = (
             new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
         )
@@ -222,7 +241,7 @@ def pagerank(
             F.col(dst).alias("__dst"),
             "__deg",
         )
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     ranks = nodes.select(
         F.col(node_col).alias("node"),
@@ -247,7 +266,7 @@ def pagerank(
                     snap_dp,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return ranks
 
