@@ -349,6 +349,59 @@ def test_incremental_dedup_keeps_batch_internal_dups(spark):
     assert {r.id for r in out.collect()} == {10, 11}
 
 
+def test_incremental_dedup_minhash_blocking_matches_exact(spark):
+    # blocking="minhash" (banded candidates + exact re-score) must keep
+    # the SAME batch docs as the exact posting join on real corpus data
+    # — banding miss probability at j>=0.8 is ~2e-4 per pair, far below
+    # what this corpus can express, so any disagreement is a bug, not
+    # recall
+    from core_telecoms_etl_spark.operators.dedup import incremental_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from pyspark.sql import functions as F
+
+    batch = d.filter(F.col("doc_id") % 10 < 2)
+    corpus = d.filter(F.col("doc_id") % 10 >= 2)
+    exact = incremental_dedup(
+        corpus, batch, "doc_id", "text", n=3, threshold=0.8
+    )
+    banded = incremental_dedup(
+        corpus, batch, "doc_id", "text", n=3, threshold=0.8,
+        blocking="minhash",
+    )
+    assert {r.doc_id for r in exact.select("doc_id").collect()} == {
+        r.doc_id for r in banded.select("doc_id").collect()
+    }
+
+
+def test_incremental_dedup_mass_tripwire_raises(spark):
+    # max_candidates below the true posting-join mass must raise LOUDLY
+    # naming the minhash escalation path — the r12 sf10 decade's
+    # 3.7e9-candidate spill loop, made a diagnosis instead of a hang
+    import pytest
+
+    from core_telecoms_etl_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(20)], "id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, "a b c d e f") for i in range(5)],
+        "id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="blocking='minhash'"):
+        incremental_dedup(
+            corpus, batch, "id", "text", n=3, threshold=0.8,
+            max_candidates=10,
+        ).collect()
+    # and a budget ABOVE the mass passes through untouched
+    out = incremental_dedup(
+        corpus, batch, "id", "text", n=3, threshold=0.8,
+        max_candidates=10_000,
+    )
+    assert out.count() == 0  # every batch doc duplicates the corpus
+
+
 def test_segment_dedup_drops_boilerplate_preserves_order(spark):
     """Segments shared by > max_df docs vanish corpus-wide; surviving
     segments reassemble in original order; a doc that is ALL boilerplate
