@@ -15,23 +15,47 @@ unpersists the PREVIOUS invocation's relation for the same slot (an
 evicted cache is merely recomputed if an old handle is still consumed —
 correctness never depends on it), and `release_caches()` drains every
 slot for tools that sweep many queries in one session.
+
+SAME-PLAN REUSE: when the slot already pins a SEMANTICALLY IDENTICAL
+plan, the existing cached frame is returned instead of re-caching.
+Eviction-on-every-call is fine sequentially, but concurrent sweep
+threads running queries from the same family (shared shingle/token
+slots, same sf_dir → same plan) otherwise PING-PONG the slot: each
+call unpersists the sibling's cache mid-action, forcing a full
+recompute of the evictee's multi-GB relation, which re-registers and
+evicts back. At sf0.01 a recompute is milliseconds and the thrash is
+invisible; at the sf10 decade it turned a 17-query text sweep at
+--jobs 3 into zero completions in 90 minutes (found live, r12) while
+--jobs 1 ran the same list at normal per-query cost. `sameSemantics`
+is a driver-side plan comparison — no job, no data read.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _SCOPED_CACHES: dict[str, DataFrame] = {}
+_SCOPED_LOCK = threading.Lock()
 
 
 def cache_scoped(slot: str, df: DataFrame) -> DataFrame:
-    """Cache `df`, unpersisting whatever the slot pinned previously."""
-    prev = _SCOPED_CACHES.get(slot)
-    if prev is not None:
-        prev.unpersist()
-    cached = df.cache()
-    _SCOPED_CACHES[slot] = cached
-    return cached
+    """Cache `df`, unpersisting whatever the slot pinned previously —
+    unless the slot already pins the same logical plan (returned
+    as-is; see SAME-PLAN REUSE above)."""
+    with _SCOPED_LOCK:
+        prev = _SCOPED_CACHES.get(slot)
+        if prev is not None:
+            try:
+                if prev.sameSemantics(df):
+                    return prev
+            except Exception:
+                pass  # plan comparison unavailable → conservative evict
+            prev.unpersist()
+        cached = df.cache()
+        _SCOPED_CACHES[slot] = cached
+        return cached
 
 
 def release_caches() -> int:

@@ -109,3 +109,26 @@ def test_build_once_adopts_race_winner(tmp_path, monkeypatch):
     assert not any(
         d.startswith(f"{name}.tmp.") for d in os.listdir(tmp_path)
     )
+
+
+def test_cache_scoped_reuses_same_plan_and_evicts_different(spark):
+    # SAME-PLAN REUSE: a second registration of a semantically
+    # identical frame must return the EXISTING cached frame (no
+    # eviction) — concurrent sweep threads sharing a slot otherwise
+    # ping-pong the cache, each eviction forcing a full recompute of
+    # the sibling's relation (found live at sf10, r12)
+    from core_telecoms_etl_spark import caching
+
+    a1 = spark.range(100).selectExpr("id", "id * 2 AS v")
+    a2 = spark.range(100).selectExpr("id", "id * 2 AS v")
+    c1 = caching.cache_scoped("test.reuse.slot", a1)
+    c2 = caching.cache_scoped("test.reuse.slot", a2)
+    assert c1 is c2  # reused, not re-cached
+    assert c1.storageLevel.useMemory  # still pinned
+    # a DIFFERENT plan in the same slot still evicts (bounded memory)
+    b = spark.range(50).selectExpr("id", "id * 3 AS w")
+    c3 = caching.cache_scoped("test.reuse.slot", b)
+    assert c3 is not c1
+    assert not c1.storageLevel.useMemory  # evicted
+    assert c3.storageLevel.useMemory
+    caching.release_caches()
