@@ -64,6 +64,37 @@ _GRID_SUM_SQL = (
     "CAST(round((1-l_discount)*100) AS BIGINT)) AS DOUBLE)/10000.0"
 )
 
+
+def _money_grid_sum_expr(col: str) -> "F.Column":
+    """Unaliased form of `_money_grid_sum` for use inside derived
+    expressions (averages)."""
+    return (
+        F.sum(F.round(F.col(col) * F.lit(100)).cast("bigint")).cast(
+            "double"
+        )
+        / F.lit(100.0)
+    )
+
+
+def _money_grid_sum(col: str, alias: str) -> "F.Column":
+    """Exact sum of a 2-decimal money column: accumulate BIGINT cents,
+    one final divide back to money units as DOUBLE.
+
+    The float-sum-then-snap form (`round(sum(x), 2)`) relies on the
+    accumulated summation-order error staying under the half-grid
+    0.005 — true through sf1, FALSE at the sf10 decade: 20M-row groups
+    summing to ~7.7e11 put one engine's error past the boundary and
+    the snap flipped a cent (salted_groupby, r12 sweep — the same
+    failure class r5 caught on the 4-decimal grid at sf0.1, one grid
+    coarser and one decade later). Integer cents make the group sum
+    engine-exact at any row count; overflow at ~$9.2e16 per group."""
+    return _money_grid_sum_expr(col).alias(alias)
+
+
+def _money_grid_sum_sql(col: str) -> str:
+    """DuckDB mirror of `_money_grid_sum` (sum → HUGEINT, exact)."""
+    return f"CAST(sum(CAST(round({col}*100) AS BIGINT)) AS DOUBLE)/100.0"
+
 # ---------------------------------------------------------------------------
 # §2.1 scans (S1–S3). csv/json scans round-trip a small dim table through the
 # format to exercise the real reader path against the parquet oracle.
@@ -345,10 +376,10 @@ def count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_agg",
     oracle=f"""SELECT l_returnflag, l_linestatus,
                      round(sum(l_quantity), 2)                        AS sum_qty,
-                     round(sum(l_extendedprice), 2)                   AS sum_base_price,
+                     {_money_grid_sum_sql('l_extendedprice')}         AS sum_base_price,
                      {_GRID_SUM_SQL} AS sum_disc_price,
                      round(sum(l_quantity), 2) / count(*)             AS avg_qty,
-                     round(sum(l_extendedprice), 2) / count(*)        AS avg_price,
+                     {_money_grid_sum_sql('l_extendedprice')} / count(*) AS avg_price,
                      count(*)                                         AS count_order
               FROM lineitem
               WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -358,18 +389,22 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped hash aggregate (capability row A4; the ref's fact
     grain, facts/schema.yml:6-39, exists to be aggregated like this).
     Partial (map-side) agg then final — one shuffle of 4 tiny groups.
-    Averages derive from the snapped sums so both engines divide
-    bit-identical doubles."""
+    Money sums on the exact cents grid (`_money_grid_sum` — the
+    float-sum snap flips past sf10's group sizes); quantity sums stay
+    float (integer-valued doubles ≪ 2^53 sum exactly). Averages derive
+    from the exact sums so both engines divide bit-identical doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _money_grid_sum("l_extendedprice", "sum_base_price"),
             _grid_sum_double("sum_disc_price"),
             (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
-            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            (
+                _money_grid_sum_expr("l_extendedprice") / F.count("*")
+            ).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -664,8 +699,8 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_agg",
-    oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS revenue
+    oracle=f"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                     {_money_grid_sum_sql('o_totalprice')} AS revenue
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               HAVING count(*) > 0""",
 )
@@ -685,7 +720,9 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # cents grid: the grand-total cell sums EVERY order — the
+            # float snap's first casualty as sf grows (see _money_grid_sum)
+            _money_grid_sum("o_totalprice", "revenue"),
         )
     )
 
@@ -1263,8 +1300,8 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_groupby",
-    oracle="""SELECT l_returnflag, count(*) AS n,
-                     round(sum(l_extendedprice), 2) AS sum_price
+    oracle=f"""SELECT l_returnflag, count(*) AS n,
+                     {_money_grid_sum_sql('l_extendedprice')} AS sum_price
               FROM lineitem GROUP BY l_returnflag""",
 )
 def salted_groupby_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,22 +1309,32 @@ def salted_groupby_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_returnflag has 3 values — at 100 TB each is a pathological hot key —
     so the partial agg runs on (key, salt) over 16 deterministic salts and
     a vocabulary-sized final agg merges the partials. The oracle is the
-    PLAIN group-by: salting must not change a single value. Price sum
-    snapped at the money grid."""
+    PLAIN group-by: salting must not change a single value — which is
+    only guaranteed when the per-group sum is ORDER-INDEPENDENT, so
+    the money sum accumulates exact BIGINT cents through both phases
+    (the r12 sf10 sweep caught the float form one cent off the
+    unsalted oracle: ~20M-row groups push the summation-order error
+    past the 2-decimal half-grid, and salting reorders the summation
+    by construction)."""
     from core_telecoms_etl_spark.operators.joins import salted_groupby
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__cents",
+        F.round(F.col("l_extendedprice") * F.lit(100)).cast("bigint"),
+    )
     out = salted_groupby(
         li,
         ["l_returnflag"],
         salt_from="l_orderkey",
         n_salts=16,
-        sums=["l_extendedprice"],
+        sums=["__cents"],
     )
     return out.select(
         "l_returnflag",
         "n",
-        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+        (F.col("sum___cents").cast("double") / F.lit(100.0)).alias(
+            "sum_price"
+        ),
     )
 
 
@@ -1642,9 +1689,9 @@ def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unpivot_metrics",
-    oracle="""WITH w AS (SELECT l_returnflag,
+    oracle=f"""WITH w AS (SELECT l_returnflag,
                                 CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-                                round(sum(l_extendedprice), 2) AS sum_price,
+                                {_money_grid_sum_sql('l_extendedprice')} AS sum_price,
                                 CAST(count(*) AS DOUBLE) AS n_items
                          FROM lineitem GROUP BY l_returnflag)
               SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
@@ -1664,7 +1711,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
         F.sum("l_quantity").cast("double").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        _money_grid_sum("l_extendedprice", "sum_price"),
         F.count("*").cast("double").alias("n_items"),
     )
     return wide.unpivot(
