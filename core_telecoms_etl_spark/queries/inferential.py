@@ -254,11 +254,15 @@ def entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM daily)
               SELECT c.d AS change_date,
                      g.n AS n_days,
-                     (g.n * c.cx - c.i * g.t) AS s_scaled,
-                     round(CAST(g.n * c.cx - c.i * g.t AS DOUBLE)
+                     CAST(CAST(g.n AS HUGEINT) * c.cx
+                          - CAST(c.i AS HUGEINT) * g.t AS DOUBLE)
+                       AS s_scaled,
+                     round(CAST(CAST(g.n AS HUGEINT) * c.cx
+                                - CAST(c.i AS HUGEINT) * g.t AS DOUBLE)
                            / (CAST(g.n AS DOUBLE) * 1e4), 2) AS cusum_money
               FROM c CROSS JOIN g
-              ORDER BY abs(g.n * c.cx - c.i * g.t) DESC, c.d
+              ORDER BY abs(CAST(g.n AS HUGEINT) * c.cx
+                           - CAST(c.i AS HUGEINT) * g.t) DESC, c.d
               LIMIT 1""",
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +274,15 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: with C_i the cumulative daily 4-dec-grid revenue and T
     the grand total, S_i = C_i − i·T/n is evaluated as the all-integer
-    S'_i = n·C_i − i·T — argmax|S'| needs no floats at all; only the
-    reported magnitude divides exact ints once (n·C_i ≤ 4e17 at sf0.1;
-    cast the cumulative product to DECIMAL(38,0) beyond ~sf10).
+    S'_i = n·C_i − i·T in 128-bit (Spark DECIMAL(38,0) ↔ DuckDB
+    HUGEINT) — argmax|S'| needs no floats at all. The r12 sf10 decade
+    cashed the prediction the earlier version of this docstring made:
+    n·C_i ≈ 2,435 days × 2.2e16 unscaled grand total ≈ 5.4e19 blew the
+    BIGINT form (ANSI ARITHMETIC_OVERFLOW, both engines); DECIMAL(38)
+    holds to ~sf10^20. S' is EMITTED as double (one correctly-rounded
+    cast of the identical exact value on both sides — int64 can no
+    longer carry it); the argmax ORDER still compares the exact
+    128-bit values.
 
     Scale: one fact shuffle to the calendar-day grain; the running sum
     and row_number run single-partition over the day relation — bounded
@@ -302,20 +312,26 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w).alias("cx"),
         F.row_number().over(wo).cast("long").alias("i"),
     )
-    s_scaled = F.col("n") * F.col("cx") - F.col("i") * F.col("t")
+    d38 = "decimal(38,0)"
+    s_scaled = (
+        F.col("n").cast(d38) * F.col("cx").cast(d38)
+        - F.col("i").cast(d38) * F.col("t").cast(d38)
+    )
     return (
         c.join(F.broadcast(g))
         .select(
             F.col("d").alias("change_date"),
             F.col("n").alias("n_days"),
-            s_scaled.alias("s_scaled"),
+            s_scaled.cast("double").alias("s_scaled"),
             F.round(
                 s_scaled.cast("double") / (F.col("n").cast("double") * F.lit(1e4)),
                 2,
             ).alias("cusum_money"),
+            s_scaled.alias("__s_exact"),
         )
-        .orderBy(F.abs(F.col("s_scaled")).desc(), "change_date")
+        .orderBy(F.abs(F.col("__s_exact")).desc(), "change_date")
         .limit(1)
+        .drop("__s_exact")
     )
 
 
@@ -1077,7 +1093,7 @@ def bootstrap_ci_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (a, b) -> a * 0.8 + 0.2 * b) AS ew
                 FROM m)
               SELECT d AS day, round(x, 2) AS revenue,
-                     round(ew, 2) AS ewma30,
+                     ew AS ewma30,
                      CAST(x > 1.15 * ew OR x < 0.85 * ew AS BIGINT)
                        AS band_breach
               FROM w ORDER BY d""",
@@ -1094,8 +1110,15 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the window's first element over `sort_array`ed (day, x)
     structs; DuckDB: `list_reduce`, whose seed is also the first
     element), on per-day money values derived from exact cent sums —
-    bit-identical, rounded 2dp for display. The breach flag compares
-    the same doubles against literal band factors.
+    bit-identical. The EWMA itself is emitted UNROUNDED: it is not a
+    grid value (0.8/0.2-weighted folds land on arbitrary doubles), and
+    a display round(·,2) only ADDS a divergence channel — Spark rounds
+    the shortest decimal repr HALF_UP while DuckDB rounds the true
+    binary value, and the two disagree one cent either side of a
+    repr-boundary (caught live at sf10: one of 2,499 days landed on
+    one; exposure is luck-of-draw, not scale). `revenue` stays rounded
+    — cents/100 IS a grid value, never repr-ambiguous. The breach flag
+    compares the same doubles against literal band factors.
 
     Scale: one fact shuffle to the calendar-day grain; the trailing
     window runs single-partition over the DAY relation (date-span
@@ -1130,7 +1153,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("d").alias("day"),
         F.round("x", 2).alias("revenue"),
-        F.round("ew", 2).alias("ewma30"),
+        F.col("ew").alias("ewma30"),
         (
             (F.col("x") > F.lit(1.15) * F.col("ew"))
             | (F.col("x") < F.lit(0.85) * F.col("ew"))
@@ -1293,30 +1316,31 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT)
                          AS s4
                 FROM v GROUP BY 1),
-              k AS (
+              c AS (
                 SELECT event_type, n, s1,
-                       (n * s2 - s1 * s1) AS k2,
-                       (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
-                         AS k3,
-                       (n * n * n * s4 - 4 * n * n * s1 * s3
-                        + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
-                         AS k4
-                FROM s)
+                       CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+                       CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+                       CAST(s4 AS DOUBLE) AS s4d
+                FROM s),
+              k AS (
+                SELECT event_type, n, s1, nd,
+                       (nd * s2d - s1d * s1d) AS k2,
+                       (nd * nd * s3d - 3 * nd * s1d * s2d
+                        + 2 * s1d * s1d * s1d) AS k3,
+                       (nd * nd * nd * s4d - 4 * nd * nd * s1d * s3d
+                        + 6 * nd * s1d * s1d * s2d
+                        - 3 * s1d * s1d * s1d * s1d) AS k4
+                FROM c)
               SELECT event_type,
                      CAST(n AS BIGINT) AS n_events,
-                     round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100, 4)
+                     round(CAST(s1 AS DOUBLE) / nd / 100, 4)
                        AS mean_value,
-                     round(sqrt(CAST(k2 AS DOUBLE)) / CAST(n AS DOUBLE)
-                           / 100, 4) AS std_value,
+                     round(sqrt(k2) / nd / 100, 4) AS std_value,
                      CASE WHEN k2 > 0 THEN
-                       round(CAST(k3 AS DOUBLE)
-                             / (CAST(k2 AS DOUBLE)
-                                * sqrt(CAST(k2 AS DOUBLE))), 6)
+                       round(k3 / (k2 * sqrt(k2)), 6)
                      END AS skewness,
                      CASE WHEN k2 > 0 THEN
-                       round(CAST(k4 AS DOUBLE)
-                             / (CAST(k2 AS DOUBLE) * CAST(k2 AS DOUBLE))
-                             - 3.0, 6)
+                       round(k4 / (k2 * k2) - 3.0, 6)
                      END AS excess_kurtosis
               FROM k ORDER BY event_type""",
 )
@@ -1333,9 +1357,13 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     K₂ = nΣ₂−Σ₁², K₃ = n²Σ₃−3nΣ₁Σ₂+2Σ₁³,
     K₄ = n³Σ₄−4n²Σ₁Σ₃+6nΣ₁²Σ₂−3Σ₁⁴ — never the engines' own
     streaming-moment aggregates (skewness()/kurtosis() internals
-    differ). √ via sqrt (correctly-rounded IEEE), never pow(x,1.5)
-    (libm ulp). Zero-variance groups → NULL via an all-integer guard.
-    Bounds: Σ₁⁴ ≤ 10³² at sf0.1 fits both 128-bit types to ~sf10.
+    differ). The K combinations themselves run in DOUBLE on both
+    sides: the all-integer forms overflow any fixed-width type as n
+    grows (n³Σ₄ ≈ 1.6e44 at sf10 — caught live, r12), while identical
+    exact sums cast to identical doubles through identical expression
+    trees stay hash-equal at every scale. √ via sqrt
+    (correctly-rounded IEEE), never pow(x,1.5) (libm ulp).
+    Zero-variance groups → NULL via the mirrored k2 > 0 guard.
 
     Scale: ONE map-side-combined shuffle carrying five numeric
     accumulators per group — the entire query."""
@@ -1352,41 +1380,52 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(d)
         .alias("s4"),
     )
-    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    nd, s1d, s2d, s3d, s4d = (
+        F.col(c).cast("double") for c in ("n", "s1", "s2", "s3", "s4")
+    )
+    # cumulant COMBINATIONS in double from the exact 128-bit power
+    # sums: the all-integer k3/k4 forms overflow ANY fixed-width type
+    # once n grows — n³Σ₄ ≈ 1.6e44 at sf10's 2M-row groups blew
+    # DECIMAL(38) (caught live, r12 decade). Both engines cast the
+    # identical exact sums (correctly-rounded → identical doubles) and
+    # run the identical expression trees, so the doubles — and the
+    # 4/6dp rounds — still hash-match; the mild cancellation (terms
+    # ~1e41 vs k4 ~1e40 at sf10) costs ~1 of 16 digits, far inside
+    # the rounding grids.
     k = s.select(
         "event_type",
-        n.alias("n"),
-        s1.alias("s1"),
-        (n * s2 - s1 * s1).alias("k2"),
-        (n * n * s3 - F.lit(3) * n * s1 * s2 + F.lit(2) * s1 * s1 * s1).alias(
-            "k3"
-        ),
+        F.col("n"),
+        F.col("s1"),
+        nd.alias("nd"),
+        (nd * s2d - s1d * s1d).alias("k2"),
+        (nd * nd * s3d - F.lit(3) * nd * s1d * s2d
+         + F.lit(2) * s1d * s1d * s1d).alias("k3"),
         (
-            n * n * n * s4
-            - F.lit(4) * n * n * s1 * s3
-            + F.lit(6) * n * s1 * s1 * s2
-            - F.lit(3) * s1 * s1 * s1 * s1
+            nd * nd * nd * s4d
+            - F.lit(4) * nd * nd * s1d * s3d
+            + F.lit(6) * nd * s1d * s1d * s2d
+            - F.lit(3) * s1d * s1d * s1d * s1d
         ).alias("k4"),
     )
-    k2d = F.col("k2").cast("double")
+    k2d = F.col("k2")
     return k.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
         F.round(
-            F.col("s1").cast("double") / F.col("n").cast("double") / F.lit(100),
+            F.col("s1").cast("double") / F.col("nd") / F.lit(100),
             4,
         ).alias("mean_value"),
         F.round(
-            F.sqrt(k2d) / F.col("n").cast("double") / F.lit(100), 4
+            F.sqrt(k2d) / F.col("nd") / F.lit(100), 4
         ).alias("std_value"),
         F.when(
             F.col("k2") > 0,
-            F.round(F.col("k3").cast("double") / (k2d * F.sqrt(k2d)), 6),
+            F.round(F.col("k3") / (k2d * F.sqrt(k2d)), 6),
         ).alias("skewness"),
         F.when(
             F.col("k2") > 0,
             F.round(
-                F.col("k4").cast("double") / (k2d * k2d) - F.lit(3.0), 6
+                F.col("k4") / (k2d * k2d) - F.lit(3.0), 6
             ),
         ).alias("excess_kurtosis"),
     ).orderBy("event_type")
