@@ -512,12 +512,13 @@ def mann_whitney_u_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM s),
               g AS (SELECT segment, count(*) AS n,
                            CAST(sum(x) AS BIGINT) AS sx,
-                           CAST(sum(i * x) AS BIGINT) AS a
+                           CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS a
                     FROM r GROUP BY 1)
               SELECT segment, n AS n_customers,
                      round(CAST(sx AS DOUBLE) / 100, 2) AS total_revenue,
                      CASE WHEN sx > 0 THEN
-                       round(CAST(2 * a - (n + 1) * sx AS DOUBLE)
+                       round(CAST(2 * a - (CAST(n AS HUGEINT) + 1) * sx
+                                  AS DOUBLE)
                              / (CAST(n AS DOUBLE) * sx), 6)
                      END AS gini
               FROM g ORDER BY segment""",
@@ -531,8 +532,11 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenues and exact ranks — the i-weighted sum is tie-invariant
     (equal x values contribute identically under any tie order), so
     the engines' different tie placements cannot diverge; one final
-    mirrored double division. Bounds: Σiｘᵢ ≤ n²·x̄ ≈ 5e15 at sf0.1 —
-    DECIMAL(38,0) beyond ~sf1.
+    mirrored double division. The rank-weighted accumulations run in
+    128-bit (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT): Σiｘᵢ ≈ n²·x̄/2
+    reached ~8.5e18 at sf10's 300k-customer segments and the BIGINT
+    form overflowed exactly where the earlier bound note predicted
+    (caught live, r12 decade).
 
     Scale: ranks come from the same two-level range-bucketed prefix
     sum as KS/MWU, PARTITIONED BY SEGMENT: within-(segment, bucket)
@@ -581,7 +585,11 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum("x").alias("sx"),
-            F.sum(F.col("r_in") * F.col("x")).alias("srx"),
+            # per-term r·x fits long (≤ ~3e15); the ACCUMULATIONS from
+            # here up run 128-bit — see docstring bound note
+            F.sum(
+                (F.col("r_in") * F.col("x")).cast("decimal(38,0)")
+            ).alias("srx"),
         )
     )
     w_off = (
@@ -592,12 +600,18 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_off = per_bkt.withColumn(
         "off", F.sum("cnt").over(w_off) - F.col("cnt")
     )
+    d38 = "decimal(38,0)"
     g = with_off.groupBy("segment").agg(
         F.sum("cnt").cast("long").alias("n"),
         F.sum("sx").alias("sx"),
-        F.sum(F.col("off") * F.col("sx") + F.col("srx")).alias("a"),
+        F.sum(
+            F.col("off").cast(d38) * F.col("sx").cast(d38) + F.col("srx")
+        ).alias("a"),
     )
-    num = F.lit(2) * F.col("a") - (F.col("n") + F.lit(1)) * F.col("sx")
+    num = (
+        F.lit(2).cast(d38) * F.col("a")
+        - (F.col("n") + F.lit(1)).cast(d38) * F.col("sx").cast(d38)
+    )
     return g.select(
         "segment",
         F.col("n").alias("n_customers"),
