@@ -1889,11 +1889,29 @@ def quantize_vectors(
 # anything the exact scorer wouldn't.
 AUTO_TOPK_GAP_RATIO = 0.5
 
+# IVF only pays past a corpus-size floor: the r11 decision matrix /
+# memory probe showed the exact chunked scorer WINS below ~2e5 vectors
+# REGARDLESS of clusteredness — IVF's fixed overheads (kmeans build
+# passes, assignment shuffle, per-cell bucketing) dominate before the
+# candidate-set reduction can repay them, while the exact scorer is a
+# single broadcast-free Arrow pass. Shape alone therefore cannot route
+# IVF (VERDICT r12 ask #5): a 50k-vector corpus with razor-sharp
+# clusters still runs faster — at recall 1.0 by construction — on the
+# exact arm.
+AUTO_TOPK_MIN_IVF_ROWS = 200_000
 
-def _auto_topk_routes_ivf(probe: dict, gap_ratio: float) -> bool:
+
+def _auto_topk_routes_ivf(
+    probe: dict, gap_ratio: float, n_rows: int,
+    min_ivf_rows: int = AUTO_TOPK_MIN_IVF_ROWS,
+) -> bool:
     """The routing predicate, shared by auto_topk and its tests:
-    clustered ⇔ the measured mean-NN cosine closes ≥ (1 - gap_ratio)
-    of the (null_bound, 1.0] concentration gap."""
+    route IVF ⇔ the corpus is big enough to amortize IVF's fixed
+    overheads (n_rows ≥ min_ivf_rows) AND clustered — the measured
+    mean-NN cosine closes ≥ (1 - gap_ratio) of the (null_bound, 1.0]
+    concentration gap."""
+    if n_rows < min_ivf_rows:
+        return False
     remaining = 1.0 - probe["stat"]
     budget = gap_ratio * (1.0 - probe["null_bound"])
     return budget > 0 and remaining <= budget
@@ -1981,6 +1999,7 @@ def auto_topk(
     kmeans_iters: int = 2,
     sample_rows: int = 2048,
     gap_ratio: float = AUTO_TOPK_GAP_RATIO,
+    min_ivf_rows: int = AUTO_TOPK_MIN_IVF_ROWS,
 ) -> DataFrame:
     """Top-k with the exact-vs-IVF choice made BY THE OPERATOR from a
     measured corpus statistic, not documentation (VERDICT r11 ask #4:
@@ -1990,13 +2009,22 @@ def auto_topk(
     `clusteredness_probe` (one sample scan + a driver-side pairwise
     score), then routes:
 
-    - (1 - stat) <= gap_ratio * (1 - null_bound) -> `ivf_topk`
+    - n_rows >= min_ivf_rows AND
+      (1 - stat) <= gap_ratio * (1 - null_bound) -> `ivf_topk`
       (bucketed candidate set, the 100-TB plan for clustered
       corpora); the gate lives in GAP space — see AUTO_TOPK_GAP_RATIO
-      for why a multiplicative-null gate saturates at low dim;
+      for why a multiplicative-null gate saturates at low dim, and
+      AUTO_TOPK_MIN_IVF_ROWS for why shape alone cannot route IVF
+      (below ~2e5 vectors IVF's fixed build/shuffle overheads lose to
+      the exact scorer regardless of clusteredness — r11 matrix,
+      VERDICT r12 ask #5);
     - otherwise -> `brute_force_topk` (chunked exact Arrow scorer —
       the recall-safe default, and per the r11 matrix also the FASTER
       plan on near-uniform data, where IVF scans most cells anyway).
+
+    The corpus-size term is an exact `corpus.count()` — one narrow
+    columnar scan, deterministic, negligible next to the scoring
+    pass it steers.
 
     The decision is REPORTED, not hidden: every output row carries
     `route` ('ivf' | 'exact') and `probe_stat` (the 6dp statistic),
@@ -2009,7 +2037,8 @@ def auto_topk(
     probe = clusteredness_probe(
         corpus, id_col=id_col, vec_col=vec_col, sample_rows=sample_rows
     )
-    if _auto_topk_routes_ivf(probe, gap_ratio):
+    n_rows = corpus.count()
+    if _auto_topk_routes_ivf(probe, gap_ratio, n_rows, min_ivf_rows):
         route, top = "ivf", ivf_topk(
             corpus,
             queries,

@@ -1501,26 +1501,14 @@ def _pagerank_oracle(iters: int) -> str:
     return sql
 
 
-@query("pagerank_copurchase", oracle=_pagerank_oracle(_PR_ITERS))
-def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality over the co-purchase graph — which parts sit
-    at the center of the basket network (cross-sell hubs), the iterative
-    graph workload every native engine with recursion runs and Spark
-    expresses as a driver-coordinated join loop (operators/graph.py
-    pagerank; same Pregel shape GraphX uses).
-
-    Graph build reuses the copurchase_pairs plan: ONE fact shuffle into
-    per-order sorted baskets, pair expansion via two Generate operators
-    (never a fact self-join), then distinct + symmetrize. Nodes are the
-    full part catalog, so never-co-purchased parts settle at the
-    teleport floor and the oracle's node set is closed. 5 iterations,
-    d=0.85, each iteration snapped at 9dp (see operator docstring for
-    the cross-engine determinism argument); top-25 by (rank, node) via
-    TakeOrderedAndProject. The ORACLE unrolls the identical recurrence
-    as 5 chained CTEs — a genuinely iterative algorithm under the full
-    typed-hash gate, not a rows-only check."""
-    from core_telecoms_etl_spark.operators.graph import pagerank
-
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """(edges, nodes) of the co-purchase graph — factored from
+    pagerank_copurchase so tools/agg_checksum_compare.py's decade-scale
+    invariant gate can rank the FULL node set (the query itself ships
+    only the top 25; the rank-mass conservation algebra needs every
+    row). Same plan as copurchase_pairs: one fact shuffle into
+    per-order sorted baskets, pair expansion via two Generates, then
+    distinct + symmetrize."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     baskets = li.groupBy("l_orderkey").agg(
@@ -1547,9 +1535,33 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    return edges, part.select(F.col("p_partkey").alias("node"))
+
+
+@query("pagerank_copurchase", oracle=_pagerank_oracle(_PR_ITERS))
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph — which parts sit
+    at the center of the basket network (cross-sell hubs), the iterative
+    graph workload every native engine with recursion runs and Spark
+    expresses as a driver-coordinated join loop (operators/graph.py
+    pagerank; same Pregel shape GraphX uses).
+
+    Graph build reuses the copurchase_pairs plan: ONE fact shuffle into
+    per-order sorted baskets, pair expansion via two Generate operators
+    (never a fact self-join), then distinct + symmetrize. Nodes are the
+    full part catalog, so never-co-purchased parts settle at the
+    teleport floor and the oracle's node set is closed. 5 iterations,
+    d=0.85, each iteration snapped at 9dp (see operator docstring for
+    the cross-engine determinism argument); top-25 by (rank, node) via
+    TakeOrderedAndProject. The ORACLE unrolls the identical recurrence
+    as 5 chained CTEs — a genuinely iterative algorithm under the full
+    typed-hash gate, not a rows-only check."""
+    from core_telecoms_etl_spark.operators.graph import pagerank
+
+    edges, nodes = _copurchase_graph(spark, sf_dir)
     ranks = pagerank(
         edges,
-        part.select(F.col("p_partkey").alias("node")),
+        nodes,
         damping=0.85,
         iterations=_PR_ITERS,
         snap_dp=9,

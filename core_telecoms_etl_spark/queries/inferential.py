@@ -1330,6 +1330,13 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT)
                          AS s4
                 FROM v GROUP BY 1),
+              sa AS (
+                SELECT event_type,
+                       CAST(s1 AS VARCHAR) AS s1_anchor,
+                       CAST(s2 AS VARCHAR) AS s2_anchor,
+                       CAST(s3 AS VARCHAR) AS s3_anchor,
+                       CAST(s4 AS VARCHAR) AS s4_anchor
+                FROM s),
               c AS (
                 SELECT event_type, n, s1,
                        CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
@@ -1337,7 +1344,7 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(s4 AS DOUBLE) AS s4d
                 FROM s),
               k AS (
-                SELECT event_type, n, s1, nd,
+                SELECT event_type, n, s1, nd, s2d,
                        (nd * s2d - s1d * s1d) AS k2,
                        (nd * nd * s3d - 3 * nd * s1d * s2d
                         + 2 * s1d * s1d * s1d) AS k3,
@@ -1349,14 +1356,18 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(n AS BIGINT) AS n_events,
                      round(CAST(s1 AS DOUBLE) / nd / 100, 4)
                        AS mean_value,
-                     round(sqrt(k2) / nd / 100, 4) AS std_value,
-                     CASE WHEN k2 > 0 THEN
+                     CASE WHEN k2 > 1e-12 * nd * s2d THEN
+                       round(sqrt(greatest(k2, 0.0)) / nd / 100, 4)
+                     ELSE 0.0 END AS std_value,
+                     CASE WHEN k2 > 1e-12 * nd * s2d THEN
                        round(k3 / (k2 * sqrt(k2)), 6)
                      END AS skewness,
-                     CASE WHEN k2 > 0 THEN
+                     CASE WHEN k2 > 1e-12 * nd * s2d THEN
                        round(k4 / (k2 * k2) - 3.0, 6)
-                     END AS excess_kurtosis
-              FROM k ORDER BY event_type""",
+                     END AS excess_kurtosis,
+                     s1_anchor, s2_anchor, s3_anchor, s4_anchor
+              FROM k JOIN sa USING (event_type)
+              ORDER BY event_type""",
 )
 def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment distribution profile per event type: mean, std,
@@ -1377,7 +1388,35 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums cast to identical doubles through identical expression
     trees stay hash-equal at every scale. √ via sqrt
     (correctly-rounded IEEE), never pow(x,1.5) (libm ulp).
-    Zero-variance groups → NULL via the mirrored k2 > 0 guard.
+
+    Zero-variance groups: fl(n·s2) − fl(s1²) can land NEGATIVE (or
+    spuriously tiny-positive) for a truly constant group — double
+    cancellation noise is ~5e-16·n·Σ₂ in magnitude, and sqrt of the
+    negative draw raised in DuckDB while a tiny-positive draw passed a
+    naive k2 > 0 guard and emitted astronomically wrong shape stats
+    (ADVICE r12). Both hazards are closed by a MAGNITUDE-RELATIVE
+    guard mirrored on both engines: shape stats (and a nonzero std)
+    are emitted only when k2 > 1e-12·n·Σ₂ — three decades above the
+    cancellation floor — else std→0.0 and skew/kurtosis→NULL, exactly
+    the values the all-integer form produced for constant groups. The
+    root is additionally clamped (sqrt(greatest(k2, 0))) so no
+    negative ever reaches sqrt on either engine.
+
+    Exact anchors through the gate (ADVICE r12): the 128-bit power
+    sums are kept as output columns s1_anchor…s4_anchor, emitted as
+    STRINGS on both engines (DECIMAL(38,0) ↔ HUGEINT print the same
+    digits; numeric compare of the two types is hash-fragile) — cf.
+    cusum's __s_exact. The 4/6dp rounds of noise-scale cumulants sit
+    near .5 boundaries, so without an exact anchor a future engine
+    change could flip a round and slip through as a coin-toss; with
+    the sums compared digit-for-digit any upstream divergence is a
+    loud value diff. Anchoring the RAW k-doubles instead is not
+    possible cross-engine: DuckDB's HUGEINT→DOUBLE cast is not
+    correctly rounded (upper·2⁶⁴+lower in double arithmetic, two
+    roundings) while Spark's Decimal→double is, so the k4 doubles
+    already differ at the ulp (measured 3.5e-16 relative at sf0.01) —
+    which is also why the shape stats round at 4/6dp rather than
+    comparing raw.
 
     Scale: ONE map-side-combined shuffle carrying five numeric
     accumulators per group — the entire query."""
@@ -1410,7 +1449,12 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n"),
         F.col("s1"),
+        F.col("s1").cast("string").alias("s1_anchor"),
+        F.col("s2").cast("string").alias("s2_anchor"),
+        F.col("s3").cast("string").alias("s3_anchor"),
+        F.col("s4").cast("string").alias("s4_anchor"),
         nd.alias("nd"),
+        s2d.alias("s2d"),
         (nd * s2d - s1d * s1d).alias("k2"),
         (nd * nd * s3d - F.lit(3) * nd * s1d * s2d
          + F.lit(2) * s1d * s1d * s1d).alias("k3"),
@@ -1422,6 +1466,10 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k4"),
     )
     k2d = F.col("k2")
+    # magnitude-relative zero test: double cancellation noise in k2 is
+    # ~5e-16·nd·s2d, so 1e-12·nd·s2d separates "constant group" from
+    # real variance with three decades of margin on each side
+    guard = k2d > F.lit(1e-12) * F.col("nd") * F.col("s2d")
     return k.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
@@ -1429,19 +1477,31 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s1").cast("double") / F.col("nd") / F.lit(100),
             4,
         ).alias("mean_value"),
-        F.round(
-            F.sqrt(k2d) / F.col("nd") / F.lit(100), 4
-        ).alias("std_value"),
         F.when(
-            F.col("k2") > 0,
+            guard,
+            F.round(
+                F.sqrt(F.greatest(k2d, F.lit(0.0)))
+                / F.col("nd")
+                / F.lit(100),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("std_value"),
+        F.when(
+            guard,
             F.round(F.col("k3") / (k2d * F.sqrt(k2d)), 6),
         ).alias("skewness"),
         F.when(
-            F.col("k2") > 0,
+            guard,
             F.round(
                 F.col("k4") / (k2d * k2d) - F.lit(3.0), 6
             ),
         ).alias("excess_kurtosis"),
+        F.col("s1_anchor"),
+        F.col("s2_anchor"),
+        F.col("s3_anchor"),
+        F.col("s4_anchor"),
     ).orderBy("event_type")
 
 

@@ -574,17 +574,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with a recursive-CTE transitive closure."""
     from core_telecoms_etl_spark.operators.graph import connected_components
 
-    pairs = dd.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        n=3,
-        threshold=0.8,
-    )
+    pairs = _dedup_cluster_pairs(spark, sf_dir)
     cc = connected_components(
         pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
     )
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+def _dedup_cluster_pairs(
+    spark: SparkSession, sf_dir: str, *, blocking: str = "exact"
+) -> DataFrame:
+    """The ≥0.8-jaccard pair relation behind dedup_clusters. `exact`
+    (the gate config — inverted-index posting join, quadratic in the
+    worst case) is what the DuckDB oracle mirrors; `minhash` is the
+    production-scale route (banded LSH candidates + exact re-score —
+    pair-set-identical to exact at every value-verified scale, sf2
+    full-value r12) used by tools/agg_checksum_compare.py's sf10
+    invariant gate, where the exact posting join is the Θ(n²/V) wall."""
+    d = load_table(spark, sf_dir, "documents")
+    if blocking == "minhash":
+        cand = dd.minhash_lsh_pairs(
+            d, "doc_id", "text", n=3, est_threshold=0.7
+        )
+        return dd.refine_pairs_exact(
+            d, cand, "doc_id", "text", n=3, threshold=0.8
+        )
+    return dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
 
 
 # shared DuckDB fragments for the global-order queries: group + order key

@@ -537,6 +537,37 @@ def test_moments_profile_known_distribution(spark, tmp_path):
     assert c.skewness is None and c.excess_kurtosis is None
 
 
+def test_moments_profile_large_constant_cancellation(spark, tmp_path):
+    """ADVICE r12: for a constant group with LARGE values,
+    fl(n·s2) − fl(s1²) is cancellation noise (either sign, magnitude
+    ~5e-16·n·s2) — the old k2 > 0 guard coin-flipped between NaN-vs-
+    oracle-crash (negative draw) and astronomically wrong shape stats
+    (positive draw). The magnitude-relative guard must map BOTH draws
+    to the integer-form answer: std 0.0, skew/kurtosis NULL. Also pins
+    the exact string anchors that carry the 128-bit sums through the
+    oracle gate."""
+    from core_telecoms_etl_spark.queries.inferential import moments_profile
+
+    n, val = 20_000, 123456.78
+    x = round(val * 100)  # exact cents
+    ev = spark.createDataFrame(
+        [(i, "bigconst", val) for i in range(n)],
+        ["event_id", "event_type", "value"],
+    )
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+    r = moments_profile(spark, str(d)).collect()[0]
+    assert r.n_events == n
+    assert r.mean_value == round(val, 4)
+    assert r.std_value == 0.0
+    assert r.skewness is None and r.excess_kurtosis is None
+    # exact 128-bit anchors: digit-for-digit the closed-form sums
+    assert r.s1_anchor == str(n * x)
+    assert r.s2_anchor == str(n * x**2)
+    assert r.s3_anchor == str(n * x**3)
+    assert r.s4_anchor == str(n * x**4)
+
+
 def test_mutual_information_independent_and_dependent(spark, tmp_path):
     """A balanced independent table has MI == 0; a perfectly dependent
     2x2 diagonal table has MI == H == ln 2 and NMI == 1."""

@@ -331,8 +331,8 @@ def test_auto_topk_routes_exact_on_uniform(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     probe = sim.clusteredness_probe(e)
     assert not sim._auto_topk_routes_ivf(
-        probe, sim.AUTO_TOPK_GAP_RATIO
-    ), probe
+        probe, sim.AUTO_TOPK_GAP_RATIO, e.count(), min_ivf_rows=0
+    ), probe  # shape alone rejects IVF here, before the size floor
     q = e.filter(F.col("vec_id") < 4)
     routed = sim.auto_topk(e, q, k=5)
     assert routed.select("route").distinct().collect()[0].route == "exact"
@@ -355,10 +355,14 @@ def test_auto_topk_routes_ivf_on_clustered(spark):
     d = _clustered_corpus(spark)
     probe = sim.clusteredness_probe(d)
     assert sim._auto_topk_routes_ivf(
-        probe, sim.AUTO_TOPK_GAP_RATIO
+        probe, sim.AUTO_TOPK_GAP_RATIO, d.count(), min_ivf_rows=0
     ), probe
     q = d.filter(F.col("vec_id") < 4)
-    routed = sim.auto_topk(d, q, k=5, n_centroids=8, n_probe=4)
+    # min_ivf_rows=0: the synthetic corpus is tiny, and this test pins
+    # the SHAPE arm; the size floor has its own routing-matrix test
+    routed = sim.auto_topk(
+        d, q, k=5, n_centroids=8, n_probe=4, min_ivf_rows=0
+    )
     rows = routed.collect()
     assert {r.route for r in rows} == {"ivf"}
     assert {r.probe_stat for r in rows} == {probe["stat"]}
@@ -368,6 +372,40 @@ def test_auto_topk_routes_ivf_on_clustered(spark):
     }
     hit = {(r.query_id, r.neighbor_id) for r in rows} & exact
     assert len(hit) / len(exact) >= 0.8  # clustered-regime recall
+
+
+def test_auto_topk_routing_matrix_size_and_shape(spark):
+    """VERDICT r12 ask #5: the full small/large x uniform/clustered
+    decision matrix. IVF routes ONLY in the large-AND-clustered cell —
+    below AUTO_TOPK_MIN_IVF_ROWS (~2e5, the r11 memory-probe
+    crossover) IVF's fixed build/shuffle overheads lose to the exact
+    Arrow scorer regardless of shape, so small corpora must route
+    exact even when razor-clustered. Predicate-level for all four
+    cells, plus the behavioral small-clustered -> exact check through
+    auto_topk's DEFAULT floor."""
+    clustered = {"stat": 0.95, "null_bound": 0.49, "n_sample": 2048,
+                 "dim": 64}
+    uniform = {"stat": 0.50, "null_bound": 0.49, "n_sample": 2048,
+               "dim": 64}
+    gr = sim.AUTO_TOPK_GAP_RATIO
+    small, large = 50_000, 1_000_000
+    assert sim.AUTO_TOPK_MIN_IVF_ROWS == 200_000
+    assert sim._auto_topk_routes_ivf(clustered, gr, large)
+    assert not sim._auto_topk_routes_ivf(clustered, gr, small)
+    assert not sim._auto_topk_routes_ivf(uniform, gr, large)
+    assert not sim._auto_topk_routes_ivf(uniform, gr, small)
+    # behavioral: a tiny clustered corpus through the DEFAULT floor
+    # routes exact — and exact-route results ARE brute force
+    d = _clustered_corpus(spark)
+    q = d.filter(F.col("vec_id") < 2)
+    routed = sim.auto_topk(d, q, k=3)
+    rows = routed.collect()
+    assert {r.route for r in rows} == {"exact"}
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_topk(d, q, k=3).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == want
 
 
 def test_clusteredness_probe_deterministic_across_layouts(spark, sf_dir):
