@@ -96,13 +96,17 @@ HEADLINE = [
 # settled heap; the second reading ships in the JSON so round-over-round
 # comparisons stop needing prose caveats — compare second_pass rows
 # against second_pass rows.
+# Re-derived r13 (VERDICT r12 ask #7) from a fresh idle-box sweep after
+# the scoped-cache re-pin fix: json_funcs / vector_topk / knn_classify
+# have been second-pass-symmetric (deltas < 0.05 s) for three rounds and
+# carry no information — dropped. The three kept rows still measurably
+# benefit from a settled heap (r13 idle sweep: triangle_count 1.92 ->
+# 1.54, containment_near_dup 1.26 -> 0.93, time_grid_interpolate 5.93 ->
+# 5.19).
 SECOND_PASS = [
-    "json_funcs",
-    "vector_topk",
     "time_grid_interpolate",
     "triangle_count",
     "containment_near_dup",
-    "knn_classify",
 ]
 
 
