@@ -1008,7 +1008,17 @@ def incremental_dedup(
       banding collision mass (measured 899k at the same sf10 shape —
       4000× under the posting join), at banding recall: a true pair at
       j = 0.8 is missed with P = (1-0.8⁴)¹⁶ ≈ 2.2e-4; kept pairs are
-      never wrong (the refine is exact). The decade-scale default."""
+      never wrong (the refine is exact). The decade-scale default.
+
+    `max_candidates` guards BOTH generators (ADVICE r12: the banding
+    join has its own blowup mode — skewed (band, bucket) collision
+    buckets, e.g. a constant-prefix corpus whose band signatures all
+    coincide): under "minhash" the collision mass
+    Σ over shared (band, bucket) of n_batch·n_corpus is estimated
+    from the two bucket-count tables (one bucket-grain join —
+    metadata-scale next to the candidate join it guards) and the cut
+    raises with the measured mass and the dominant bucket before
+    launching the join."""
     b_digest = batch.select(
         F.col(id_col).alias("__bid"),
         content_sha256(text_col).alias("__digest"),
@@ -1098,6 +1108,35 @@ def incremental_dedup(
             bands,
             r,
         ).select(F.col("doc").alias("__bid"), "band", "bucket")
+        if max_candidates is not None:
+            mass_row = (
+                band_c.groupBy("band", "bucket")
+                .agg(F.count("*").alias("__nc"))
+                .join(
+                    band_b.groupBy("band", "bucket").agg(
+                        F.count("*").alias("__nb")
+                    ),
+                    ["band", "bucket"],
+                )
+                .agg(
+                    F.sum(F.col("__nc") * F.col("__nb")).alias("__m"),
+                    F.max(F.col("__nc") * F.col("__nb")).alias("__mx"),
+                )
+                .first()
+            )
+            mass = int(mass_row["__m"] or 0)
+            if mass > max_candidates:
+                raise RuntimeError(
+                    "incremental_dedup: the minhash banding join would "
+                    f"generate ~{mass:.3g} candidate rows "
+                    f"(max_candidates={max_candidates:.3g}; largest "
+                    f"single (band, bucket) contributes "
+                    f"{int(mass_row['__mx'] or 0):.3g}) — the corpus's "
+                    "band signatures are heavily skewed (near-constant "
+                    "content collapses buckets). Narrow the batch, "
+                    "pre-split the dominant buckets, or raise "
+                    "max_candidates."
+                )
         cand = (
             band_c.join(F.broadcast(band_b), ["band", "bucket"])
             .select("__bid", "__cid")

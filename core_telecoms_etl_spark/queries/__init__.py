@@ -71,80 +71,26 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r12 window: head is EXACTLY 50, policy (enforced data-driven
+    # ---- r13 window: head is EXACTLY 50, policy (enforced data-driven
     # ---- by tests/test_entry.py::test_window_head_rotation, which
     # ---- computes never-green and staleness from CORRECTNESS_r01..rN):
     # ---- (1) queries whose bytes, operators, or plans changed this
-    # ---- round, and new registrations (never-green);
-    # ---- (2) every query whose last green is at max(round)-4 (they
-    # ---- reach the 5-round staleness bar next round);
-    # ---- (3) fill with the oldest remaining (max(round)-3) queries.
-    # ---- 208 queries at 50 slots/round rotate fully in 5 rounds —
-    # ---- the bar is max(round)-5 because ceil(208/50) = 5 (a 4-round
-    # ---- bar is arithmetically unsatisfiable; r8 lesson).
-    # -- (1) new r12: auto_topk_route (the corpus-shape router,
-    # -- VERDICT r11 ask #4); changed r12: the whole vector family —
-    # -- kmeans_centroids is now the order-fixed Arrow/fixed-point-grid
-    # -- build (VERDICT r11 ask #2; bit-stable centroids, 8.2x on the
-    # -- 10^6-vector probe) and similarity.py gained the gap-space
-    # -- routing gate, so every query touching operators/similarity.py
-    # -- re-verifies in this window
-    "auto_topk_route",  # never-green (new r12)
-    "vector_topk_ivf",  # green r11
-    "knn_classify_ivf",  # green r11
-    "semantic_dedup",  # green r11
-    "vector_topk",  # green r11
-    "vector_topk_lsh",  # green r11
-    "knn_classify",  # green r11
-    "cosine_pairs",  # green r11
-    # -- (2) the 35 r7-last-green queries (they reach the 5-round
-    # -- staleness bar next round)
-    "funnel",  # green r7
-    "histogram_agg",  # green r7
-    "important_stock",  # green r7
-    "inner_join_dim",  # green r7
-    "json_scan",  # green r7
-    "key_skew_profile",  # green r7
-    "left_outer_join",  # green r7
-    "min_cost_supplier",  # green r7
-    "multimodal_meta",  # green r7
-    "order_by",  # green r7
-    "order_count_distribution",  # green r7
-    "parquet_scan",  # green r7
-    "part_promotion_suppliers",  # green r7
-    "percentile_agg",  # green r7
-    "pivot_agg",  # green r7
-    "product_profit",  # green r7
-    "quality_filter",  # green r7
-    "rename_map",  # green r7
-    "sales_opportunity",  # green r7
-    "scd2_history",  # green r7
-    "semi_join",  # green r7
-    "shipmode_priority",  # green r7
-    "snapshot_diff",  # green r7
-    "stats_agg",  # green r7
-    "string_agg",  # green r7
-    "supplier_part_counts",  # green r7
-    "theta_sketch_setops",  # green r7
-    "top_k",  # green r7
-    "upsert",  # green r7
-    "waiting_orders_suppliers",  # green r7
-    "window_lag",  # green r7
-    "window_rank",  # green r7
-    "window_rank_extended",  # green r7
-    "window_running_sum",  # green r7
-    "window_value_funcs",  # green r7
-    # -- (3) fill: the alphabetically-first 7 of the 45 r8-last-green
-    "attribution_last_touch",  # green r8
-    "bloom_prune_semi_join",  # green r8
-    "bm25_retrieval",  # green r8
-    "bootstrap_ci",  # green r8
-    "bootstrap_ci_partials",  # green r8
-    "chi_square_independence",  # green r8
-    "cohort_ltv_curve",  # green r8
-    # ---- 50-query window boundary. Tail is ascending last-green,
-    # ---- so the r13 rotation head reads straight off the top:
-    # ---- the remaining r8 rows lead, then r9, r10, r11.
+    # ---- round (moments_profile: relative-eps zero-variance guard +
+    # ---- exact string anchors, schema changed; auto_topk_route:
+    # ---- corpus-size routing term; pagerank_copurchase /
+    # ---- dedup_clusters: graph-build factored for the sf10 invariant
+    # ---- gate; corpus_incremental_dedup: minhash-path mass tripwire);
+    # ---- (2) ALL 38 r8-last-green rows (the ascending-last-green
+    # ---- tail's oldest stratum — they reach the 5-round staleness bar
+    # ---- next round; two of them are also in (1));
+    # ---- (3) fill with the alphabetically-first r9 rows.
+    # ---- Tail is ascending last-green (r9 -> r12), so the r14 head
+    # ---- reads straight off the top.
+    "moments_profile",  # green r8
+    "auto_topk_route",  # green r12
+    "pagerank_copurchase",  # green r8
+    "dedup_clusters",  # green r10
+    "corpus_incremental_dedup",  # green r11
     "cusum_changepoint",  # green r8
     "duplicate_rate_by_source",  # green r8
     "entropy_by_group",  # green r8
@@ -165,11 +111,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "lift_analysis",  # green r8
     "log_rank_test",  # green r8
     "mann_whitney_u",  # green r8
-    "moments_profile",  # green r8
     "mutual_information",  # green r8
     "node_jaccard_similarity",  # green r8
     "order_price_consistency",  # green r8
-    "pagerank_copurchase",  # green r8
     "psi_drift",  # green r8
     "runs_test",  # green r8
     "scalar_subquery",  # green r8
@@ -230,7 +174,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "completeness_gaps",  # green r10
     "containment_near_dup",  # green r10
     "copurchase_pairs",  # green r10
-    "dedup_clusters",  # green r10
     "events_tumbling",  # green r10
     "exists_subquery",  # green r10
     "feature_scaling",  # green r10
@@ -261,7 +204,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "text_profile",  # green r10
     "vector_quantize",  # green r10
     "cohort_retention",  # green r11
-    "corpus_incremental_dedup",  # green r11
     "count_filter",  # green r11
     "csv_scan",  # green r11
     "cube_agg",  # green r11
@@ -303,6 +245,55 @@ _CHECK_ORDER: tuple[str, ...] = (
     "weighted_median",  # green r11
     "weighted_sample",  # green r11
     "windowed_funnel",  # green r11
+    "attribution_last_touch",  # green r12
+    "bloom_prune_semi_join",  # green r12
+    "bm25_retrieval",  # green r12
+    "bootstrap_ci",  # green r12
+    "bootstrap_ci_partials",  # green r12
+    "chi_square_independence",  # green r12
+    "cohort_ltv_curve",  # green r12
+    "cosine_pairs",  # green r12
+    "funnel",  # green r12
+    "histogram_agg",  # green r12
+    "important_stock",  # green r12
+    "inner_join_dim",  # green r12
+    "json_scan",  # green r12
+    "key_skew_profile",  # green r12
+    "knn_classify",  # green r12
+    "knn_classify_ivf",  # green r12
+    "left_outer_join",  # green r12
+    "min_cost_supplier",  # green r12
+    "multimodal_meta",  # green r12
+    "order_by",  # green r12
+    "order_count_distribution",  # green r12
+    "parquet_scan",  # green r12
+    "part_promotion_suppliers",  # green r12
+    "percentile_agg",  # green r12
+    "pivot_agg",  # green r12
+    "product_profit",  # green r12
+    "quality_filter",  # green r12
+    "rename_map",  # green r12
+    "sales_opportunity",  # green r12
+    "scd2_history",  # green r12
+    "semantic_dedup",  # green r12
+    "semi_join",  # green r12
+    "shipmode_priority",  # green r12
+    "snapshot_diff",  # green r12
+    "stats_agg",  # green r12
+    "string_agg",  # green r12
+    "supplier_part_counts",  # green r12
+    "theta_sketch_setops",  # green r12
+    "top_k",  # green r12
+    "upsert",  # green r12
+    "vector_topk",  # green r12
+    "vector_topk_ivf",  # green r12
+    "vector_topk_lsh",  # green r12
+    "waiting_orders_suppliers",  # green r12
+    "window_lag",  # green r12
+    "window_rank",  # green r12
+    "window_rank_extended",  # green r12
+    "window_running_sum",  # green r12
+    "window_value_funcs",  # green r12
 )
 
 

@@ -402,6 +402,36 @@ def test_incremental_dedup_mass_tripwire_raises(spark):
     assert out.count() == 0  # every batch doc duplicates the corpus
 
 
+def test_incremental_dedup_minhash_mass_tripwire_raises(spark):
+    # ADVICE r12: max_candidates must guard the MINHASH path too — a
+    # constant-content corpus collapses every band signature into one
+    # bucket, so the banding join's collision mass is |batch|x|corpus|
+    # (the banding analog of the posting-join wall). Previously the
+    # parameter was silently ignored under blocking='minhash'.
+    import pytest
+
+    from core_telecoms_etl_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(20)], "id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, "a b c d e f") for i in range(5)],
+        "id long, text string",
+    )
+    with pytest.raises(RuntimeError, match="banding join"):
+        incremental_dedup(
+            corpus, batch, "id", "text", n=3, threshold=0.8,
+            blocking="minhash", max_candidates=10,
+        ).collect()
+    # a budget above the collision mass (16 bands x 20x5) passes
+    out = incremental_dedup(
+        corpus, batch, "id", "text", n=3, threshold=0.8,
+        blocking="minhash", max_candidates=10_000,
+    )
+    assert out.count() == 0  # every batch doc duplicates the corpus
+
+
 def test_segment_dedup_drops_boilerplate_preserves_order(spark):
     """Segments shared by > max_df docs vanish corpus-wide; surviving
     segments reassemble in original order; a doc that is ALL boilerplate
