@@ -1,0 +1,242 @@
+"""Decade-scale state evidence for the streaming family (VERDICT r12
+ask #4): the 100-TB claim for a stream operator is about STATE, not
+wall time — a dedup whose state grows with stream lifetime OOMs no
+matter how fast each batch runs. This probe drives the two state-
+bearing stream shapes over the full events table in TIME-ORDERED
+micro-batches and records, per batch: input rows, state-store rows,
+state memory, and the peak JVM heap of the whole run.
+
+  - stream_dedup shape: double-delivered source (union of two file
+    streams — the replayed-offset shape of queries/events.stream_dedup
+    and streaming/events.run_stream_dedup), 1 h watermark,
+    dropDuplicatesWithinWatermark(event_id), noop sink. The design
+    claim under test: state is O(events per watermark horizon)
+    (~14k rows at sf10's 10M-events/30-days density), NOT O(rows
+    seen) (20M delivered rows).
+  - stream_cms shape: per-batch count-min build + merge
+    (streaming/events.run_stream_cms) — state is the fixed
+    depth×width counter table regardless of key cardinality or
+    stream length.
+
+Staging: the single harness events file is split into `--slices`
+TIME-RANGE slices (ntile over ts) via the write-once fingerprint-keyed
+protocol (`caching.build_once`), with ascending mtimes so the file
+stream source replays them in event-time order — the realistic
+arrival shape, and the one where the watermark actually advances
+between batches and eviction is observable.
+
+Usage:
+  SF_DIR=/tmp/spark_graft_sf10 python tools/stream_state_probe.py
+Prints one JSON line per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stage_time_slices(spark, events_path: str, n_slices: int) -> str:
+    """Write-once staging of the events table into n time-range slice
+    files with ascending modification times (the file-stream source
+    orders candidate files by mtime, so batches replay in event-time
+    order)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.caching import build_once, path_fingerprint
+
+    fp = path_fingerprint(events_path)
+
+    def _build(stage: str) -> None:
+        part_root = f"{stage}__parts"
+        df = spark.read.parquet(events_path)
+        # percentile boundaries on the raw ts column: one narrow pass;
+        # ntile-via-boundaries avoids a global sort of the full table
+        bounds = df.select(
+            F.percentile_approx(
+                "ts",
+                [i / n_slices for i in range(1, n_slices)],
+                10_000,
+            ).alias("b")
+        ).collect()[0]["b"]
+        slice_col = F.lit(0)
+        for b in bounds:
+            slice_col = slice_col + (F.col("ts") > F.lit(b)).cast("int")
+        (
+            df.withColumn("__slice", slice_col)
+            .repartition(n_slices, "__slice")
+            .write.partitionBy("__slice")
+            .mode("overwrite")
+            .parquet(part_root)
+        )
+        os.makedirs(stage, exist_ok=True)
+        now = time.time()
+        for i in range(n_slices):
+            for j, f in enumerate(
+                sorted(glob.glob(f"{part_root}/__slice={i}/part-*.parquet"))
+            ):
+                dst = f"{stage}/slice{i:03d}_{j}.parquet"
+                shutil.move(f, dst)
+                os.utime(dst, (now + i, now + i))  # mtime = replay order
+        shutil.rmtree(part_root)
+
+    return build_once(f"ctes_tslices_{n_slices}_{fp}", _build)
+
+
+class HeapSampler:
+    """Background peak-JVM-heap sampler (driver+executors share one JVM
+    on local[n])."""
+
+    def __init__(self, spark, period: float = 0.25):
+        self._rt = spark._jvm.java.lang.Runtime.getRuntime()
+        self._period = period
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.is_set():
+            used = self._rt.totalMemory() - self._rt.freeMemory()
+            self.peak = max(self.peak, used)
+            time.sleep(self._period)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join()
+
+
+def _progress_rows(q) -> list[dict]:
+    out = []
+    for p in q.recentProgress:
+        so = (p.get("stateOperators") or [{}])[0]
+        out.append(
+            {
+                "batch": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "state_rows": so.get("numRowsTotal"),
+                "state_mb": round(
+                    (so.get("memoryUsedBytes") or 0) / 1e6, 1
+                ),
+            }
+        )
+    return [r for r in out if r["input_rows"]]
+
+
+def probe_dedup(spark, stage_dir: str, schema) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from core_telecoms_etl_spark.sources.readers import normalize_timestamps
+
+    def _src():
+        s = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage_dir)
+        )
+        return normalize_timestamps(s, nanos_bigint_cols=("ts",))
+
+    deduped = (
+        _src()
+        .unionByName(_src())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    t0 = time.time()
+    with HeapSampler(spark) as hs:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            rows = _progress_rows(q)
+        finally:
+            q.stop()
+    return {
+        "probe": "stream_dedup",
+        "elapsed_sec": round(time.time() - t0, 1),
+        "batches": rows,
+        "peak_state_rows": max((r["state_rows"] or 0) for r in rows),
+        "total_input_rows": sum(r["input_rows"] for r in rows),
+        "peak_jvm_heap_gb": round(hs.peak / 1e9, 2),
+    }
+
+
+def probe_cms(spark, events_path: str) -> dict:
+    from core_telecoms_etl_spark.operators import sketches as sk
+    from core_telecoms_etl_spark.streaming.events import staged_key_slices
+
+    stage = staged_key_slices(
+        spark, events_path, key_col="user_id", n_slices=8
+    )
+    state: dict = {"counters": None}
+
+    def on_batch(batch, batch_id):
+        c = sk.cms_build(batch, "user_id", depth=4, width=1024)
+        if state["counters"] is not None:
+            c = sk.cms_merge(state["counters"], c)
+        s = batch.sparkSession
+        state["counters"] = s.createDataFrame(c.collect(), c.schema)
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    t0 = time.time()
+    with HeapSampler(spark) as hs:
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            rows = _progress_rows(q)
+        finally:
+            q.stop()
+    n_state = state["counters"].count()
+    return {
+        "probe": "stream_cms_heavy_hitters",
+        "elapsed_sec": round(time.time() - t0, 1),
+        "batches": rows,
+        "state_rows_fixed": n_state,  # depth*width, key-count-free
+        "total_input_rows": sum(r["input_rows"] for r in rows),
+        "peak_jvm_heap_gb": round(hs.peak / 1e9, 2),
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+    n_slices = int(os.environ.get("SLICES", "8"))
+    from core_telecoms_etl_spark import get_spark
+    from core_telecoms_etl_spark.sources.readers import ensure_session_confs
+
+    spark = get_spark("stream-state-probe")
+    ensure_session_confs(spark, nanos_as_long=True)
+    events = f"{sf_dir}/events.parquet"
+    stage = stage_time_slices(spark, events, n_slices)
+    schema = spark.read.parquet(events).schema
+    print(json.dumps(probe_dedup(spark, stage, schema)))
+    print(json.dumps(probe_cms(spark, events)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
