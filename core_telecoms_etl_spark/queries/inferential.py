@@ -1043,7 +1043,17 @@ def bootstrap_ci_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    part = pc.mapInPandas(
+    # AQE coalesces the small per-customer aggregate to ONE partition
+    # (measured: 15k rows -> 1 at sf0.1), which would serialize the
+    # |customers|×B md5 expansion — the query's dominant cost — on a
+    # single Python worker (3.2 s isolated, r13). Round-robin the tiny
+    # relation across the session's cores first: the extra exchange
+    # carries two narrow columns and is ~100x cheaper than the Python
+    # work it parallelizes, at every scale (when |customers| is large
+    # enough for the exchange to matter, AQE wasn't coalescing anyway
+    # and the repartition is a near-no-op rebalance).
+    n_par = pc.sparkSession.sparkContext.defaultParallelism
+    part = pc.repartition(n_par).mapInPandas(
         partials, schema="n_arr array<bigint>, s_arr array<bigint>"
     )
     means = (
