@@ -888,37 +888,54 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                        sum(CAST(round(l_quantity) AS BIGINT)
                            * CAST(round(l_discount * 100) AS BIGINT))
                          AS sxy
-                FROM lineitem GROUP BY l_returnflag)
+                FROM lineitem GROUP BY l_returnflag),
+              c AS (
+                SELECT l_returnflag, n,
+                       CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(syy AS DOUBLE) AS syyd,
+                       CAST(sxy AS DOUBLE) AS sxyd
+                FROM g),
+              k AS (
+                SELECT l_returnflag, n, nd, sxd, syd, sxxd, syyd,
+                       (nd * sxxd - sxd * sxd) AS vx,
+                       (nd * syyd - syd * syd) AS vy,
+                       (nd * sxyd - sxd * syd) AS cov
+                FROM c)
               SELECT l_returnflag, n,
-                     CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
-                          THEN CAST(n*sxy - sx*sy AS DOUBLE)
-                               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
-                                      * CAST(n*syy - sy*sy AS DOUBLE))
+                     CASE WHEN vx > 1e-12 * nd * sxxd
+                            AND vy > 1e-12 * nd * syyd
+                          THEN cov / sqrt(vx * vy)
                      END AS corr,
-                     CASE WHEN n*sxx - sx*sx > 0
-                          THEN CAST(n*sxy - sx*sy AS DOUBLE)
-                               / CAST(n*sxx - sx*sx AS DOUBLE)
+                     CASE WHEN vx > 1e-12 * nd * sxxd
+                          THEN cov / vx
                      END AS slope,
-                     CASE WHEN n*sxx - sx*sx > 0
-                          THEN (CAST(sy AS DOUBLE)
-                                - (CAST(n*sxy - sx*sy AS DOUBLE)
-                                   / CAST(n*sxx - sx*sx AS DOUBLE))
-                                  * sx) / n
+                     CASE WHEN vx > 1e-12 * nd * sxxd
+                          THEN (syd - (cov / vx) * sxd) / nd
                      END AS intercept
-              FROM g""",
+              FROM k""",
 )
 def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation + OLS fit (does discount move
     with quantity?) from six BIGINT accumulators (n, Σx, Σy, Σx²,
     Σy², Σxy on the integer quantity / cent-grid discount) — the
     textbook single-pass sufficient-statistics form, map-side
-    combined, ONE shuffle of 6 longs per group. corr/slope/intercept
-    are derived from the exact integers with mirrored IEEE
-    expressions; zero-variance groups yield NULL via all-integer
-    guards (never ANSI divide-by-zero). Engine-native corr() is NOT
-    used precisely because its float accumulation order is
-    partition-dependent. Bounds: int64 holds n·Σx² to ~10⁹ rows at
-    these grids; beyond that cast accumulators to DECIMAL(38,0)."""
+    combined, ONE shuffle of 6 longs per group. The moment
+    COMBINATIONS (n·Σx²−Σx² etc.) run in DOUBLE from the exact BIGINT
+    sums — the moments_profile pattern: the all-integer forms hit the
+    int64 ceiling as groups grow (the old form was ~one decade past
+    sf10's 15M-row groups from overflowing at n·Σx² ∝ n²), while
+    identical exact sums cast to identical doubles through identical
+    expression trees stay hash-equal at every scale (BIGINT→DOUBLE is
+    correctly rounded on both engines; the sums themselves stay below
+    2⁵³ to ~10¹²-row groups at these grids). Degenerate groups yield
+    NULL via the mirrored magnitude-relative guard
+    vx > 1e-12·n·Σx² (double cancellation noise is ~5e-16·n·Σx², so
+    the cut has three decades of margin each side — the r13
+    moments_profile guard), never ANSI divide-by-zero. Engine-native
+    corr() is NOT used precisely because its float accumulation order
+    is partition-dependent."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.round(F.col("l_quantity")).cast("long")
     y = F.round(F.col("l_discount") * 100).cast("long")
@@ -930,22 +947,31 @@ def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    vx = n * F.col("sxx") - sx * sx
-    vy = n * F.col("syy") - sy * sy
-    cov = n * F.col("sxy") - sx * sy
-    corr = F.when(
-        (vx > 0) & (vy > 0),
-        cov.cast("double")
-        / F.sqrt(vx.cast("double") * vy.cast("double")),
+    nd, sxd, syd, sxxd, syyd, sxyd = (
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
     )
-    slope = F.when(vx > 0, cov.cast("double") / vx.cast("double"))
+    k = g.select(
+        "l_returnflag",
+        "n",
+        nd.alias("nd"),
+        sxd.alias("sxd"),
+        syd.alias("syd"),
+        sxxd.alias("sxxd"),
+        syyd.alias("syyd"),
+        (nd * sxxd - sxd * sxd).alias("vx"),
+        (nd * syyd - syd * syd).alias("vy"),
+        (nd * sxyd - sxd * syd).alias("cov"),
+    )
+    vx, vy, cov = F.col("vx"), F.col("vy"), F.col("cov")
+    gx = vx > F.lit(1e-12) * F.col("nd") * F.col("sxxd")
+    gy = vy > F.lit(1e-12) * F.col("nd") * F.col("syyd")
+    corr = F.when(gx & gy, cov / F.sqrt(vx * vy))
+    slope = F.when(gx, cov / vx)
     intercept = F.when(
-        vx > 0,
-        (sy.cast("double") - (cov.cast("double") / vx.cast("double")) * sx)
-        / n,
+        gx, (F.col("syd") - (cov / vx) * F.col("sxd")) / F.col("nd")
     )
-    return g.select(
+    return k.select(
         "l_returnflag",
         "n",
         corr.alias("corr"),
@@ -1081,21 +1107,24 @@ def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        sum(CAST(round(value * 100) AS BIGINT)) AS s,
                        sum(CAST(round(value * 100) AS BIGINT)
                            * CAST(round(value * 100) AS BIGINT)) AS ss
-                FROM events GROUP BY event_type)
+                FROM events GROUP BY event_type),
+              st2 AS (
+                SELECT event_type, mn, mx, n, s,
+                       CAST(n AS HUGEINT) * ss
+                         - CAST(s AS HUGEINT) * s AS vn
+                FROM st)
               SELECT e.event_id, e.event_type,
                      CASE WHEN st.mx > st.mn
                           THEN (e.value - st.mn) / (st.mx - st.mn)
                      END AS minmax_scaled,
-                     CASE WHEN st.n > 1
-                            AND st.n * st.ss - st.s * st.s > 0
+                     CASE WHEN st.n > 1 AND st.vn > 0
                           THEN (e.value
                                 - CAST(st.s AS DOUBLE) / st.n / 100)
-                               / (sqrt(CAST(st.n * st.ss - st.s * st.s
-                                            AS DOUBLE)
+                               / (sqrt(CAST(st.vn AS DOUBLE)
                                        / (CAST(st.n AS DOUBLE)
                                           * (st.n - 1))) / 100)
                      END AS zscore
-              FROM events e JOIN st ON e.event_type = st.event_type""",
+              FROM events e JOIN st2 st ON e.event_type = st.event_type""",
 )
 def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature scaling — the normalization step every ML
@@ -1108,8 +1137,14 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample std derive from exact BIGINT cent-grid accumulators with
     token-for-token mirrored expressions (sum-of-squares form; the
     /100 de-scalings stay OUTSIDE the sqrt so both engines run the
-    identical op sequence). Degenerate groups (constant value, n=1)
-    yield NULL via integer guards, never ANSI divide-by-zero."""
+    identical op sequence). The variance combination n·Σx² − (Σx)²
+    runs in 128-bit (DECIMAL(38,0) ↔ HUGEINT): its BIGINT form
+    overflowed at the sf10 decade (n ≈ 2M cent-grid events per group
+    puts n·Σx² ≈ 4e20 past the 9.2e18 long ceiling — caught live,
+    r13; same class as r12's cusum/moments/gini). Headroom to
+    ~1e12-row groups at 1e6-cent values (n·Σx² ≈ 1e36 < 1e38).
+    Degenerate groups (constant value, n=1) yield NULL via integer
+    guards, never ANSI divide-by-zero."""
     ev = load_table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 100).cast("long")
     st = ev.groupBy(F.col("event_type").alias("__t")).agg(
@@ -1120,12 +1155,15 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v * v).alias("ss"),
     )
     j = ev.join(F.broadcast(st), F.col("event_type") == F.col("__t"))
-    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    n, s = F.col("n"), F.col("s")
     minmax = F.when(
         F.col("mx") > F.col("mn"),
         (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")),
     )
-    var_num = n * ss - s * s
+    d128 = "decimal(38,0)"
+    var_num = n.cast(d128) * F.col("ss").cast(d128) - s.cast(d128) * s.cast(
+        d128
+    )
     mean = s.cast("double") / n / 100
     std = (
         F.sqrt(
