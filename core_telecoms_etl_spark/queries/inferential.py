@@ -908,7 +908,13 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
-    drawn = pc.select(
+    # spread the B× row expansion: AQE coalesces the small per-customer
+    # aggregate to one partition, and explode is a narrow op — without a
+    # rebalance the whole |customers|·B md5/conv codegen expansion runs
+    # in a single task (same finding as bootstrap_ci_partials' Arrow
+    # stage, r13; the exchange carries two narrow columns)
+    n_par = pc.sparkSession.sparkContext.defaultParallelism
+    drawn = pc.repartition(n_par).select(
         "k",
         "x",
         F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("rep"),
