@@ -252,7 +252,16 @@ def time_grid_ffill(
     span = ev.groupBy("__k").agg(
         F.min("__bucket").alias("__t0"), F.max("__bucket").alias("__t1")
     )
-    grid = span.select(
+    # spread the grid GENERATION: AQE coalesces the small per-key span
+    # aggregate to one partition, and sequence+explode is a narrow op —
+    # without a rebalance the entire grid (span/bucket rows PER KEY;
+    # 4.2M rows at sf0.1, 42M at sf10) materializes in a single task
+    # before the join exchange re-parallelizes it (r13 finding, same
+    # class as the bootstrap expansion). The rebalanced relation is one
+    # narrow row per key; round-robin spreads the per-key span lengths
+    # uniformly in expectation.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    grid = span.repartition(n_par).select(
         "__k",
         F.explode(
             F.sequence(
