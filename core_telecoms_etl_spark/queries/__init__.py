@@ -88,6 +88,13 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- reads straight off the top.
     "moments_profile",  # green r8
     "auto_topk_route",  # green r12
+    "bootstrap_ci",  # green r12, changed r13 (expansion rebalance)
+    "bootstrap_ci_partials",  # green r12, changed r13 (rebalance)
+    "time_grid_fill",  # green r11, changed r13 (grid rebalance)
+    "time_grid_interpolate",  # green r11, changed r13 (grid rebalance)
+    "feature_scaling",  # green r10, changed r13 (128-bit variance)
+    "grouped_correlation",  # green r10, changed r13 (double combos)
+    "copurchase_pairs",  # green r10, changed r13 (shared expansion)
     "pagerank_copurchase",  # green r8
     "dedup_clusters",  # green r10
     "corpus_incremental_dedup",  # green r11
@@ -173,12 +180,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "cms_heavy_hitters",  # green r10
     "completeness_gaps",  # green r10
     "containment_near_dup",  # green r10
-    "copurchase_pairs",  # green r10
     "events_tumbling",  # green r10
     "exists_subquery",  # green r10
-    "feature_scaling",  # green r10
     "groupby_agg",  # green r10
-    "grouped_correlation",  # green r10
     "incremental_rollup",  # green r10
     "iqr_outliers",  # green r10
     "ks_two_sample",  # green r10
@@ -236,8 +240,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stream_tumbling",  # green r11
     "text_exact_dedup",  # green r11
     "tf_idf",  # green r11
-    "time_grid_fill",  # green r11
-    "time_grid_interpolate",  # green r11
     "top_supplier_revenue",  # green r11
     "traffic_heatmap",  # green r11
     "training_pipeline",  # green r11
@@ -248,8 +250,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "attribution_last_touch",  # green r12
     "bloom_prune_semi_join",  # green r12
     "bm25_retrieval",  # green r12
-    "bootstrap_ci",  # green r12
-    "bootstrap_ci_partials",  # green r12
     "chi_square_independence",  # green r12
     "cohort_ltv_curve",  # green r12
     "cosine_pairs",  # green r12
