@@ -14,6 +14,20 @@ any other join. The edit distance itself uses Spark's bounded
 `levenshtein(l, r, threshold)` (JVM codegen, early-exits once the
 running distance exceeds the bound) — at threshold k the DP cost is
 O(k·len) instead of O(len²).
+
+THE FIXED-B WALL (found live at the r13 sf10 decade): N²/(2B) is still
+Θ(N²) when the block key's cardinality does not grow with the data — a
+25-nation block over 1.5M customers is 4.5e10 within-block comparisons,
+and the TRUE ≤2-edit pair relation over sequential numeric names is
+itself ~10⁸ rows, so no candidate generator can make the job small: the
+OUTPUT is quadratic-ish on this corpus. The production posture is the
+same as the near-dup family's: (1) choose a COMPOUND block key whose
+cardinality scales with N (nation × name-length × phonetic code, or a
+PassJoin segment scheme) so per-block mass stays bounded; (2) pass
+`max_block_pairs` so an under-blocked run RAISES with the measured mass
+and the dominant block instead of grinding for hours — the estimate is
+one metadata-scale count aggregate over the block relation, the same
+loud-failure contract as `dedup.incremental_dedup(max_candidates=…)`.
 """
 
 from __future__ import annotations
@@ -38,6 +52,7 @@ def fuzzy_pairs(
     *,
     max_dist: int = 2,
     normalize: bool = False,
+    max_block_pairs: int | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs within each block: records whose
     (optionally canonicalized) names are within `max_dist` edits.
@@ -50,8 +65,42 @@ def fuzzy_pairs(
     stage. Records outside every block pair with nothing, which is the
     semantics you want from blocking (recall is bounded by block
     assignment — pick the block key accordingly, or union several
-    blocking passes)."""
+    blocking passes).
+
+    `max_block_pairs`: mass tripwire for the fixed-B wall (module
+    docstring). The within-block comparison count Σ_b C(n_b, 2) is
+    estimated from the block-count table (one metadata-scale
+    aggregate) and the operator RAISES with the measured mass and the
+    dominant block before launching a join that cannot finish —
+    re-block on a compound key or raise the budget."""
     name = canonicalize(name_col) if normalize else F.col(name_col)
+    if max_block_pairs is not None:
+        row = (
+            df.groupBy(F.col(block_col).alias("_blk"))
+            .agg(F.count("*").alias("_n"))
+            .agg(
+                F.sum(
+                    F.col("_n").cast("decimal(38,0)") * (F.col("_n") - 1) / 2
+                ).alias("_m"),
+                F.max(
+                    F.col("_n").cast("decimal(38,0)") * (F.col("_n") - 1) / 2
+                ).alias("_mx"),
+            )
+            .first()
+        )
+        mass = int(row["_m"] or 0)
+        if mass > max_block_pairs:
+            raise RuntimeError(
+                "fuzzy_pairs: the blocked join would compare "
+                f"~{mass:.3g} within-block pairs "
+                f"(max_block_pairs={max_block_pairs:.3g}; the largest "
+                f"single block contributes {int(row['_mx'] or 0):.3g}) "
+                "— the block key's cardinality is too coarse for this "
+                "corpus size (the fixed-B wall; see operators/linkage "
+                "module docstring). Re-block on a compound key whose "
+                "cardinality scales with the data, or raise "
+                "max_block_pairs."
+            )
     a = df.select(
         F.col(id_col).alias("id_a"),
         name.alias("name_a"),

@@ -83,3 +83,27 @@ def test_fuzzy_pairs_plan_is_blocked_join_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_mass_tripwire_raises(spark):
+    """The fixed-B wall (r13 sf10 decade finding): a block key whose
+    cardinality does not grow with the data makes the within-block
+    comparison mass quadratic. max_block_pairs must estimate that mass
+    from the block-count table and raise LOUDLY — naming the dominant
+    block and the re-blocking escalation — instead of launching the
+    grind; a budget above the mass passes through untouched."""
+    import pytest
+
+    from core_telecoms_etl_spark.operators.linkage import fuzzy_pairs
+
+    rows = [(i, f"name{i:03d}", i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, name string, blk long")
+    # mass = 2 blocks x C(20,2) = 380
+    with pytest.raises(RuntimeError, match="within-block pairs"):
+        fuzzy_pairs(
+            df, "id", "name", "blk", max_dist=2, max_block_pairs=100
+        ).collect()
+    out = fuzzy_pairs(
+        df, "id", "name", "blk", max_dist=2, max_block_pairs=1_000
+    )
+    assert out.count() > 0  # adjacent name{i} ids are within 2 edits
