@@ -242,3 +242,67 @@ def test_random_join_specs_match_duckdb(spark, sf_dir, seed):
         )
         want = sorted(tuple(r) for r in con.execute(q).fetchall())
         assert got == want, f"join spec #{i}\nsql: {q}"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_moments_guard_boundary_fuzz(spark, tmp_path, seed):
+    """ADVICE r12 guard-boundary fuzz: random event tables biased
+    toward the zero-variance cancellation regime (constant groups at
+    large magnitudes, near-constant groups, n=1 groups) through BOTH
+    engines — the Spark moments_profile plan vs its registered DuckDB
+    oracle over the same parquet. Pre-fix, a constant large-value
+    group crashed DuckDB (sqrt of negative cancellation noise) or
+    emitted garbage shape stats behind a k2 > 0 guard; post-fix both
+    engines must agree exactly, NULLs included."""
+    import duckdb as _dd
+
+    from core_telecoms_etl_spark.queries import REGISTRY, _load_all
+    from core_telecoms_etl_spark.queries.inferential import moments_profile
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for g in range(6):
+        et = f"t{g}"
+        kind = rng.choice(
+            ["const_small", "const_big", "near_const", "normal", "single"]
+        )
+        n = 1 if kind == "single" else rng.randint(50, 4000)
+        if kind == "const_small":
+            base = rng.randint(1, 999) / 100
+            vals = [base] * n
+        elif kind == "const_big":
+            base = rng.randint(10_000_000, 99_999_999) / 100
+            vals = [base] * n
+        elif kind == "near_const":
+            base = rng.randint(1_000_000, 9_999_999) / 100
+            vals = [base] * (n - 1) + [base + 0.01]
+        elif kind == "single":
+            vals = [rng.randint(1, 10_000_000) / 100]
+        else:
+            vals = [rng.randint(1, 100_000) / 100 for _ in range(n)]
+        for v in vals:
+            rows.append((eid, et, v))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    d = tmp_path / "star"
+    ev.write.parquet(str(d / "events.parquet"))
+
+    got = [
+        tuple(r)
+        for r in moments_profile(spark, str(d))
+        .orderBy("event_type")
+        .collect()
+    ]
+    _load_all()
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = con.execute(REGISTRY["moments_profile"].oracle).fetchall()
+    assert len(got) == len(want)
+    for gr, wr in zip(got, want):
+        assert gr == tuple(wr), (gr, wr)

@@ -535,3 +535,28 @@ def test_bootstrap_partials_arrow_fold_before_exchange(spark, sf_dir):
     # count); the row-expansion query's sequence-explode idiom
     # (explode(sequence(1, B)) per customer) must NOT appear
     assert "sequence(1, 200" not in plan.replace("\n", " "), plan
+
+
+def test_expansions_rebalance_out_of_aqe_coalescing(spark, sf_dir):
+    """r13 finding: AQE coalesces small post-aggregate relations to
+    1-4 partitions, and narrow expansions (explode/sequence/Arrow
+    stage) inherit that — the bootstrap's customers x B weight
+    expansion, the time-grid's per-key sequence generation, and the
+    basket pair fan-out all ran near-serial. Each must plan a
+    ROUND-ROBIN exchange between the aggregate and the Generate/Arrow
+    stage; losing it is a silent 3-4x regression at sf0.1 and worse at
+    the decade. Asserted on the optimized plans so a future 'cleanup'
+    of the repartition fails here, not in a bench round."""
+    from core_telecoms_etl_spark.queries import queries
+
+    qs = queries()
+    for name in (
+        "bootstrap_ci",
+        "bootstrap_ci_partials",
+        "time_grid_interpolate",
+        "copurchase_pairs",
+    ):
+        plan = _formatted(qs[name](spark, sf_dir))
+        assert "RoundRobinPartitioning" in plan, (
+            f"{name}: expansion rebalance missing\n{plan}"
+        )
