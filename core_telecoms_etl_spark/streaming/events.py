@@ -202,7 +202,10 @@ def run_stream_sliding(
 
 
 def stateful_user_totals(
-    stream: DataFrame, *, user_col: str = "user_id"
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: per-user running event count + value sum
     maintained in explicit group state via applyInPandasWithState (the
@@ -212,31 +215,71 @@ def stateful_user_totals(
 
     Emits the updated running totals for every user seen in each
     micro-batch. On a finite one-batch source the emitted rows ARE the
-    per-user totals, which is what the batch oracle checks."""
+    per-user totals, which is what the batch oracle checks.
+
+    STATE BOUND (r13): per-key state is 16 bytes, but the KEY SPACE is
+    every user ever seen — with the default `idle_timeout_ms=None`
+    (NoTimeout) state grows O(distinct users) for the stream's
+    LIFETIME, which on a continuous 100 TB/day feed is the slow-OOM
+    shape the dedup operator's watermark explicitly avoids. Production
+    posture: pass `idle_timeout_ms` (e.g. 30 days) — keys idle past the
+    TTL are EVICTED after emitting a final-totals row (flagged
+    `evicted=true`, so a downstream compaction can fold resurrected
+    users' partial totals: count/sum re-merge losslessly by addition).
+    The default stays NoTimeout because the declared oracle gate runs
+    one finite batch where lifetime == horizon."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            n, s = state.get if state.exists else (0, 0.0)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(s, 2)],
+                    "evicted": [True],
+                }
+            )
+            return
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += int(len(pdf))
             s += float(pdf["value"].fillna(0.0).sum())
         state.update((n, s))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "value_sum": [round(s, 2)],
+                "evicted": [False],
             }
         )
 
-    return stream.groupBy(user_col).applyInPandasWithState(
+    out_type = (
+        "user_id long, n_events long, value_sum double, evicted boolean"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    res = stream.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, value_sum double",
+        outputStructType=out_type,
         stateStructType="n long, s double",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
+    # the declared query's contract predates the eviction flag; keep
+    # its 3-column shape on the default path
+    if idle_timeout_ms is None:
+        res = res.drop("evicted")
+    return res
 
 
 def run_stream_stateful(
