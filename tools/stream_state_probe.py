@@ -222,6 +222,77 @@ def probe_cms(spark, events_path: str) -> dict:
     }
 
 
+def probe_stateful(spark, stage_dir: str, schema, ttl_ms) -> dict:
+    """Per-user running totals over the time-sliced replay — state is
+    O(distinct users). With `ttl_ms` the r13 idle-key TTL evicts users
+    idle past the horizon; the per-batch numRowsTotal readings show the
+    bound in action (and its absence with ttl_ms=None). Stopped by
+    observation: a processing-time-timeout stream never self-terminates."""
+    import time as _t
+
+    from core_telecoms_etl_spark.sources.readers import normalize_timestamps
+    from core_telecoms_etl_spark.streaming.events import (
+        stateful_user_totals,
+    )
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stage_dir)
+    )
+    out = stateful_user_totals(
+        normalize_timestamps(src, nanos_bigint_cols=("ts",)),
+        idle_timeout_ms=ttl_ms,
+    )
+    t0 = time.time()
+    with HeapSampler(spark) as hs:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if ttl_ms is None:
+                q.awaitTermination()
+            else:
+                # drain data batches, then allow eviction batches to run
+                deadline = _t.time() + 120
+                while _t.time() < deadline and q.isActive:
+                    p = q.lastProgress
+                    so = (p.get("stateOperators") or [{}])[0] if p else {}
+                    if p and not q.status["isDataAvailable"] and (
+                        so.get("numRowsTotal") == 0
+                    ):
+                        break
+                    _t.sleep(2)
+            # keep ZERO-INPUT cleanup batches: with a TTL, evictions
+            # happen there — the state drop is the measurement
+            rows = []
+            for p in q.recentProgress:
+                so = (p.get("stateOperators") or [{}])[0]
+                rows.append(
+                    {
+                        "batch": p.get("batchId"),
+                        "input_rows": p.get("numInputRows"),
+                        "state_rows": so.get("numRowsTotal"),
+                        "removed": so.get("numRowsRemoved"),
+                    }
+                )
+        finally:
+            q.stop()
+    return {
+        "probe": f"stream_stateful(ttl={ttl_ms})",
+        "elapsed_sec": round(time.time() - t0, 1),
+        "batches": rows,
+        "peak_state_rows": max((r["state_rows"] or 0) for r in rows),
+        "final_state_rows": rows[-1]["state_rows"] if rows else None,
+        "total_input_rows": sum(r["input_rows"] or 0 for r in rows),
+        "peak_jvm_heap_gb": round(hs.peak / 1e9, 2),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
     n_slices = int(os.environ.get("SLICES", "8"))
@@ -235,6 +306,10 @@ def main() -> int:
     schema = spark.read.parquet(events).schema
     print(json.dumps(probe_dedup(spark, stage, schema)))
     print(json.dumps(probe_cms(spark, events)))
+    print(json.dumps(probe_stateful(spark, stage, schema, None)))
+    print(
+        json.dumps(probe_stateful(spark, stage, schema, 1))
+    )  # 1 ms TTL: every key idles between slices -> eviction flow
     return 0
 
 
