@@ -445,23 +445,52 @@ def test_winsorize_invariants(spark, vals, tmp_path_factory):
         "value double, props string",
     ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
     row = winsorize_features(spark, sf).collect()[0]
-    import math
+    from fractions import Fraction
 
     import numpy as np
 
-    def round_half_away(x: float) -> int:
-        # Spark F.round and DuckDB round() both round half AWAY from
-        # zero; Python's round() banker's-rounds (14.5 -> 14) and
-        # flagged a false mismatch here
-        return int(math.floor(x + 0.5)) if x >= 0 else int(
-            math.ceil(x - 0.5)
-        )
+    def bound_candidates(sv: list[int], q: Fraction) -> list[int]:
+        # Exact linear-interpolated percentile as a Fraction, then
+        # half-away-from-zero rounding. When the EXACT value sits on
+        # (or within double-noise of) a .5 cent boundary, the engine's
+        # double interpolation legitimately lands on either side
+        # (found by hypothesis: vals=[0,0,-252,-162882] puts p5 at
+        # exactly -138487.5 and numpy/Spark round opposite ways) —
+        # return both roundings and let the caller pick the consistent
+        # one. The engine-vs-oracle agreement is pinned elsewhere
+        # (winsorize_features' DuckDB gate); this model only needs to
+        # accept any IEEE-legal percentile realization.
+        n = len(sv)
+        r = q * (n - 1)
+        i = int(r)
+        frac = r - i
+        hi_idx = min(i + 1, n - 1)
+        exact = Fraction(sv[i]) + frac * (sv[hi_idx] - sv[i])
+        # distance from the nearest half-integer boundary, vs the
+        # double-noise the engine's interpolation can carry
+        flo = exact.numerator // exact.denominator
+        half_dist = abs(exact - flo - Fraction(1, 2))
+        tol = max(1, abs(exact)) * Fraction(1, 10**9)
+        # half-away round of the exact value
+        sign = -1 if exact < 0 else 1
+        mag = abs(exact)
+        base = int(mag + Fraction(1, 2))  # floor(|x| + 0.5)
+        cands = {sign * base}
+        if half_dist <= tol:
+            cands.add(sign * (base - 1))
+        return sorted(cands)
 
-    a = np.array(sorted(vals), dtype=float)
-    lo = round_half_away(float(np.percentile(a, 5)))
-    hi = round_half_away(float(np.percentile(a, 95)))
+    sv = sorted(vals)
+    a = np.array(sv, dtype=float)
     assert row.n == len(vals)
-    assert row.n_clipped_low == int((a < lo).sum())
-    assert row.n_clipped_high == int((a > hi).sum())
-    w = np.clip(a, lo, hi)
-    assert abs(row.sum_winsorized - w.sum() / 100.0) < 1e-6
+    ok = False
+    for lo in bound_candidates(sv, Fraction(5, 100)):
+        for hi in bound_candidates(sv, Fraction(95, 100)):
+            w = np.clip(a, lo, hi)
+            if (
+                row.n_clipped_low == int((a < lo).sum())
+                and row.n_clipped_high == int((a > hi).sum())
+                and abs(row.sum_winsorized - w.sum() / 100.0) < 1e-6
+            ):
+                ok = True
+    assert ok, (row, vals)
