@@ -703,13 +703,18 @@ def test_http_json_api_token_auth_with_expiry(spark):
         assert rows[0].name == "r0" and rows[22].score == 11.0
         with lock:
             # the reader pickles WITHOUT a live token, so every task
-            # authenticated itself: 6 tokens for 6 requests (1 meta +
-            # 5 pages) — surviving two mid-scan rotations. (The
-            # 401-refresh branch is exercised deterministically by
-            # test_token_auth_refreshes_on_401 below; just-in-time
-            # per-task fetches never present a stale token here.)
-            assert state["served"] == 6  # 1 meta + 5 pages
-            assert state["issued"] == 6, state
+            # authenticated itself: ≥6 tokens for ≥6 requests (1 meta +
+            # 5 pages) — surviving two mid-scan rotations. LOWER bounds,
+            # not equality: on a loaded box Spark may retry a task,
+            # re-serving a page and re-fetching a token (observed as a
+            # 7/7 flake in an otherwise green full-suite run, r13); the
+            # invariant under test is per-task authentication, which
+            # retries preserve. (The 401-refresh branch is exercised
+            # deterministically by test_token_auth_refreshes_on_401
+            # below; just-in-time per-task fetches never present a
+            # stale token here.)
+            assert state["served"] >= 6, state  # 1 meta + 5 pages
+            assert state["issued"] >= 6, state
 
         # credential-less scan against the same server: loud failure
         # (Spark wraps the driver-side HTTPError; match on the code)
