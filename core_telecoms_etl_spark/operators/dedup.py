@@ -1109,6 +1109,14 @@ def incremental_dedup(
             r,
         ).select(F.col("doc").alias("__bid"), "band", "bucket")
         if max_candidates is not None:
+            # The mass estimate's .first() is an eager action over BOTH
+            # banded relations, which the candidate join then consumes
+            # AGAIN — without a pin the k=64-hash signature build (the
+            # dominant pre-join cost) runs twice at exactly the decade
+            # scale the guard targets (ADVICE r13). Scoped slots: the
+            # next invocation (or release_caches) evicts the pin.
+            band_c = cache_scoped("dedup.incremental.band_c", band_c)
+            band_b = cache_scoped("dedup.incremental.band_b", band_b)
             mass_row = (
                 band_c.groupBy("band", "bucket")
                 .agg(F.count("*").alias("__nc"))

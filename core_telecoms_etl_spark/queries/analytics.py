@@ -1129,22 +1129,26 @@ def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * CAST(round(value * 100) AS BIGINT)) AS ss
                 FROM events GROUP BY event_type),
               st2 AS (
-                SELECT event_type, mn, mx, n, s,
-                       CAST(n AS HUGEINT) * ss
-                         - CAST(s AS HUGEINT) * s AS vn
-                FROM st)
+                SELECT event_type, mn, mx, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(s AS DOUBLE) AS sd,
+                       CAST(ss AS DOUBLE) AS ssd
+                FROM st),
+              st3 AS (
+                SELECT event_type, mn, mx, n, nd, sd, ssd,
+                       (nd * ssd - sd * sd) AS vn
+                FROM st2)
               SELECT e.event_id, e.event_type,
                      CASE WHEN st.mx > st.mn
                           THEN (e.value - st.mn) / (st.mx - st.mn)
                      END AS minmax_scaled,
-                     CASE WHEN st.n > 1 AND st.vn > 0
-                          THEN (e.value
-                                - CAST(st.s AS DOUBLE) / st.n / 100)
-                               / (sqrt(CAST(st.vn AS DOUBLE)
-                                       / (CAST(st.n AS DOUBLE)
-                                          * (st.n - 1))) / 100)
+                     CASE WHEN st.n > 1
+                            AND st.vn > 1e-12 * st.nd * st.ssd
+                          THEN (e.value - st.sd / st.nd / 100)
+                               / (sqrt(st.vn
+                                       / (st.nd * (st.nd - 1))) / 100)
                      END AS zscore
-              FROM events e JOIN st2 st ON e.event_type = st.event_type""",
+              FROM events e JOIN st3 st ON e.event_type = st.event_type""",
 )
 def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature scaling — the normalization step every ML
@@ -1158,13 +1162,22 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-for-token mirrored expressions (sum-of-squares form; the
     /100 de-scalings stay OUTSIDE the sqrt so both engines run the
     identical op sequence). The variance combination n·Σx² − (Σx)²
-    runs in 128-bit (DECIMAL(38,0) ↔ HUGEINT): its BIGINT form
-    overflowed at the sf10 decade (n ≈ 2M cent-grid events per group
-    puts n·Σx² ≈ 4e20 past the 9.2e18 long ceiling — caught live,
-    r13; same class as r12's cusum/moments/gini). Headroom to
-    ~1e12-row groups at 1e6-cent values (n·Σx² ≈ 1e36 < 1e38).
-    Degenerate groups (constant value, n=1) yield NULL via integer
-    guards, never ANSI divide-by-zero."""
+    runs in DOUBLE from the individually-cast BIGINT sums — the
+    grouped_correlation / moments_profile pattern. The r13 form
+    combined in 128-bit (DECIMAL(38,0) ↔ HUGEINT) and cast the
+    RESULT to double, but DuckDB's HUGEINT→DOUBLE is not correctly
+    rounded (upper·2⁶⁴ + lower, two roundings) while Spark's
+    Decimal→double is, so any group with n·Σx² − (Σx)² past 2⁶⁴
+    (~1.8e19 — exactly the sf10 regime the 128-bit form targeted,
+    vn ≈ 4e20) could diverge at the ulp and flip the hash gate on the
+    raw zscore column. BIGINT→DOUBLE is correctly rounded on BOTH
+    engines, and identical double expression trees over identical
+    inputs are bit-equal at every scale; the BIGINT sums themselves
+    stay below 2⁵³ to ~10¹²-row groups at these cent grids.
+    Degenerate groups (constant value, n=1) yield NULL via the
+    mirrored magnitude-relative guard vn > 1e-12·n·Σx² (double
+    cancellation noise ~5e-16·n·Σx² — three decades of margin each
+    side), never ANSI divide-by-zero."""
     ev = load_table(spark, sf_dir, "events")
     v = F.round(F.col("value") * 100).cast("long")
     st = ev.groupBy(F.col("event_type").alias("__t")).agg(
@@ -1175,23 +1188,21 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v * v).alias("ss"),
     )
     j = ev.join(F.broadcast(st), F.col("event_type") == F.col("__t"))
-    n, s = F.col("n"), F.col("s")
+    n = F.col("n")
+    nd = n.cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
     minmax = F.when(
         F.col("mx") > F.col("mn"),
         (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")),
     )
-    d128 = "decimal(38,0)"
-    var_num = n.cast(d128) * F.col("ss").cast(d128) - s.cast(d128) * s.cast(
-        d128
+    vn = nd * ssd - sd * sd
+    mean = sd / nd / 100
+    std = F.sqrt(vn / (nd * (nd - F.lit(1.0)))) / 100
+    z = F.when(
+        (n > 1) & (vn > F.lit(1e-12) * nd * ssd),
+        (F.col("value") - mean) / std,
     )
-    mean = s.cast("double") / n / 100
-    std = (
-        F.sqrt(
-            var_num.cast("double") / (n.cast("double") * (n - F.lit(1)))
-        )
-        / 100
-    )
-    z = F.when((n > 1) & (var_num > 0), (F.col("value") - mean) / std)
     return j.select(
         "event_id",
         "event_type",

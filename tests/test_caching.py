@@ -211,10 +211,12 @@ def test_cache_scoped_concurrent_register_and_release(spark):
     assert not errors, errors
     caching.release_caches()
     assert not caching._SCOPED_CACHES
-    # registry drained AND the storage layer holds no scoped pins
+    # registry drained AND the storage layer holds no scoped pins.
+    # getRDDStorageInfo() yields py4j RDDInfo objects — iterate them
+    # directly (tuple-unpacking passes vacuously when empty but raises
+    # Py4JError on a real leak, hiding the list — ADVICE r13).
     leaked = [
-        (i, t)
-        for i, t in spark.sparkContext._jsc.sc()
-        .getRDDStorageInfo()
+        (x.id(), x.name())
+        for x in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     ]
     assert not leaked, leaked

@@ -432,6 +432,38 @@ def test_incremental_dedup_minhash_mass_tripwire_raises(spark):
     assert out.count() == 0  # every batch doc duplicates the corpus
 
 
+def test_incremental_dedup_minhash_tripwire_pins_band_relations(spark):
+    # ADVICE r13: the minhash mass estimate's .first() materializes both
+    # banded relations, which the candidate join then consumes again —
+    # without a scoped pin the k=64 signature build (the dominant
+    # pre-join cost) runs TWICE at exactly the decade scale the guard
+    # targets. The tripwire path must leave both band slots pinned
+    # (memory or disk) so the join reads the cache, not a recompute.
+    from core_telecoms_etl_spark import caching
+    from core_telecoms_etl_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo {i}") for i in range(20)],
+        "id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "foxtrot golf hotel india juliet kilo")],
+        "id long, text string",
+    )
+    caching.release_caches()
+    out = incremental_dedup(
+        corpus, batch, "id", "text", n=3, threshold=0.8,
+        blocking="minhash", max_candidates=10_000,
+    )
+    for slot in ("dedup.incremental.band_c", "dedup.incremental.band_b"):
+        pinned = caching._SCOPED_CACHES.get(slot)
+        assert pinned is not None, slot
+        lvl = pinned.storageLevel
+        assert lvl.useMemory or lvl.useDisk, (slot, lvl)
+    assert out.count() == 1  # the novel batch doc survives
+    caching.release_caches()
+
+
 def test_segment_dedup_drops_boilerplate_preserves_order(spark):
     """Segments shared by > max_df docs vanish corpus-wide; surviving
     segments reassemble in original order; a doc that is ALL boilerplate
