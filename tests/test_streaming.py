@@ -176,6 +176,72 @@ def test_stateful_totals_ttl_evicts_idle_keys(spark, sf_dir):
     assert evicted == want  # final totals re-emitted at eviction
 
 
+def test_stateful_max_state_rows_trips_on_second_batch(spark, tmp_path):
+    """r14 loud posture: every other unbounded-growth mode in the engine
+    raises with a measured estimate (incremental_dedup max_candidates,
+    simhash tripwire, fuzzy_pairs max_block_pairs); the stateful
+    operator's O(distinct-users) default only documented it. With
+    max_state_rows set, the runner checks numRowsTotal from each
+    micro-batch's StreamingQueryProgress and raises at the FIRST
+    over-cap batch naming idle_timeout_ms as the escalation path.
+    Two single-file micro-batches of 3 disjoint users each: batch 0
+    holds 3 state rows (under a cap of 4), batch 1 accumulates 6 —
+    the trip must name batch 1."""
+    import os
+    import time
+    from datetime import datetime
+
+    import pytest
+
+    from core_telecoms_etl_spark.streaming.events import run_stream_stateful
+
+    dir_ = str(tmp_path / "ev")
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "value double, ts timestamp"
+    )
+
+    def write_slice(users, when):
+        rows = [
+            (u * 10 + k, u, "click", 1.0, datetime(2024, 1, 1, 0, k))
+            for u in users
+            for k in range(2)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(dir_)
+        # mtime = replay order (the file source processes oldest first)
+        for f in os.listdir(dir_):
+            p = os.path.join(dir_, f)
+            if f.startswith("part-") and os.path.getmtime(p) > when - 1:
+                os.utime(p, (when, when))
+
+    t0 = time.time()
+    write_slice([1, 2, 3], t0)
+    write_slice([4, 5, 6], t0 + 10)
+
+    with pytest.raises(RuntimeError) as exc:
+        run_stream_stateful(
+            spark,
+            dir_,
+            query_name="t_state_cap",
+            max_state_rows=4,
+            max_files_per_trigger=1,
+        )
+    msg = str(exc.value)
+    assert "micro-batch 1" in msg and "6" in msg, msg
+    assert "idle_timeout_ms" in msg, msg
+    # a cap above the lifetime key count passes through untouched
+    out = run_stream_stateful(
+        spark,
+        dir_,
+        query_name="t_state_cap_ok",
+        max_state_rows=100,
+        max_files_per_trigger=1,
+    )
+    assert {r.user_id for r in out.collect()} == {1, 2, 3, 4, 5, 6}
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """The watermarked stream-stream interval join (click→purchase within
     30 min) emits exactly the pairs the equivalent batch interval join
