@@ -71,71 +71,31 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r13 window: head is EXACTLY 50, policy (enforced data-driven
+    # ---- r14 window: head is EXACTLY 50, policy (enforced data-driven
     # ---- by tests/test_entry.py::test_window_head_rotation, which
     # ---- computes never-green and staleness from CORRECTNESS_r01..rN):
     # ---- (1) queries whose bytes, operators, or plans changed this
-    # ---- round (moments_profile: relative-eps zero-variance guard +
-    # ---- exact string anchors, schema changed; auto_topk_route:
-    # ---- corpus-size routing term; pagerank_copurchase /
-    # ---- dedup_clusters: graph-build factored for the sf10 invariant
-    # ---- gate; corpus_incremental_dedup: minhash-path mass tripwire);
-    # ---- (2) ALL 38 r8-last-green rows (the ascending-last-green
-    # ---- tail's oldest stratum — they reach the 5-round staleness bar
-    # ---- next round; two of them are also in (1));
-    # ---- (3) fill with the alphabetically-first r9 rows.
-    # ---- Tail is ascending last-green (r9 -> r12), so the r14 head
+    # ---- round (fuzzy_linkage_compound: NEW, the lossless
+    # ---- deletion-neighborhood arm; moments_profile: oracle anchor
+    # ---- re-join dropped the NULL group — r14 adversarial-sweep fix;
+    # ---- feature_scaling: double combos per ADVICE r13;
+    # ---- corpus_incremental_dedup: banded-relation pin;
+    # ---- stream_cms_heavy_hitters: empty-feed degeneracy;
+    # ---- stream_stateful: max_state_rows runner; fuzzy_linkage:
+    # ---- operator-module tripwire refactor — also in (2));
+    # ---- (2) ALL 37 r9-last-green rows (the ascending-last-green
+    # ---- tail's oldest stratum — they reach the 5-round staleness
+    # ---- bar when CORRECTNESS_r14 lands);
+    # ---- (3) fill with the alphabetically-first r10 rows.
+    # ---- Tail is ascending last-green (r10 -> r13), so the r15 head
     # ---- reads straight off the top.
-    "moments_profile",  # green r8
-    "auto_topk_route",  # green r12
-    "bootstrap_ci",  # green r12, changed r13 (expansion rebalance)
-    "bootstrap_ci_partials",  # green r12, changed r13 (rebalance)
-    "time_grid_fill",  # green r11, changed r13 (grid rebalance)
-    "time_grid_interpolate",  # green r11, changed r13 (grid rebalance)
-    "feature_scaling",  # green r10, changed r13 (128-bit variance)
-    "grouped_correlation",  # green r10, changed r13 (double combos)
-    "copurchase_pairs",  # green r10, changed r13 (shared expansion)
-    "pagerank_copurchase",  # green r8
-    "dedup_clusters",  # green r10
-    "corpus_incremental_dedup",  # green r11
-    "cusum_changepoint",  # green r8
-    "duplicate_rate_by_source",  # green r8
-    "entropy_by_group",  # green r8
-    "erasure_cascade",  # green r8
-    "ewma_control_chart",  # green r8
-    "fulfillment_latency",  # green r8
-    "functional_dependency",  # green r8
-    "gini_concentration",  # green r8
-    "grouped_trend",  # green r8
-    "grouping_sets_agg",  # green r8
-    "hll_sliding_distinct",  # green r8
-    "interarrival_stats",  # green r8
-    "kaplan_meier",  # green r8
-    "keyword_pmi",  # green r8
-    "kll_sliding_quantile",  # green r8
-    "late_arrival_audit",  # green r8
-    "lexical_diversity",  # green r8
-    "lift_analysis",  # green r8
-    "log_rank_test",  # green r8
-    "mann_whitney_u",  # green r8
-    "mutual_information",  # green r8
-    "node_jaccard_similarity",  # green r8
-    "order_price_consistency",  # green r8
-    "psi_drift",  # green r8
-    "runs_test",  # green r8
-    "scalar_subquery",  # green r8
-    "seasonal_naive_forecast",  # green r8
-    "session_window",  # green r8
-    "span_corruption",  # green r8
-    "star_fact_complaints",  # green r8
-    "stream_sliding",  # green r8
-    "token_topk",  # green r8
-    "triangle_count",  # green r8
-    "winsorize_features",  # green r8
-    "zipf_profile",  # green r8
-    "zorder_locality",  # green r8
-    "approx_count_distinct",  # green r9
-    "approx_quantiles",  # green r9
+    "fuzzy_linkage_compound",  # NEW r14
+    "moments_profile",  # green r13
+    "feature_scaling",  # green r13
+    "corpus_incremental_dedup",  # green r13
+    "stream_cms_heavy_hitters",  # green r11
+    "stream_stateful",  # green r11
+    "fuzzy_linkage",  # green r9
     "array_funcs",  # green r9
     "asof_join",  # green r9
     "asof_join_forward",  # green r9
@@ -149,7 +109,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "embedding_norms",  # green r9
     "exact_k_sample",  # green r9
     "filter_agg_scalar",  # green r9
-    "fuzzy_linkage",  # green r9
     "gopher_quality",  # green r9
     "grouped_map_zscore",  # green r9
     "hll_rollup",  # green r9
@@ -180,6 +139,7 @@ _CHECK_ORDER: tuple[str, ...] = (
     "cms_heavy_hitters",  # green r10
     "completeness_gaps",  # green r10
     "containment_near_dup",  # green r10
+    # ---- end of the 50-slot r14 window ----------------------------------
     "events_tumbling",  # green r10
     "exists_subquery",  # green r10
     "groupby_agg",  # green r10
@@ -231,10 +191,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "rolling_anomaly",  # green r11
     "segment_boilerplate_dedup",  # green r11
     "simhash_signatures",  # green r11
-    "stream_cms_heavy_hitters",  # green r11
     "stream_dedup",  # green r11
     "stream_session",  # green r11
-    "stream_stateful",  # green r11
     "stream_static_join",  # green r11
     "stream_stream_join",  # green r11
     "stream_tumbling",  # green r11
@@ -294,6 +252,53 @@ _CHECK_ORDER: tuple[str, ...] = (
     "window_rank_extended",  # green r12
     "window_running_sum",  # green r12
     "window_value_funcs",  # green r12
+    "approx_count_distinct",  # green r13
+    "approx_quantiles",  # green r13
+    "auto_topk_route",  # green r13
+    "bootstrap_ci",  # green r13
+    "bootstrap_ci_partials",  # green r13
+    "copurchase_pairs",  # green r13
+    "cusum_changepoint",  # green r13
+    "dedup_clusters",  # green r13
+    "duplicate_rate_by_source",  # green r13
+    "entropy_by_group",  # green r13
+    "erasure_cascade",  # green r13
+    "ewma_control_chart",  # green r13
+    "fulfillment_latency",  # green r13
+    "functional_dependency",  # green r13
+    "gini_concentration",  # green r13
+    "grouped_correlation",  # green r13
+    "grouped_trend",  # green r13
+    "grouping_sets_agg",  # green r13
+    "hll_sliding_distinct",  # green r13
+    "interarrival_stats",  # green r13
+    "kaplan_meier",  # green r13
+    "keyword_pmi",  # green r13
+    "kll_sliding_quantile",  # green r13
+    "late_arrival_audit",  # green r13
+    "lexical_diversity",  # green r13
+    "lift_analysis",  # green r13
+    "log_rank_test",  # green r13
+    "mann_whitney_u",  # green r13
+    "mutual_information",  # green r13
+    "node_jaccard_similarity",  # green r13
+    "order_price_consistency",  # green r13
+    "pagerank_copurchase",  # green r13
+    "psi_drift",  # green r13
+    "runs_test",  # green r13
+    "scalar_subquery",  # green r13
+    "seasonal_naive_forecast",  # green r13
+    "session_window",  # green r13
+    "span_corruption",  # green r13
+    "star_fact_complaints",  # green r13
+    "stream_sliding",  # green r13
+    "time_grid_fill",  # green r13
+    "time_grid_interpolate",  # green r13
+    "token_topk",  # green r13
+    "triangle_count",  # green r13
+    "winsorize_features",  # green r13
+    "zipf_profile",  # green r13
+    "zorder_locality",  # green r13
 )
 
 

@@ -1346,21 +1346,19 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT)
                          AS s4
                 FROM v GROUP BY 1),
-              sa AS (
-                SELECT event_type,
+              c AS (
+                SELECT event_type, n, s1,
                        CAST(s1 AS VARCHAR) AS s1_anchor,
                        CAST(s2 AS VARCHAR) AS s2_anchor,
                        CAST(s3 AS VARCHAR) AS s3_anchor,
-                       CAST(s4 AS VARCHAR) AS s4_anchor
-                FROM s),
-              c AS (
-                SELECT event_type, n, s1,
+                       CAST(s4 AS VARCHAR) AS s4_anchor,
                        CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
                        CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
                        CAST(s4 AS DOUBLE) AS s4d
                 FROM s),
               k AS (
                 SELECT event_type, n, s1, nd, s2d,
+                       s1_anchor, s2_anchor, s3_anchor, s4_anchor,
                        (nd * s2d - s1d * s1d) AS k2,
                        (nd * nd * s3d - 3 * nd * s1d * s2d
                         + 2 * s1d * s1d * s1d) AS k3,
@@ -1382,7 +1380,7 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                        round(k4 / (k2 * k2) - 3.0, 6)
                      END AS excess_kurtosis,
                      s1_anchor, s2_anchor, s3_anchor, s4_anchor
-              FROM k JOIN sa USING (event_type)
+              FROM k
               ORDER BY event_type""",
 )
 def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,7 +1430,12 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundings) while Spark's Decimal→double is, so the k4 doubles
     already differ at the ulp (measured 3.5e-16 relative at sf0.01) —
     which is also why the shape stats round at 4/6dp rather than
-    comparing raw.
+    comparing raw. The anchors thread through the oracle's CTE chain
+    rather than re-joining on event_type: the r13 form's
+    `JOIN sa USING (event_type)` silently dropped the NULL-typed
+    group (NULL never equi-joins) while the engine's single pipeline
+    kept it — 6 vs 5 rows on the NULL-injected corpus (caught by the
+    r14 adversarial re-sweep, the exact class it exists for).
 
     Scale: ONE map-side-combined shuffle carrying five numeric
     accumulators per group — the entire query."""

@@ -782,5 +782,13 @@ def run_stream_cms(
         q.awaitTermination()
     finally:
         q.stop()
-    assert state["counters"] is not None
+    if state["counters"] is None:
+        # zero micro-batches fired (an empty ingest day stages empty
+        # slices — foreachBatch never runs): the CMS of nothing is the
+        # all-zero counter matrix, which by the sketch's sparse
+        # convention is the EMPTY counter table, not a crash (r14
+        # empty-facts differential; the prior assert raised here)
+        return spark.createDataFrame(
+            [], "seed int, bucket bigint, count bigint"
+        )
     return state["counters"]

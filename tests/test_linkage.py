@@ -107,3 +107,110 @@ def test_fuzzy_pairs_mass_tripwire_raises(spark):
         df, "id", "name", "blk", max_dist=2, max_block_pairs=1_000
     )
     assert out.count() > 0  # adjacent name{i} ids are within 2 edits
+
+
+def test_deletion_keys_count_and_membership(spark):
+    """|keys| = 1 + L + C(L,2) for an all-distinct-character name, and
+    the neighborhood contains the strings a real deletion produces."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.operators.linkage import deletion_keys
+
+    df = spark.createDataFrame([("abcde",), (None,)], "name string")
+    rows = df.select(
+        deletion_keys(F.col("name"), 2).alias("ks")
+    ).collect()
+    ks = rows[0].ks
+    assert len(ks) == 1 + 5 + 10  # 0-del + 1-del + 2-del, all distinct
+    for expect in ("abcde", "bcde", "abde", "abc", "cde", "ace"):
+        assert expect in ks, expect
+    assert rows[1].ks is None  # NULL name -> NULL neighborhood
+
+
+def test_fuzzy_pairs_deletion_is_lossless(spark):
+    """The deletion-neighborhood theorem in practice: the compound arm
+    must find EVERY ≤2-edit pair the exact arm finds, including the
+    equal-length shift class (delete one char, append another) that
+    breaks positional segment blocking — and nothing else (candidates
+    are exactly verified)."""
+    from core_telecoms_etl_spark.operators.linkage import (
+        fuzzy_pairs,
+        fuzzy_pairs_deletion,
+    )
+
+    rows = [
+        (1, "jon smith", "NY"),
+        (2, "john smith", "NY"),  # 1 insertion
+        (3, "jane smyth", "NY"),
+        (4, "john smith", "CA"),  # other block
+        (5, "completely different", "NY"),
+        # the shift class: delete the head char, append a new one —
+        # every character position differs, yet lev = 2
+        (6, "123456789", "NY"),
+        (7, "234567891", "NY"),
+        # substitution-only pair
+        (8, "123456780", "NY"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, state string")
+    exact = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_pairs(df, "id", "name", "state", max_dist=2).collect()
+    }
+    compound = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_pairs_deletion(
+            df, "id", "name", "state", max_dist=2
+        ).collect()
+    }
+    assert (6, 7, 2) in exact  # the corpus really contains a shift pair
+    assert compound == exact
+
+
+def test_fuzzy_pairs_segmented_catches_substitution_pairs(spark):
+    """The modular-projection arm's pigeonhole contract: every
+    ≤2-SUBSTITUTION pair is found (≤2 substituted positions touch ≤2
+    residue classes, so one projection is untouched); the shift class
+    is the documented recall caveat — measured, not silently lost."""
+    from core_telecoms_etl_spark.operators.linkage import (
+        fuzzy_pairs_segmented,
+    )
+
+    rows = [
+        (1, "abcdefghi", "NY"),
+        (2, "abcdefghX", "NY"),  # 1 sub, tail
+        (3, "Xbcdefghi", "NY"),  # 1 sub, head
+        (4, "aXcdefgXi", "NY"),  # 2 subs, residues 1 and 1
+        (5, "123456789", "NY"),
+        (6, "234567891", "NY"),  # shift pair: the documented miss
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, state string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs_segmented(
+            df, "id", "name", "state", max_dist=2
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (1, 4)} <= got
+    assert (5, 6) not in got  # the shift class is the known trade
+
+
+def test_fuzzy_pairs_deletion_mass_tripwire(spark):
+    """Constant names collapse every deletion neighborhood into one
+    block — the guard must estimate the collision mass from the
+    compound block counts and raise before the join."""
+    import pytest
+
+    from core_telecoms_etl_spark.operators.linkage import (
+        fuzzy_pairs_deletion,
+    )
+
+    rows = [(i, "same name", 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, name string, blk long")
+    with pytest.raises(RuntimeError, match="deletion"):
+        fuzzy_pairs_deletion(
+            df, "id", "name", "blk", max_block_pairs=100
+        ).collect()
+    out = fuzzy_pairs_deletion(
+        df, "id", "name", "blk", max_block_pairs=10_000_000
+    )
+    assert out.count() == 30 * 29 // 2  # all-identical corpus
