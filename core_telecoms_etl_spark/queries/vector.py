@@ -173,29 +173,42 @@ def _cosine_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _recall_vs_exact(
     exact: DataFrame, approx: DataFrame, floor: float
 ) -> DataFrame:
-    """(query_id, n_exact, recall_ok): per-query recall of `approx`
-    against the in-plan exact top-k, flagged against `floor`. The flag is
-    deterministic (both plans are hash-seeded, no RNG), which converts an
-    approximate operator into a driver-checkable projection: the oracle
-    asserts every query clears the floor."""
-    hit = approx.select("query_id", "neighbor_id").withColumn(
-        "__hit", F.lit(1)
+    """(query_id, n_exact, recall_ok): per-query SCORE recall of
+    `approx` against the in-plan exact top-k, flagged against `floor`.
+    A retrieved candidate counts as a hit iff its cosine reaches the
+    exact set's kth-best cosine — the standard ANN score-recall, and
+    the tie-ROBUST form of membership recall: under duplicated corpus
+    vectors the exact top-k's membership is tie-broken arbitrarily
+    (the 8×-replica differential makes every vector an 8-clique and
+    flipped 40/800 membership flags, r8+r14), while the score
+    threshold is invariant to which tied copy either arm picked. Safe
+    because both arms' scorers emit BIT-IDENTICAL cosines for the same
+    pair (same accumulation order over the 64 dims — measured), so
+    `>=` at the threshold is exact, not epsilon-fuzzy. The flag is
+    deterministic (both plans are hash-seeded, no RNG), which converts
+    an approximate operator into a driver-checkable projection: the
+    oracle asserts every query clears the floor."""
+    kth = exact.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.min("cosine").alias("__kth"),
     )
-    return (
-        exact.select("query_id", "neighbor_id")
-        .join(hit, ["query_id", "neighbor_id"], "left")
+    hits = (
+        approx.join(
+            kth.select("query_id", "__kth"), "query_id"
+        )
+        .filter(F.col("cosine") >= F.col("__kth"))
         .groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_hit"),
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    return kth.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("n_exact")
+            >= floor
         )
-        .select(
-            "query_id",
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("__n_hit") / F.col("n_exact") >= floor)
-            .cast("long")
-            .alias("recall_ok"),
-        )
+        .cast("long")
+        .alias("recall_ok"),
     )
 
 
