@@ -269,8 +269,9 @@ def probe_stateful(spark, stage_dir: str, schema, ttl_ms) -> dict:
                     _t.sleep(2)
             # keep ZERO-INPUT cleanup batches: with a TTL, evictions
             # happen there — the state drop is the measurement
+            raw = list(q.recentProgress)
             rows = []
-            for p in q.recentProgress:
+            for p in raw:
                 so = (p.get("stateOperators") or [{}])[0]
                 rows.append(
                     {
@@ -286,6 +287,7 @@ def probe_stateful(spark, stage_dir: str, schema, ttl_ms) -> dict:
         "probe": f"stream_stateful(ttl={ttl_ms})",
         "elapsed_sec": round(time.time() - t0, 1),
         "batches": rows,
+        "raw_progress": raw,
         "peak_state_rows": max((r["state_rows"] or 0) for r in rows),
         "final_state_rows": rows[-1]["state_rows"] if rows else None,
         "total_input_rows": sum(r["input_rows"] or 0 for r in rows),
@@ -293,23 +295,123 @@ def probe_stateful(spark, stage_dir: str, schema, ttl_ms) -> dict:
     }
 
 
+def stage_churn_corpus(
+    spark, events_path: str, actives_per_day: int = 5_000
+) -> str:
+    """Derive a CHURN corpus from the events table: user ids are
+    remapped to day·100000 + (user_id % actives_per_day), so each
+    calendar day has `actives_per_day` active users and the active set
+    SLIDES — lifetime distinct users = days × actives_per_day, but only
+    one day's worth is ever live. The harness corpus keeps every user
+    active for the whole stream, which makes TTL eviction a no-op
+    (r13's probe measured the TTL machinery, not a bounded steady
+    state); this is the arrival shape where idle_timeout_ms does real
+    work. Write-once, fingerprint-keyed."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.caching import build_once, path_fingerprint
+    from core_telecoms_etl_spark.sources.readers import normalize_timestamps
+
+    fp = path_fingerprint(events_path)
+
+    def _build(stage: str) -> None:
+        df = normalize_timestamps(
+            spark.read.parquet(events_path), nanos_bigint_cols=("ts",)
+        )
+        t_min = df.agg(F.min("ts")).collect()[0][0]  # 1-row scalar
+        day = F.datediff(F.col("ts"), F.lit(t_min))
+        churned = df.withColumn(
+            "user_id",
+            (day * 100_000 + F.col("user_id") % actives_per_day).cast(
+                "long"
+            ),
+        )
+        churned.repartition(8).write.mode("overwrite").parquet(stage)
+
+    return build_once(f"ctes_churn_{actives_per_day}_{fp}", _build)
+
+
+def probe_stateful_churn(spark, stage_dir: str, schema) -> dict:
+    """The r14 decade ask: drive the stateful operator over the CHURN
+    corpus (sliding active set) with a 1 ms processing-time TTL, so
+    eviction does real work between micro-batches, and verify
+
+    1. BOUNDED STEADY STATE: peak state rows track the per-batch
+       active set (≈ slice-days × actives/day), far below the lifetime
+       distinct-user count that the no-TTL arm saturates at;
+    2. CAP EXACTNESS: `first_state_bound_violation` (the
+       run_stream_stateful max_state_rows guard) trips at exactly the
+       first batch whose recorded numRowsTotal exceeds the cap, and a
+       cap at the measured peak does not trip."""
+    from core_telecoms_etl_spark.streaming.events import (
+        first_state_bound_violation,
+    )
+
+    ttl = probe_stateful(spark, stage_dir, schema, 1)
+    no_ttl = probe_stateful(spark, stage_dir, schema, None)
+    lifetime = no_ttl["peak_state_rows"]
+    peak = ttl["peak_state_rows"]
+
+    class _Replay:
+        """Minimal recentProgress carrier: feeds the recorded sf10
+        progress dicts through the REAL runner guard."""
+
+        def __init__(self, progresses):
+            self.recentProgress = progresses
+
+    raw = no_ttl.pop("raw_progress")
+    ttl.pop("raw_progress", None)
+    trace = [
+        (r["batch"], r["state_rows"])
+        for r in no_ttl["batches"]
+        if r["state_rows"] is not None
+    ]
+    expect_batch = next((b for b, s in trace if s > lifetime - 1), None)
+    v_below = first_state_bound_violation(_Replay(raw), lifetime - 1)
+    v_at = first_state_bound_violation(_Replay(raw), lifetime)
+    return {
+        "probe": "stream_stateful_churn",
+        "lifetime_state_rows": lifetime,
+        "ttl_peak_state_rows": peak,
+        "bounded": bool(peak * 3 < lifetime),
+        # the runner guard trips at the first over-cap batch and only
+        # there: cap = lifetime-1 must name the batch the trace names;
+        # cap = lifetime (the exact saturation) must not trip at all
+        "guard_trips_at": v_below,
+        "guard_trip_batch_matches_trace": bool(
+            v_below is not None and v_below[0] == expect_batch
+        ),
+        "guard_at_exact_peak_trips": v_at is not None,
+        "ttl_batches": ttl["batches"],
+        "no_ttl_batches": no_ttl["batches"],
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
     n_slices = int(os.environ.get("SLICES", "8"))
+    mode = os.environ.get("MODE", "standard")
     from core_telecoms_etl_spark import get_spark
     from core_telecoms_etl_spark.sources.readers import ensure_session_confs
 
     spark = get_spark("stream-state-probe")
     ensure_session_confs(spark, nanos_as_long=True)
     events = f"{sf_dir}/events.parquet"
+    if mode == "churn":
+        churn = stage_churn_corpus(spark, events)
+        stage = stage_time_slices(spark, churn, n_slices)
+        schema = spark.read.parquet(churn).schema
+        print(json.dumps(probe_stateful_churn(spark, stage, schema)))
+        return 0
     stage = stage_time_slices(spark, events, n_slices)
     schema = spark.read.parquet(events).schema
     print(json.dumps(probe_dedup(spark, stage, schema)))
     print(json.dumps(probe_cms(spark, events)))
-    print(json.dumps(probe_stateful(spark, stage, schema, None)))
-    print(
-        json.dumps(probe_stateful(spark, stage, schema, 1))
-    )  # 1 ms TTL: every key idles between slices -> eviction flow
+    for ttl in (None, 1):
+        # 1 ms TTL: every key idles between slices -> eviction flow
+        r = probe_stateful(spark, stage, schema, ttl)
+        r.pop("raw_progress", None)
+        print(json.dumps(r))
     return 0
 
 
