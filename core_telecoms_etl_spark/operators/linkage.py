@@ -242,7 +242,16 @@ def fuzzy_pairs_deletion(
     `max_block_pairs` guards the neighborhood join's own collision
     mass, same loud contract as the other arms."""
     name = canonicalize(name_col) if normalize else F.col(name_col)
-    proj = df.select(
+    # rebalance BEFORE the 172-way explode: the input relation is small
+    # (a dim-table scan — one or two parquet partitions; at sf10 the
+    # whole 1.5M-row customer table is 24 MB), so the narrow
+    # neighborhood expansion — the dominant pre-join cost — would
+    # otherwise run on the scan's 1-2 partitions (the r13
+    # AQE/narrow-expansion class: measured 2-core occupancy on 32 at
+    # the decade). The fixed repartition cost scales with N, not the
+    # 172N expansion.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    proj = df.repartition(n_par).select(
         F.col(id_col).alias("_id"),
         name.alias("_name"),
         F.col(block_col).alias("_blk0"),
@@ -340,6 +349,9 @@ def fuzzy_pairs_segmented(
     the same loud contract as `fuzzy_pairs`."""
     s = max_dist + 1
     name = canonicalize(name_col) if normalize else F.col(name_col)
+    # rebalance before the projection explode (see fuzzy_pairs_deletion)
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_par)
     proj = df.select(
         F.col(id_col).alias("_id"),
         name.alias("_name"),
