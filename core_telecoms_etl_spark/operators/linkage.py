@@ -262,6 +262,14 @@ def fuzzy_pairs_deletion(
         ).alias("_kh"),
     )
     if max_block_pairs is not None:
+        # the guard's .first() materializes the 172-way neighborhood
+        # build, which the candidate join then consumes AGAIN — pin it
+        # so the dominant pre-join cost runs once (the same class as
+        # incremental_dedup's r13 ADVICE fix; scoped slot, next
+        # invocation or release_caches evicts)
+        from core_telecoms_etl_spark.caching import cache_scoped
+
+        proj = cache_scoped("linkage.deletion.proj", proj)
         _block_mass_guard(
             proj,
             ["_blk0", "_kh"],
@@ -361,6 +369,10 @@ def fuzzy_pairs_segmented(
         ).alias("_seg_i", "_seg"),
     ).filter(F.col("_seg").isNotNull())
     if max_block_pairs is not None:
+        # pin before the guard's .first() — see fuzzy_pairs_deletion
+        from core_telecoms_etl_spark.caching import cache_scoped
+
+        proj = cache_scoped("linkage.segmented.proj", proj)
         _block_mass_guard(
             proj,
             ["_blk0", "_seg_i", "_seg"],
@@ -398,6 +410,56 @@ def fuzzy_pairs_segmented(
     )
 
 
+def fuzzy_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    *,
+    max_dist: int = 2,
+    normalize: bool = False,
+    exact_mass_budget: int = 100_000_000,
+    max_block_pairs: int | None = None,
+) -> DataFrame:
+    """Route between the plain blocked join and the deletion arm on the
+    MEASURED base-block comparison mass — the `auto_topk` convention
+    (route on what the data says, not on what the caller guessed). The
+    estimate is the same metadata-scale block-count aggregate the
+    tripwires use (one tiny job); below `exact_mass_budget` the plain
+    arm wins on constants (no 172-way neighborhood build, no candidate
+    dedupe shuffle), above it the deletion arm's sub-wall candidate
+    mass dominates. Default crossover 1e8: measured on the
+    sequential-name corpus the plain arm clears 4.5e8 comparisons in
+    ~28 s on 32 cores (~16M cmp/s/core·s) while the deletion arm's
+    fixed cost is ~8 s at the same scale, so 1e8 (~6 s plain) is the
+    indifference point with a safety margin on the wall side. Both
+    routes return the identical pair set (the deletion arm is lossless
+    — `deletion_keys` theorem), so routing never changes results, only
+    the plan; `max_block_pairs` passes through to the deletion arm as
+    its own collapse guard."""
+    row = (
+        df.groupBy(F.col(block_col).alias("_blk"))
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.sum(
+                F.col("_n").cast("decimal(38,0)") * (F.col("_n") - 1) / 2
+            ).alias("_m")
+        )
+        .first()
+    )
+    mass = int(row["_m"] or 0)
+    if mass <= exact_mass_budget:
+        return fuzzy_pairs(
+            df, id_col, name_col, block_col,
+            max_dist=max_dist, normalize=normalize,
+        )
+    return fuzzy_pairs_deletion(
+        df, id_col, name_col, block_col,
+        max_dist=max_dist, normalize=normalize,
+        max_block_pairs=max_block_pairs,
+    )
+
+
 def link_best_match(
     left: DataFrame,
     right: DataFrame,
@@ -406,26 +468,65 @@ def link_best_match(
     block_cols: tuple[str, str],
     *,
     max_dist: int = 2,
+    blocking: str = "block",
 ) -> DataFrame:
     """Link each left record to its single best fuzzy match on the right
     (lowest edit distance, ties broken by right id): the master-data
     "attach the canonical entity" step. Same blocked-join shape as
     `fuzzy_pairs`, then one window min per left id — two shuffles total,
-    both on bounded keys."""
+    both on bounded keys.
+
+    `blocking="deletion"` swaps the candidate generator for the
+    lossless deletion-neighborhood join (`deletion_keys` theorem) —
+    the escalation path when the plain block key hits the fixed-B wall
+    on a two-sided link, same trade as fuzzy_pairs vs
+    fuzzy_pairs_deletion: identical matches, sub-wall candidate mass,
+    172 blocking rows per record."""
     lid, rid = id_cols
     lname, rname = name_cols
     lblk, rblk = block_cols
-    cand = (
-        left.select(lid, F.col(lname).alias("_ln"), F.col(lblk).alias("_blk"))
-        .join(
-            right.select(
-                rid, F.col(rname).alias("_rn"), F.col(rblk).alias("_blk")
-            ),
-            "_blk",
+    if blocking not in ("block", "deletion"):
+        raise ValueError(
+            f"link_best_match: unknown blocking {blocking!r} "
+            "(expected 'block' or 'deletion')"
         )
-        .withColumn("edit_dist", F.levenshtein("_ln", "_rn", max_dist))
-        .filter(F.col("edit_dist") >= 0)
-    )
+    if blocking == "deletion":
+        n_par = left.sparkSession.sparkContext.defaultParallelism
+        kh = lambda name: F.explode(  # noqa: E731
+            F.transform(
+                deletion_keys(F.col(name), max_dist),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_kh")
+        lp = left.repartition(n_par).select(
+            lid, F.col(lname).alias("_ln"),
+            F.col(lblk).alias("_blk"), kh(lname),
+        )
+        rp = right.repartition(n_par).select(
+            rid, F.col(rname).alias("_rn"),
+            F.col(rblk).alias("_blk"), kh(rname),
+        )
+        cand = (
+            lp.join(rp, ["_blk", "_kh"])
+            .select(lid, "_ln", rid, "_rn")
+            .distinct()
+            .withColumn("edit_dist", F.levenshtein("_ln", "_rn", max_dist))
+            .filter(F.col("edit_dist") >= 0)
+        )
+    else:
+        cand = (
+            left.select(
+                lid, F.col(lname).alias("_ln"), F.col(lblk).alias("_blk")
+            )
+            .join(
+                right.select(
+                    rid, F.col(rname).alias("_rn"), F.col(rblk).alias("_blk")
+                ),
+                "_blk",
+            )
+            .withColumn("edit_dist", F.levenshtein("_ln", "_rn", max_dist))
+            .filter(F.col("edit_dist") >= 0)
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(lid).orderBy("edit_dist", rid)

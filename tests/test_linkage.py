@@ -214,3 +214,86 @@ def test_fuzzy_pairs_deletion_mass_tripwire(spark):
         df, "id", "name", "blk", max_block_pairs=10_000_000
     )
     assert out.count() == 30 * 29 // 2  # all-identical corpus
+
+
+def test_fuzzy_pairs_auto_routes_on_measured_mass(spark):
+    """Below the budget the plan is the plain blocked join (no
+    neighborhood Generate); above it the deletion arm (a Generate over
+    the 172-key explode). Both routes return the identical pair set —
+    the deletion arm is lossless — so only the plan changes."""
+    from core_telecoms_etl_spark.operators.linkage import fuzzy_pairs_auto
+
+    df = _people(spark)
+
+    def plan(out):
+        return (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+
+    small = fuzzy_pairs_auto(df, "id", "name", "state")
+    assert "Generate" not in plan(small)  # plain arm: no explode
+    forced = fuzzy_pairs_auto(
+        df, "id", "name", "state", exact_mass_budget=0
+    )
+    assert "Generate" in plan(forced)  # deletion arm: 172-key explode
+    assert {(r.id_a, r.id_b) for r in small.collect()} == {
+        (r.id_a, r.id_b) for r in forced.collect()
+    }
+
+
+def test_link_best_match_deletion_blocking_matches_plain(spark):
+    """The deletion-blocked two-sided link must attach the SAME best
+    match as the plain block join (lossless candidates + identical
+    tie-break), including for a shift-pair name the block key alone
+    would also pair (same block) — only the candidate generator
+    differs."""
+    from core_telecoms_etl_spark.operators.linkage import link_best_match
+
+    left = spark.createDataFrame(
+        [(1, "jon smith", "NY"), (2, "jane smyth", "NY"),
+         (3, "123456789", "NY")],
+        "lid long, lname string, lstate string",
+    )
+    right = spark.createDataFrame(
+        [(10, "john smith", "NY"), (11, "jane smith", "NY"),
+         (12, "234567891", "NY"), (13, "unrelated name", "NY")],
+        "rid long, rname string, rstate string",
+    )
+    args = (left, right, ("lid", "rid"), ("lname", "rname"),
+            ("lstate", "rstate"))
+    plain = {
+        (r.lid, r.rid, r.edit_dist)
+        for r in link_best_match(*args, max_dist=2).collect()
+    }
+    deletion = {
+        (r.lid, r.rid, r.edit_dist)
+        for r in link_best_match(
+            *args, max_dist=2, blocking="deletion"
+        ).collect()
+    }
+    assert (3, 12, 2) in plain  # the shift pair is really in play
+    assert deletion == plain
+
+
+def test_fuzzy_pairs_deletion_tripwire_pins_neighborhood(spark):
+    """With max_block_pairs set, the guard's .first() materializes the
+    172-way neighborhood build — the operator must pin it (scoped
+    slot) so the candidate join reads the cache instead of rebuilding
+    the dominant pre-join stage (the incremental_dedup r13 ADVICE
+    class)."""
+    from core_telecoms_etl_spark import caching
+    from core_telecoms_etl_spark.operators.linkage import (
+        fuzzy_pairs_deletion,
+    )
+
+    caching.release_caches()
+    out = fuzzy_pairs_deletion(
+        _people(spark), "id", "name", "state",
+        max_block_pairs=10_000_000,
+    )
+    pinned = caching._SCOPED_CACHES.get("linkage.deletion.proj")
+    assert pinned is not None
+    lvl = pinned.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    assert out.count() > 0
+    caching.release_caches()
