@@ -40,12 +40,15 @@ pigeonhole argument is unchanged for SUBSTITUTIONS (≤k substituted
 positions touch ≤k residue classes, so one projection is untouched),
 and every projection samples the high-entropy tail digits, so block
 values stay selective no matter where the entropy sits in the string.
-The trade: an insertion+deletion pair shifts a middle run, which can
-touch every residue class — equal-length "shift" pairs (delete a
-leading zero, append a digit) can be missed. Substitution-dominated
-recall is exact by construction; total recall is MEASURED against the
-exact arm and carried as a flag (the ANN family's contract), not
-assumed.
+The trade: ANY insertion or deletion misaligns the residue classes
+past the edit point — a single-insert pair ("jon smith" vs
+"john smith", lev=1), a head deletion, and the equal-length
+shift pairs (delete a leading zero, append a digit) can all be
+missed. Only pure-SUBSTITUTION recall is exact by construction;
+total recall is MEASURED against the exact arm and carried as a flag
+(the ANN family's contract), not assumed. When length-changing edits
+matter — they usually do for human-typed names — use
+`fuzzy_pairs_deletion`, which is lossless for every edit mix.
 """
 
 from __future__ import annotations
@@ -346,9 +349,14 @@ def fuzzy_pairs_segmented(
     projection values), so per-block mass stays bounded where the base
     block alone walls out. Measured on the sequential-name corpus at
     the sf10 decade: the nation block admits 4.5e10 comparisons, the
-    compound key ~1e9 — with identical verified output up to the
-    shift-pair recall caveat (module docstring), which the declared
-    query measures and flags.
+    compound key ~1e9.
+
+    RECALL CONTRACT (module docstring): exact ONLY for
+    pure-substitution pairs; any insertion/deletion (length-changing
+    OR equal-length shift) can be missed — measured 94.4% total recall
+    at sf0.01 on the fixed-length corpus, whose misses are all shift
+    pairs. This arm is the cheap screen; `fuzzy_pairs_deletion` is the
+    lossless production path and the declared query.
 
     `max_block_pairs` guards the compound key's own collision mass
     (Σ over compound blocks of C(n,2), multiplicity across the s
@@ -435,8 +443,10 @@ def fuzzy_pairs_auto(
     indifference point with a safety margin on the wall side. Both
     routes return the identical pair set (the deletion arm is lossless
     — `deletion_keys` theorem), so routing never changes results, only
-    the plan; `max_block_pairs` passes through to the deletion arm as
-    its own collapse guard."""
+    the plan; `max_block_pairs` passes through to BOTH routes (the
+    plain arm's fixed-B tripwire, the deletion arm's collapse guard) —
+    the caller's budget contract holds whichever way the router
+    goes."""
     row = (
         df.groupBy(F.col(block_col).alias("_blk"))
         .agg(F.count("*").alias("_n"))
@@ -452,6 +462,7 @@ def fuzzy_pairs_auto(
         return fuzzy_pairs(
             df, id_col, name_col, block_col,
             max_dist=max_dist, normalize=normalize,
+            max_block_pairs=max_block_pairs,
         )
     return fuzzy_pairs_deletion(
         df, id_col, name_col, block_col,

@@ -81,7 +81,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- feature_scaling: double combos per ADVICE r13;
     # ---- corpus_incremental_dedup: banded-relation pin;
     # ---- stream_cms_heavy_hitters: empty-feed degeneracy;
-    # ---- stream_stateful: max_state_rows runner; fuzzy_linkage:
+    # ---- stream_stateful: max_state_rows runner; vector_topk_ivf/
+    # ---- vector_topk_lsh/knn_classify_ivf/auto_topk_route: the
+    # ---- _recall_vs_exact score-recall rewrite; fuzzy_linkage:
     # ---- operator-module tripwire refactor — also in (2));
     # ---- (2) ALL 37 r9-last-green rows (the ascending-last-green
     # ---- tail's oldest stratum — they reach the 5-round staleness
@@ -134,12 +136,16 @@ _CHECK_ORDER: tuple[str, ...] = (
     "window_rank_funcs",  # green r9
     "ab_test_stats",  # green r10
     "activity_streaks",  # green r10
+    "vector_topk_ivf",  # green r12, changed r14 (score recall)
+    "vector_topk_lsh",  # green r12, changed r14 (score recall)
+    "knn_classify_ivf",  # green r12, changed r14 (score recall)
+    "auto_topk_route",  # green r13, changed r14 (score recall)
     "anti_join",  # green r10
+    # ---- end of the 50-slot r14 window ----------------------------------
     "benford_profile",  # green r10
     "cms_heavy_hitters",  # green r10
     "completeness_gaps",  # green r10
     "containment_near_dup",  # green r10
-    # ---- end of the 50-slot r14 window ----------------------------------
     "events_tumbling",  # green r10
     "exists_subquery",  # green r10
     "groupby_agg",  # green r10
@@ -218,7 +224,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "json_scan",  # green r12
     "key_skew_profile",  # green r12
     "knn_classify",  # green r12
-    "knn_classify_ivf",  # green r12
     "left_outer_join",  # green r12
     "min_cost_supplier",  # green r12
     "multimodal_meta",  # green r12
@@ -244,8 +249,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "top_k",  # green r12
     "upsert",  # green r12
     "vector_topk",  # green r12
-    "vector_topk_ivf",  # green r12
-    "vector_topk_lsh",  # green r12
     "waiting_orders_suppliers",  # green r12
     "window_lag",  # green r12
     "window_rank",  # green r12
@@ -254,7 +257,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "window_value_funcs",  # green r12
     "approx_count_distinct",  # green r13
     "approx_quantiles",  # green r13
-    "auto_topk_route",  # green r13
     "bootstrap_ci",  # green r13
     "bootstrap_ci_partials",  # green r13
     "copurchase_pairs",  # green r13

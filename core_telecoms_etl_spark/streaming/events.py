@@ -354,15 +354,25 @@ def run_stream_stateful(
     tripped: dict = {}
 
     def _watch():
+        # poll lastProgress (ONE py4j fetch per tick), not the full
+        # recentProgress history — re-parsing up to 100 retained
+        # progress payloads every 50 ms would contend with batch
+        # planning on the driver for the stream's lifetime. A batch
+        # the sampler skips over is still caught by the full-history
+        # scan after processAllAvailable returns; the mid-run stop is
+        # best-effort, the raise is not.
         while not stop_poll.is_set():
-            v = first_state_bound_violation(q, max_state_rows)
-            if v is not None:
-                tripped["v"] = v
-                try:
-                    q.stop()  # halt further batches; raised below
-                except Exception:
-                    pass
-                return
+            p = q.lastProgress
+            if p is not None:
+                for so in p.get("stateOperators") or []:
+                    total = int(so.get("numRowsTotal") or 0)
+                    if total > max_state_rows:
+                        tripped["v"] = (p.get("batchId"), total)
+                        try:
+                            q.stop()  # halt further batches
+                        except Exception:
+                            pass
+                        return
             stop_poll.wait(0.05)
 
     watcher = None
@@ -389,9 +399,12 @@ def run_stream_stateful(
             watcher.join()
         q.stop()
     if max_state_rows is not None:
-        v = tripped.get("v") or first_state_bound_violation(
+        # full-history scan FIRST: the sampler may have tripped on a
+        # later batch than the first violation — the raise names the
+        # earliest over-cap batch
+        v = first_state_bound_violation(
             q, max_state_rows
-        )
+        ) or tripped.get("v")
         if v is not None:
             _raise_state_bound(v, max_state_rows)
     return spark.table(query_name)

@@ -169,8 +169,11 @@ def test_fuzzy_pairs_deletion_is_lossless(spark):
 def test_fuzzy_pairs_segmented_catches_substitution_pairs(spark):
     """The modular-projection arm's pigeonhole contract: every
     ≤2-SUBSTITUTION pair is found (≤2 substituted positions touch ≤2
-    residue classes, so one projection is untouched); the shift class
-    is the documented recall caveat — measured, not silently lost."""
+    residue classes, so one projection is untouched). ANY
+    insertion/deletion — length-changing or equal-length shift —
+    misaligns the residues past the edit point and CAN be missed:
+    that is the documented recall caveat (measured, not silently
+    lost; fuzzy_pairs_deletion is the lossless arm)."""
     from core_telecoms_etl_spark.operators.linkage import (
         fuzzy_pairs_segmented,
     )
@@ -181,7 +184,9 @@ def test_fuzzy_pairs_segmented_catches_substitution_pairs(spark):
         (3, "Xbcdefghi", "NY"),  # 1 sub, head
         (4, "aXcdefgXi", "NY"),  # 2 subs, residues 1 and 1
         (5, "123456789", "NY"),
-        (6, "234567891", "NY"),  # shift pair: the documented miss
+        (6, "234567891", "NY"),  # equal-length shift: documented miss
+        (7, "jon smith", "NY"),
+        (8, "john smith", "NY"),  # single INSERT: also documented miss
     ]
     df = spark.createDataFrame(rows, "id long, name string, state string")
     got = {
@@ -192,6 +197,8 @@ def test_fuzzy_pairs_segmented_catches_substitution_pairs(spark):
     }
     assert {(1, 2), (1, 3), (1, 4)} <= got
     assert (5, 6) not in got  # the shift class is the known trade
+    assert (7, 8) not in got  # length-changing edits too — use the
+    #                           deletion arm when those matter
 
 
 def test_fuzzy_pairs_deletion_mass_tripwire(spark):

@@ -207,13 +207,18 @@ def test_stateful_max_state_rows_trips_on_second_batch(spark, tmp_path):
             for u in users
             for k in range(2)
         ]
+        # snapshot BEFORE the write so exactly the new part files get
+        # retimed (an mtime-threshold test never fires for later
+        # slices — their `when` is in the future relative to the
+        # files' real write time)
+        before = set(os.listdir(dir_)) if os.path.isdir(dir_) else set()
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(dir_)
         # mtime = replay order (the file source processes oldest first)
-        for f in os.listdir(dir_):
-            p = os.path.join(dir_, f)
-            if f.startswith("part-") and os.path.getmtime(p) > when - 1:
+        for f in set(os.listdir(dir_)) - before:
+            if f.startswith("part-"):
+                p = os.path.join(dir_, f)
                 os.utime(p, (when, when))
 
     t0 = time.time()

@@ -320,15 +320,21 @@ def stage_churn_corpus(
         )
         t_min = df.agg(F.min("ts")).collect()[0][0]  # 1-row scalar
         day = F.datediff(F.col("ts"), F.lit(t_min))
+        # stride = actives_per_day: day d owns ids [d·A, (d+1)·A) —
+        # collision-free for ANY actives_per_day (a fixed 100k stride
+        # would silently alias users across days above it and fake the
+        # sliding-set property this corpus exists to provide)
         churned = df.withColumn(
             "user_id",
-            (day * 100_000 + F.col("user_id") % actives_per_day).cast(
-                "long"
-            ),
+            (
+                day * actives_per_day + F.col("user_id") % actives_per_day
+            ).cast("long"),
         )
         churned.repartition(8).write.mode("overwrite").parquet(stage)
 
-    return build_once(f"ctes_churn_{actives_per_day}_{fp}", _build)
+    # "churn2": the remap formula is part of the corpus identity — a
+    # formula change must not reuse a dir built under the old one
+    return build_once(f"ctes_churn2_{actives_per_day}_{fp}", _build)
 
 
 def probe_stateful_churn(spark, stage_dir: str, schema) -> dict:
