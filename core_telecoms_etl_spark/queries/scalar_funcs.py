@@ -23,7 +23,9 @@ from core_telecoms_etl_spark.sources.readers import load_table
                      ltrim('  ' || c_name)                         AS lefttrimmed,
                      upper(c_name)                                 AS name_upper,
                      lower(c_mktsegment)                           AS segment_lower,
-                     split_part(c_name, '#', 2)                    AS name_num,
+                     CASE WHEN c_name IS NOT NULL
+                          THEN split_part(c_name, '#', 2)
+                     END                                           AS name_num,
                      CAST(length(c_name) AS BIGINT)                AS name_len,
                      substr(c_name, 1, 8)                          AS name_prefix,
                      regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS seg_consonants,
@@ -36,7 +38,14 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion (ref: identifier upper-casing, plugins/snowflake_load.py:
     152-154), split/substring/regexp/concat (ref: key rsplit + basename
     rewrites, plugins/s3_copy.py:97, plugins/transform.py:159). One scan,
-    one codegen stage."""
+    one codegen stage.
+
+    NULL mirror (r14, NULL-name corpus): DuckDB's split_part is
+    NULL-SWALLOWING — split_part(NULL, '#', 2) = '' (same as its
+    out-of-bounds convention) where Spark's propagates NULL; the
+    oracle's CASE pins Spark's NULL-in→NULL-out, the saner contract.
+    Every other function here propagates identically on both
+    engines."""
     c = load_table(spark, sf_dir, "customer")
     padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
     return c.select(

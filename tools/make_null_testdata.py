@@ -26,7 +26,10 @@ PLANS = {
     "lineitem": ("l_orderkey*10+l_linenumber", ["l_shipdate", "l_discount"]),
     "orders": ("o_orderkey", ["o_orderpriority"]),
     "documents": ("doc_id", ["text", "lang"]),
-    "customer": ("c_custkey", ["c_mktsegment"]),
+    # c_name added r14: the linkage family (fuzzy_pairs*, levenshtein
+    # verify, deletion neighborhoods) had ZERO NULL-name differential
+    # coverage — every corpus kept names non-null
+    "customer": ("c_custkey", ["c_mktsegment", "c_name"]),
 }
 COPY_ONLY = ["region", "nation", "supplier", "part", "embeddings"]
 
