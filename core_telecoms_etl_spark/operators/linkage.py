@@ -352,11 +352,16 @@ def fuzzy_pairs_segmented(
     compound key ~1e9.
 
     RECALL CONTRACT (module docstring): exact ONLY for
-    pure-substitution pairs; any insertion/deletion (length-changing
-    OR equal-length shift) can be missed — measured 94.4% total recall
-    at sf0.01 on the fixed-length corpus, whose misses are all shift
-    pairs. This arm is the cheap screen; `fuzzy_pairs_deletion` is the
-    lossless production path and the declared query.
+    pure-substitution pairs — at every length, including names shorter
+    than max_dist+1, which ride the constant short-class fallback key
+    below (r14 ADVICE: without it the pigeonhole has fewer than s
+    residue classes to spare and the claim silently failed for short
+    names; empty names never paired at all). Any insertion/deletion
+    (length-changing OR equal-length shift) can still be missed —
+    measured 94.4% total recall at sf0.01 on the fixed-length corpus,
+    whose misses are all shift pairs. This arm is the cheap screen;
+    `fuzzy_pairs_deletion` is the lossless production path and the
+    declared query.
 
     `max_block_pairs` guards the compound key's own collision mass
     (Σ over compound blocks of C(n,2), multiplicity across the s
@@ -368,12 +373,30 @@ def fuzzy_pairs_segmented(
     # rebalance before the projection explode (see fuzzy_pairs_deletion)
     n_par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_par)
+    # Fallback blocking row for names SHORTER than s = max_dist+1
+    # (r14 ADVICE): residue classes past the string length yield NULL
+    # segments, so a length-≤max_dist name can have EVERY surviving
+    # projection touched by substitutions (pigeonhole needs s classes)
+    # and empty names emit no key at all — even identical ones never
+    # paired. Any two names of length ≤ max_dist are trivially within
+    # max_dist substitutions of each other, so one constant key
+    # (_seg_i = s, disjoint from the real projections by index) blocks
+    # the whole short class together per base block; the exact verify
+    # decides. Short names are rare by definition, so the C(n,2) mass
+    # this admits is negligible — and the pure-substitution exactness
+    # claim now holds at EVERY length (equal-length short pairs share
+    # the fallback; a short/long pair can't be pure-substitution).
+    # NULL names still fall out: length(NULL) < s is NULL → no row.
+    fallback = F.when(F.length(name) < s, F.lit(""))
     proj = df.select(
         F.col(id_col).alias("_id"),
         name.alias("_name"),
         F.col(block_col).alias("_blk0"),
         F.posexplode(
-            F.array(*[modular_segment(name, i, s) for i in range(s)])
+            F.array(
+                *[modular_segment(name, i, s) for i in range(s)],
+                fallback,
+            )
         ).alias("_seg_i", "_seg"),
     ).filter(F.col("_seg").isNotNull())
     if max_block_pairs is not None:
@@ -446,7 +469,21 @@ def fuzzy_pairs_auto(
     the plan; `max_block_pairs` passes through to BOTH routes (the
     plain arm's fixed-B tripwire, the deletion arm's collapse guard) —
     the caller's budget contract holds whichever way the router
-    goes."""
+    goes.
+
+    max_dist > 2 always takes the plain arm: the deletion route only
+    supports k ∈ {1, 2} (`deletion_keys` raises — |neighborhood| is
+    O(L^k)), and routing into a ValueError above the mass budget would
+    make the router's BEHAVIOR depend on measured mass for the same
+    arguments (r14 ADVICE). The plain arm still carries the caller's
+    `max_block_pairs` tripwire, so an over-mass run fails loud with
+    the measured count, not a k-constraint error."""
+    if max_dist > 2:
+        return fuzzy_pairs(
+            df, id_col, name_col, block_col,
+            max_dist=max_dist, normalize=normalize,
+            max_block_pairs=max_block_pairs,
+        )
     row = (
         df.groupBy(F.col(block_col).alias("_blk"))
         .agg(F.count("*").alias("_n"))

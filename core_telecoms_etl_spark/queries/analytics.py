@@ -281,6 +281,72 @@ def fuzzy_linkage_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "best_match_links",
+    oracle="""WITH cand AS (
+                SELECT a.c_custkey AS cust_id, a.c_name AS left_name,
+                       b.c_custkey AS master_id, b.c_name AS right_name,
+                       levenshtein(a.c_name, b.c_name) AS ed
+                FROM customer a JOIN customer b
+                  ON a.c_nationkey = b.c_nationkey
+                WHERE a.c_custkey % 2 = 1 AND b.c_custkey % 2 = 0
+                  AND levenshtein(a.c_name, b.c_name) <= 2),
+              ranked AS (
+                SELECT cust_id, left_name, master_id, right_name, ed,
+                       row_number() OVER (PARTITION BY cust_id
+                                          ORDER BY ed, master_id) AS rn
+                FROM cand)
+              SELECT cust_id, left_name, master_id, right_name,
+                     CAST(ed AS BIGINT) AS edit_dist
+              FROM ranked WHERE rn = 1""",
+)
+def best_match_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution readout: attach each record to its single best
+    fuzzy match in a master list (lowest edit distance, ties to the
+    smallest master id) — `operators/linkage.link_best_match`, promoted
+    from pytest-only per the r14 verdict. Odd-custkey customers link
+    against the even-custkey "master" side within the nation block.
+
+    Runs the `blocking="deletion"` arm, so the oracle — the exact
+    unblocked-within-nation best-match SQL — gates the two-sided
+    losslessness claim itself: every ≤2-edit candidate must survive
+    the (nation, deletion-key-hash) equi-join on BOTH sides
+    (`deletion_keys` theorem), then one window min per left id. Two
+    bounded shuffles (compound-key join + per-left-id window); the
+    same sub-wall candidate mass as `fuzzy_linkage_compound` at the
+    sf10 decade. Tie-break is total (edit_dist, master_id), so the
+    kept row is engine-unambiguous."""
+    from core_telecoms_etl_spark.operators.linkage import link_best_match
+
+    c = load_table(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_nationkey").alias("cust_nation"),
+    )
+    right = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("master_id"),
+        F.col("c_name").alias("master_name"),
+        F.col("c_nationkey").alias("master_nation"),
+    )
+    out = link_best_match(
+        left,
+        right,
+        ("cust_id", "master_id"),
+        ("cust_name", "master_name"),
+        ("cust_nation", "master_nation"),
+        max_dist=2,
+        blocking="deletion",
+    )
+    return out.select(
+        "cust_id",
+        "left_name",
+        "master_id",
+        "right_name",
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+    )
+
+
+@query(
     "scd2_history",
     oracle="""SELECT user_id, event_id, value, ts AS valid_from,
                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -1163,9 +1229,11 @@ def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT event_type,
                        min(value) AS mn, max(value) AS mx,
                        CAST(count(*) AS BIGINT) AS n,
-                       sum(CAST(round(value * 100) AS BIGINT)) AS s,
-                       sum(CAST(round(value * 100) AS BIGINT)
-                           * CAST(round(value * 100) AS BIGINT)) AS ss
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS s,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)
+                                * CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS ss
                 FROM events GROUP BY event_type),
               st2 AS (
                 SELECT event_type, mn, mx, n,
@@ -1211,8 +1279,16 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn ≈ 4e20) could diverge at the ulp and flip the hash gate on the
     raw zscore column. BIGINT→DOUBLE is correctly rounded on BOTH
     engines, and identical double expression trees over identical
-    inputs are bit-equal at every scale; the BIGINT sums themselves
-    stay below 2⁵³ to ~10¹²-row groups at these cent grids.
+    inputs are bit-equal at every scale. The oracle's st CTE wraps
+    both sums in CAST(... AS BIGINT) so DuckDB's HUGEINT accumulator
+    is narrowed to 64 bits BEFORE the double conversion — both
+    engines then run the identical BIGINT→DOUBLE (r14 ADVICE: an
+    exposed HUGEINT re-introduces the two-rounding path even when the
+    value fits). The mirror contract holds only while the sums stay
+    below 2⁵³: at these cent grids (|x·100| ≲ 1e5, so x² terms
+    ≲ 1e10) that is ~10⁵–10⁶ rows per group — past that,
+    re-anchor the oracle on the exact integer accumulators (compare
+    s/ss directly), not the raw double zscore.
     Degenerate groups (constant value, n=1) yield NULL via the
     mirrored magnitude-relative guard vn > 1e-12·n·Σx² (double
     cancellation noise ~5e-16·n·Σx² — three decades of margin each

@@ -293,13 +293,76 @@ def first_state_bound_violation(q, max_state_rows: int):
     """First micro-batch whose state store exceeded the cap, as
     (batch_id, num_rows_total), or None. Reads the query's
     StreamingQueryProgress history (driver-side metrics — no job);
-    usable against any state-bearing streaming query."""
+    usable against any state-bearing streaming query.
+
+    RETENTION CAVEAT (r14 ADVICE): `recentProgress` keeps only the
+    last `spark.sql.streaming.numRecentProgressUpdates` payloads
+    (default 100). On a long run where state can SHRINK (idle_timeout
+    eviction), a transient early violation can age out of this buffer
+    and be missed here. `run_stream_stateful` therefore supplements
+    this scan with `_StateBoundListener`, which observes EVERY
+    progress event through the listener bus with no retention bound —
+    this function remains the dependency-free post-hoc check for
+    replayed histories (tools/stream_state_probe.py)."""
     for p in q.recentProgress:
         for so in p.get("stateOperators") or []:
             total = int(so.get("numRowsTotal") or 0)
             if total > max_state_rows:
                 return p.get("batchId"), total
     return None
+
+
+class _StateBoundListener:
+    """StreamingQueryListener recording every over-cap micro-batch —
+    append-only, so unlike the bounded `recentProgress` buffer the
+    EARLIEST violating batch is guaranteed retained no matter how long
+    the run (r14 ADVICE). Registered only while the guarded query
+    runs; events carry the query id, so concurrent queries on the
+    same session don't cross-contaminate (filtered at read time —
+    progress events can land before the caller learns its query id).
+    Implemented as a lazy subclass factory because importing
+    StreamingQueryListener at module load would bind a JVM-backed
+    class before any session exists."""
+
+    def __new__(cls, max_state_rows: int):
+        import threading
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Impl(StreamingQueryListener):
+            def __init__(self):
+                super().__init__()
+                self.max_state_rows = max_state_rows
+                self.violations: list[tuple[str, int, int]] = []
+                self.terminated = threading.Event()
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                for so in p.stateOperators:
+                    total = int(so.numRowsTotal or 0)
+                    if total > self.max_state_rows:
+                        self.violations.append(
+                            (str(p.id), int(p.batchId), total)
+                        )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                self.terminated.set()
+
+            def earliest(self, query_id) -> tuple[int, int] | None:
+                hits = [
+                    (b, t)
+                    for (qid, b, t) in self.violations
+                    if qid == str(query_id)
+                ]
+                return min(hits) if hits else None
+
+        return _Impl()
 
 
 def _raise_state_bound(violation, max_state_rows: int) -> None:
@@ -344,6 +407,12 @@ def run_stream_stateful(
         spark, path, max_files_per_trigger=max_files_per_trigger
     )
     out = stateful_user_totals(stream, idle_timeout_ms=idle_timeout_ms)
+    # register BEFORE start so no progress event predates the listener
+    # (earliest-batch guarantee; see _StateBoundListener)
+    listener = None
+    if max_state_rows is not None:
+        listener = _StateBoundListener(max_state_rows)
+        spark.streams.addListener(listener)
     q = (
         out.writeStream.outputMode("update")
         .format("memory")
@@ -390,6 +459,7 @@ def run_stream_stateful(
                 raise
             if (
                 tripped.get("v")
+                or listener.violations
                 or first_state_bound_violation(q, max_state_rows)
             ) is None:
                 raise
@@ -398,15 +468,29 @@ def run_stream_stateful(
         if watcher is not None:
             watcher.join()
         q.stop()
+        if listener is not None:
+            # listener bus delivery is asynchronous — wait for the
+            # terminated event (bounded) so late progress payloads
+            # land before the earliest-violation read, then detach
+            listener.terminated.wait(10.0)
+            spark.streams.removeListener(listener)
     if max_state_rows is not None:
-        # full-history scan FIRST: the sampler may have tripped on a
-        # later batch than the first violation — the raise names the
-        # earliest over-cap batch
-        v = first_state_bound_violation(
-            q, max_state_rows
-        ) or tripped.get("v")
-        if v is not None:
-            _raise_state_bound(v, max_state_rows)
+        # earliest over-cap batch across ALL observers: the listener's
+        # append-only record (survives recentProgress eviction — the
+        # authoritative source), the bounded recentProgress scan, and
+        # the mid-run sampler trip; min by batch id so the raise names
+        # the FIRST violation, not merely the one the sampler caught
+        hits = [
+            v
+            for v in (
+                listener.earliest(q.id),
+                first_state_bound_violation(q, max_state_rows),
+                tripped.get("v"),
+            )
+            if v is not None
+        ]
+        if hits:
+            _raise_state_bound(min(hits), max_state_rows)
     return spark.table(query_name)
 
 

@@ -304,3 +304,70 @@ def test_fuzzy_pairs_deletion_tripwire_pins_neighborhood(spark):
     assert lvl.useMemory or lvl.useDisk
     assert out.count() > 0
     caching.release_caches()
+
+
+def test_fuzzy_pairs_segmented_short_name_fallback(spark):
+    """Names shorter than max_dist+1 break the pigeonhole (fewer
+    residue classes than edits to spare) and empty names emit no
+    projection at all — the r14 ADVICE gap. The constant short-class
+    fallback key (_seg_i = s) restores the pure-substitution contract
+    at every length: identical empty names pair at lev 0, a 2-char
+    fully-substituted pair is found at max_dist=2, and long names
+    never ride the fallback."""
+    from core_telecoms_etl_spark.operators.linkage import (
+        fuzzy_pairs_segmented,
+    )
+
+    rows = [
+        (1, "", "NY"),
+        (2, "", "NY"),           # identical empties: lev 0
+        (3, "ab", "NY"),
+        (4, "xy", "NY"),         # both chars substituted: lev 2
+        (5, "ab", "NY"),         # exact short duplicate of 3
+        (10, "abcdefghi", "NY"),
+        (11, "abcdefghX", "NY"),  # normal projection path still works
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, state string")
+    out = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in fuzzy_pairs_segmented(
+            df, "id", "name", "state", max_dist=2
+        ).collect()
+    }
+    assert out[(1, 2)] == 0
+    assert out[(3, 4)] == 2
+    assert out[(3, 5)] == 0
+    assert (10, 11) in out
+    # short/long pairs are not pure-substitution (lengths differ) and
+    # stay outside the contract; the fallback must not cross lengths
+    # past max_dist — nothing pairs "" with the 9-char names
+    assert not any(a in (1, 2) and b in (10, 11) for a, b in out)
+
+
+def test_fuzzy_pairs_auto_max_dist3_always_plain(spark):
+    """max_dist > 2 exceeds the deletion arm's k support — the router
+    must take the plain arm on BOTH sides of the mass budget (r14
+    ADVICE: routing into a 'k must be 1 or 2' ValueError above the
+    budget made behavior depend on measured mass for the same
+    arguments), with identical results."""
+    from core_telecoms_etl_spark.operators.linkage import fuzzy_pairs_auto
+
+    rows = [
+        (1, "abcdefghi", "NY"),
+        (2, "abcXeXgXi", "NY"),  # 3 substitutions: lev 3
+        (3, "unrelated string!", "NY"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, state string")
+
+    def plan(out):
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    below = fuzzy_pairs_auto(df, "id", "name", "state", max_dist=3)
+    above = fuzzy_pairs_auto(
+        df, "id", "name", "state", max_dist=3, exact_mass_budget=0
+    )
+    assert "Generate" not in plan(below)
+    assert "Generate" not in plan(above)  # NOT the deletion explode
+    got_b = {(r.id_a, r.id_b, r.edit_dist) for r in below.collect()}
+    got_a = {(r.id_a, r.id_b, r.edit_dist) for r in above.collect()}
+    assert got_b == got_a == {(1, 2, 3)}

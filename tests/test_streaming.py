@@ -574,3 +574,41 @@ def test_staged_key_slices_shared_and_disjoint(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_state_bound_listener_earliest_survives_retention():
+    """The r14 ADVICE gap: recentProgress retains only the last
+    `numRecentProgressUpdates` (default 100) payloads, so on a long run
+    with shrinking state a transient EARLY violation could age out and
+    the raise would name a later batch (or nothing). The listener's
+    record is append-only: feed 300 progress events where batch 5
+    violates, then 250 under-cap batches, then batch 290 violates —
+    earliest() must still name batch 5. Events from a different query
+    id are filtered at read time."""
+    from core_telecoms_etl_spark.streaming.events import (
+        _StateBoundListener,
+    )
+
+    class _SO:
+        def __init__(self, n):
+            self.numRowsTotal = n
+
+    class _P:
+        def __init__(self, qid, batch, n):
+            self.id = qid
+            self.batchId = batch
+            self.stateOperators = [_SO(n)]
+
+    class _Ev:
+        def __init__(self, p):
+            self.progress = p
+
+    lst = _StateBoundListener(10)
+    lst.onQueryProgress(_Ev(_P("other-query", 1, 99)))  # foreign: ignored
+    for b in range(300):
+        n = 12 if b == 5 else (13 if b == 290 else 7)
+        lst.onQueryProgress(_Ev(_P("q-main", b, n)))
+    assert lst.earliest("q-main") == (5, 12)
+    assert lst.earliest("unseen-query") is None
+    lst.onQueryTerminated(object())
+    assert lst.terminated.is_set()
