@@ -81,6 +81,28 @@ def norm2_expr(a: Column | str) -> Column:
     )
 
 
+def conformant_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose vector can participate in cosine geometry: non-NULL,
+    non-empty, and free of NULL components. A 100 TB embedding table
+    always carries a few poisoned rows (failed encoder call → NULL,
+    truncated write → empty, partial decode → NULL component) and none
+    of the three has a cosine: NULL/NULL-component propagate NULL
+    through the dot fold, and an empty vector is the zero-norm pole the
+    scorers refuse loudly. Every similarity QUERY filters through this
+    one predicate (and mirrors it in its DuckDB oracle — the r15
+    NULL-corpus sweep found the whole vector family crashing or
+    diverging on these rows); the operators themselves keep their loud
+    posture (zero-norm raise, ragged-batch crash) so library callers
+    who skip the filter hear about it rather than silently losing
+    rows. JVM-side only — three codegen predicates, no Python."""
+    c = F.col(vec_col)
+    return df.filter(
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & ~F.exists(c, lambda x: x.isNull())
+    )
+
+
 def cosine_expr(a: Column | str, b: Column | str) -> Column:
     return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
 

@@ -1331,7 +1331,9 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""WITH w AS (
                 SELECT l_returnflag, l_extendedprice AS price,
                        sum(CAST(round(l_quantity) AS BIGINT)) AS wt
-                FROM lineitem GROUP BY 1, 2),
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                GROUP BY 1, 2),
               c AS (
                 SELECT l_returnflag, price, wt,
                        sum(wt) OVER (PARTITION BY l_returnflag
@@ -1355,8 +1357,17 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the per-(flag, price) aggregated relation — bounded by
     distinct prices per flag, not fact rows; at extreme price
     cardinality the same two-level range-bucketed prefix sum the KS
-    test uses applies unchanged."""
-    li = load_table(spark, sf_dir, "lineitem")
+    test uses applies unchanged.
+
+    NULL prices are excluded EXPLICITLY (r15 NULL corpus): a NULL
+    price is not a median candidate (the aggregate-ignores-NULL
+    convention every percentile follows), and leaving the NULL group
+    in the cumulative window diverges silently — Spark orders NULLS
+    FIRST ascending, DuckDB NULLS LAST, shifting every cumulative
+    weight and the selected median with it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     w = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("price")
     ).agg(

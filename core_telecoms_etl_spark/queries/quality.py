@@ -621,7 +621,18 @@ def order_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmp_df.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum((F.col("head_cents") != F.col("comp_cents")).cast("int"))
+            # when/otherwise, not a bare cast: a NULL head (or comp)
+            # makes the comparison NULL, which the oracle's CASE counts
+            # as 0 while sum-over-cast SKIPS — equal totals until a
+            # group is ALL null comparisons (the r15 tombstone rows
+            # made the NULL-priority group exactly that) and Spark
+            # returns NULL where DuckDB returns 0. A row with no
+            # header price is not a mismatch; it is unauditable.
+            F.sum(
+                F.when(
+                    F.col("head_cents") != F.col("comp_cents"), 1
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_mismatch"),
             F.max(F.abs(diff)).cast("long").alias("max_abs_diff_cents"),

@@ -183,18 +183,30 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""SELECT vec_id,
                      CAST(len(embedding) AS BIGINT) AS n_dims,
                      CAST(embedding[1] AS DOUBLE)   AS first_elem,
-                     round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4)
-                       AS vec_sum
+                     CASE WHEN embedding IS NULL THEN NULL
+                          ELSE round(list_reduce(
+                            list_prepend(0.0,
+                                         CAST(embedding AS DOUBLE[])),
+                            (a, b) -> a + b), 4)
+                     END AS vec_sum
               FROM embeddings""",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 — array ops on the embedding column (size / element access /
-    fold), all JVM-side higher-order functions."""
+    fold), all JVM-side higher-order functions. Pins the per-row array
+    NULL contract on the r15 tri-modal corpus: element access via
+    F.get (ANSI [0] RAISES on an empty array; get -> NULL matches
+    DuckDB's out-of-bounds NULL), and the oracle's sum is the
+    list_reduce fold mirror — DuckDB's list_aggregate 'sum' SKIPS NULL
+    components and yields NULL on empty lists, both opposite to
+    Spark's aggregate fold (NULL component poisons -> NULL; empty ->
+    the 0.0 init); the NULL-list CASE exists because DuckDB's
+    list_prepend(0.0, NULL) is [0.0], not NULL."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("n_dims"),
-        F.col("embedding")[0].cast("double").alias("first_elem"),
+        F.get("embedding", 0).cast("double").alias("first_elem"),
         F.round(
             F.aggregate(
                 "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")

@@ -19,6 +19,23 @@ from core_telecoms_etl_spark.sources.readers import load_table
 
 N_QUERY_VECS = 8
 
+# DuckDB mirror of sim.conformant_vectors: non-NULL, non-empty, no NULL
+# components (the r15 NULL-corpus contract — every similarity oracle
+# scopes to the same conformant relation its Spark query scores)
+_VOK = (
+    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+_EMB_OK = f"(SELECT * FROM embeddings WHERE {_VOK})"
+
+
+def _load_conformant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings relation every similarity query scores: the raw
+    table through `sim.conformant_vectors` (NULL / empty / NULL-element
+    vectors have no cosine; the per-row readouts embedding_norms /
+    vector_quantize instead keep all rows and pin the NULL contracts)."""
+    return sim.conformant_vectors(load_table(spark, sf_dir, "embeddings"))
+
 _DDOT = (
     "round(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])), 6)"
@@ -46,14 +63,26 @@ def _rounded_cosine_from_norms(a: str, b: str, n2_a: str, n2_b: str) -> F.Column
     "embedding_norms",
     oracle="""SELECT vec_id, label,
                      CAST(len(embedding) AS BIGINT) AS n_dims,
-                     sqrt(round(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                                 CAST(embedding AS DOUBLE[])), 6))
-                       AS l2_norm
+                     CASE WHEN embedding IS NULL THEN NULL
+                          ELSE sqrt(round(list_reduce(
+                            list_prepend(0.0,
+                              list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> x * x)),
+                            (a, b) -> a + b), 6))
+                     END AS l2_norm
               FROM embeddings""",
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norms — the array-fold building block of every
-    similarity op, verified exactly."""
+    similarity op, verified exactly. Deliberately UNFILTERED: this is
+    the query that pins the per-row NULL contract (NULL vector -> NULL
+    norm, empty vector -> 0.0, NULL component -> NULL), so the oracle
+    mirrors Spark's aggregate fold with list_reduce(list_prepend(0.0,
+    squares)) — DuckDB's list_aggregate 'sum' SKIPS NULL components
+    and returns NULL on empty lists, both opposite to the fold, and
+    list_dot_product outright raises on NULL components; the explicit
+    NULL-list CASE is needed because list_prepend(0.0, NULL) is [0.0]
+    in DuckDB, not NULL (r15 NULL-corpus findings)."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -65,11 +94,12 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vector_topk",
-    oracle=f"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    oracle=f"""WITH q AS (SELECT * FROM embeddings
+                          WHERE vec_id < {N_QUERY_VECS} AND {_VOK}),
                scored AS (
                  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                         {_DDOT} / sqrt({_DN('a')} * {_DN('b')}) AS cosine
-                 FROM q a JOIN embeddings b ON b.vec_id <> a.vec_id),
+                 FROM q a JOIN {_EMB_OK} b ON b.vec_id <> a.vec_id),
                ranked AS (
                  SELECT query_id, neighbor_id, cosine,
                         CAST(row_number() OVER (PARTITION BY query_id
@@ -85,7 +115,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     13× for 4× more vectors in the sf1 bench); the final 6dp display
     rounding stays a JVM projection, so output is bit-identical to the
     pre-r10 fold form (`_vector_topk_fold` equality pytest)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     topk = sim.brute_force_topk_arrow_rounded6(
         e, q, id_col="vec_id", vec_col="embedding", k=10
@@ -98,7 +128,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vector_topk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-r10 inline fold form of vector_topk — NOT registered;
     the verification baseline (tests/test_similarity.py)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
@@ -130,7 +160,7 @@ def _vector_topk_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine_pairs",
     oracle=f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                       round({_DDOT} / sqrt({_DN('a')} * {_DN('b')}), 6) AS cosine
-               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               FROM {_EMB_OK} a JOIN {_EMB_OK} b ON a.vec_id < b.vec_id
                WHERE {_DDOT} / sqrt({_DN('a')} * {_DN('b')}) >= 0.3""",
 )
 def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,7 +169,7 @@ def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring runs through the Arrow all-pairs scorer — the fold form
     measured 719 s at sf1 (8k vectors = 32M interpreted folds); output
     is bit-identical (`_cosine_pairs_fold` equality pytest)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     return sim.cosine_pairs_arrow_rounded6(
         e, id_col="vec_id", vec_col="embedding", threshold=0.3
     )
@@ -149,7 +179,7 @@ def _cosine_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-r10 declarative join form of cosine_pairs — NOT
     registered; the verification baseline the Arrow form is
     equality-pinned against (tests/test_similarity.py)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("v_a"),
@@ -214,7 +244,8 @@ def _recall_vs_exact(
 
 _RECALL_ORACLE = f"""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact,
                             CAST(1 AS BIGINT) AS recall_ok
-                     FROM embeddings WHERE vec_id < {N_QUERY_VECS}"""
+                     FROM embeddings
+                     WHERE vec_id < {N_QUERY_VECS} AND {_VOK}"""
 
 
 @query("vector_topk_ivf", oracle=_RECALL_ORACLE)
@@ -225,7 +256,7 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-plan exact top-k (floor 0.8; measured 0.9–1.0 on testdata) so the
     approximate path earns a deterministic oracle row; raw neighbor
     output + recall floors stay pytest-covered via sim.ivf_topk."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     approx = sim.ivf_topk(
         e, q, k=10, n_centroids=16, n_probe=6, kmeans_iters=2
@@ -238,7 +269,8 @@ _AUTO_ROUTE_ORACLE = f"""SELECT vec_id AS query_id,
                                 CAST(10 AS BIGINT) AS n_exact,
                                 CAST(1 AS BIGINT) AS recall_ok,
                                 'exact' AS route
-                         FROM embeddings WHERE vec_id < {N_QUERY_VECS}"""
+                         FROM embeddings
+                         WHERE vec_id < {N_QUERY_VECS} AND {_VOK}"""
 
 
 @query("auto_topk_route", oracle=_AUTO_ROUTE_ORACLE)
@@ -255,7 +287,7 @@ def auto_topk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by pytest on a synthesized clustered corpus."""
     from core_telecoms_etl_spark.queries import cache_scoped
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     routed = cache_scoped(
         "vector.auto_route", sim.auto_topk(e, q, k=10)
@@ -277,7 +309,7 @@ def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (floor 0.8; measured 0.9–1.0 on testdata — single-table recall
     bottoms at 0.3 on these near-uniform synthetic embeddings, the
     L-table union is what buys the margin)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     approx = sim.lsh_topk(
         e, q, k=10, n_bits=16, max_hamming=6, n_tables=4
@@ -288,12 +320,13 @@ def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TH = 0.4
 
-_SEMDEDUP_ORACLE = f"""SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+_SEMDEDUP_ORACLE = f"""SELECT (SELECT count(*) FROM embeddings
+                               WHERE {_VOK}) AS n_vectors,
                               count(*) AS n_global_pairs,
                               CAST(1 AS BIGINT) AS coverage_ok
                        FROM (
                          SELECT {_DDOT} / sqrt({_DN('a')} * {_DN('b')}) AS c
-                         FROM embeddings a JOIN embeddings b
+                         FROM {_EMB_OK} a JOIN {_EMB_OK} b
                            ON a.vec_id < b.vec_id)
                        WHERE c >= {_SEMDEDUP_TH}"""
 
@@ -310,7 +343,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1 at top-4 (top-2, the clustered-corpus default,
     bottoms at 0.60 on this data); the floor sits under every
     measurement. The kept-rows path itself is pytest-covered."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_conformant(spark, sf_dir)
     n_vectors = e.count()
     # exact global pair relation through the Arrow all-pairs scorer
     # (bit-identical to the declarative fold join — r10: the fold form
@@ -364,11 +397,16 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS scale
                 FROM embeddings)
               SELECT vec_id, label, scale,
-                     array_to_string(CASE WHEN scale = 0
-                          THEN list_transform(v, x -> CAST(0 AS BIGINT))
-                          ELSE list_transform(v,
-                            x -> CAST(floor(x / scale + 0.5) AS BIGINT))
-                     END, ',') AS qvec_csv,
+                     CASE WHEN v IS NULL THEN NULL
+                          ELSE coalesce(array_to_string(
+                            CASE WHEN scale = 0
+                                 THEN list_transform(v,
+                                   x -> CAST(0 AS BIGINT))
+                                 ELSE list_transform(v,
+                                   x -> CAST(floor(x / scale + 0.5)
+                                             AS BIGINT))
+                            END, ','), '')
+                     END AS qvec_csv,
                      CASE WHEN scale = 0
                           THEN list_max(list_transform(v, x -> abs(x)))
                           ELSE list_max(list_transform(v,
@@ -390,7 +428,14 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "scale",
-        F.concat_ws(",", F.col("qvec")).alias("qvec_csv"),
+        # concat_ws swallows a NULL ARRAY into '' (it skips NULL args),
+        # which silently conflates "no vector" with "zero-dim vector" —
+        # guard so NULL vector -> NULL csv, empty vector -> '' (the r15
+        # NULL-corpus contract; NULL COMPONENTS are skipped by both
+        # engines' joiners, also pinned by that sweep)
+        F.when(
+            F.col("qvec").isNotNull(), F.concat_ws(",", F.col("qvec"))
+        ).alias("qvec_csv"),
         "max_abs_err",
     )
 
@@ -399,10 +444,13 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_classify",
     oracle=f"""WITH q AS (
                  SELECT vec_id AS qid, embedding AS qv, label AS qlab
-                 FROM embeddings WHERE vec_id % 20 = 0),
+                 FROM embeddings
+                 WHERE vec_id % 20 = 0 AND {_VOK}
+                   AND label IS NOT NULL),
                c AS (
                  SELECT vec_id AS nid, embedding AS cv, label AS nlab
-                 FROM embeddings WHERE vec_id % 20 <> 0),
+                 FROM embeddings
+                 WHERE vec_id % 20 <> 0 AND {_VOK}),
                scored AS (
                  SELECT qid, qlab, nid, nlab,
                         round(list_dot_product(CAST(qv AS DOUBLE[]),
@@ -421,7 +469,7 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM scored) WHERE r <= 10),
                votes AS (
                  SELECT qid, qlab, nlab, count(*) AS cnt
-                 FROM topk GROUP BY 1, 2, 3),
+                 FROM topk WHERE nlab IS NOT NULL GROUP BY 1, 2, 3),
                win AS (
                  SELECT qid, qlab, nlab AS pred,
                         row_number() OVER (PARTITION BY qid
@@ -453,14 +501,24 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline fold form, pinned by `_knn_classify_fold` equality pytest).
     Per-batch interval-sound partial top-k keeps Python egress at
     ~batches×Q×k rows; swap the scorer for `ivf_topk`/`lsh_topk` at
-    corpus scale (same downstream vote)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 20 == 0)
+    corpus scale (same downstream vote).
+
+    NULL contract (r15): the whole readout scopes to conformant
+    vectors; graded queries need a true label (qlab NOT NULL — Spark's
+    pred == NULL is NULL where DuckDB's CASE falls to 0, so an
+    ungraded row can't be represented consistently), and NULL-labeled
+    neighbors are found but don't vote (filtered before the count;
+    DuckDB's NULL vote-group would win Spark's NULLS-FIRST tie-break
+    and lose DuckDB's NULLS-LAST one)."""
+    e = sim.conformant_vectors(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(
+        (F.col("vec_id") % 20 == 0) & F.col("label").isNotNull()
+    )
     c = e.filter(F.col("vec_id") % 20 != 0)
     topk = sim.brute_force_topk_arrow_rounded6(
         c, q, id_col="vec_id", vec_col="embedding", k=10
     )
-    labels = c.select(
+    labels = c.filter(F.col("label").isNotNull()).select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
     )
     pred = _majority_vote(topk, labels)
@@ -484,8 +542,10 @@ def _knn_classify_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered; kept as the declarative verification baseline the
     Arrow-scorer query is equality-pinned against
     (tests/test_similarity.py::test_knn_classify_arrow_matches_fold)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 20 == 0).select(
+    e = sim.conformant_vectors(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(
+        (F.col("vec_id") % 20 == 0) & F.col("label").isNotNull()
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlab"),
@@ -512,8 +572,10 @@ def _knn_classify_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 10)
         .select("qid", "qlab", "nlab")
     )
-    votes = topk.groupBy("qid", "qlab", "nlab").agg(
-        F.count("*").alias("cnt")
+    votes = (
+        topk.filter(F.col("nlab").isNotNull())
+        .groupBy("qid", "qlab", "nlab")
+        .agg(F.count("*").alias("cnt"))
     )
     wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), "nlab")
     return (
@@ -549,12 +611,13 @@ def _majority_vote(topk: DataFrame, labels: DataFrame) -> DataFrame:
 
 @query(
     "knn_classify_ivf",
-    oracle="""SELECT vec_id AS query_id,
+    oracle=f"""SELECT vec_id AS query_id,
                      CAST(label AS BIGINT) AS true_label,
                      CAST(10 AS BIGINT) AS n_exact,
                      CAST(1 AS BIGINT) AS recall_ok,
                      CAST(1 AS BIGINT) AS vote_agree_ok
-              FROM embeddings WHERE vec_id % 20 = 0
+              FROM embeddings
+              WHERE vec_id % 20 = 0 AND {_VOK} AND label IS NOT NULL
               ORDER BY 1""",
 )
 def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,8 +650,10 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation."""
     from core_telecoms_etl_spark.queries import cache_scoped
 
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 20 == 0)
+    e = sim.conformant_vectors(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(
+        (F.col("vec_id") % 20 == 0) & F.col("label").isNotNull()
+    )
     c = e.filter(F.col("vec_id") % 20 != 0)
     # both top-k relations are consumed twice (vote + recall flag) and
     # are bounded at |Q|·k rows — pin them so the scorers run once
@@ -599,7 +664,7 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cache_scoped(
         "vector.knn_ivf.exact", sim.brute_force_topk(c, q, k=10)
     )
-    labels = c.select(
+    labels = c.filter(F.col("label").isNotNull()).select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
     )
     pa = _majority_vote(approx, labels).withColumnRenamed("pred", "pa")

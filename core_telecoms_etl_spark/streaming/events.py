@@ -365,18 +365,130 @@ class _StateBoundListener:
         return _Impl()
 
 
-def _raise_state_bound(violation, max_state_rows: int) -> None:
+def _raise_state_bound(
+    violation, max_state_rows: int, what: str, hint: str
+) -> None:
     batch_id, total = violation
     raise RuntimeError(
-        "stateful_user_totals: the state store holds "
+        f"{what}: the state store holds "
         f"{total:,} rows at micro-batch {batch_id} "
-        f"(max_state_rows={max_state_rows:,}) — per-user state under "
-        "idle_timeout_ms=None grows O(distinct users) for the stream's "
-        "LIFETIME (measured saturating at exactly the user count at "
-        "sf10). Pass idle_timeout_ms (e.g. 30 days) so keys idle past "
-        "the TTL are evicted after a final flagged emit, or raise "
-        "max_state_rows."
+        f"(max_state_rows={max_state_rows:,}) — {hint}"
     )
+
+
+_STATEFUL_HINT = (
+    "per-user state under idle_timeout_ms=None grows O(distinct users) "
+    "for the stream's LIFETIME (measured saturating at exactly the user "
+    "count at sf10). Pass idle_timeout_ms (e.g. 30 days) so keys idle "
+    "past the TTL are evicted after a final flagged emit, or raise "
+    "max_state_rows."
+)
+
+
+class StateBoundGuard:
+    """Shared loud-posture state cap for the streaming runners (r15:
+    factored out of run_stream_stateful so the stream-stream interval
+    join carries the identical contract). Three observers, resolved to
+    the EARLIEST violating micro-batch:
+
+    - `_StateBoundListener` — append-only, survives recentProgress'
+      bounded retention; the authoritative record;
+    - a 50 ms lastProgress sampler that also STOPS the query mid-run
+      at the first observed violation (best-effort halt; the raise is
+      not best-effort);
+    - the post-run `first_state_bound_violation` recentProgress scan.
+
+    Every method is a no-op when max_state_rows is None."""
+
+    def __init__(
+        self, spark: SparkSession, max_state_rows: int | None,
+        *, what: str, hint: str,
+    ):
+        import threading
+
+        self.spark = spark
+        self.cap = max_state_rows
+        self.what = what
+        self.hint = hint
+        self.tripped: dict = {}
+        self._stop = threading.Event()
+        self._watcher = None
+        self.listener = None
+        if max_state_rows is not None:
+            # register BEFORE the caller starts the query so no
+            # progress event predates the listener
+            self.listener = _StateBoundListener(max_state_rows)
+            spark.streams.addListener(self.listener)
+
+    def watch(self, q) -> None:
+        import threading
+
+        if self.cap is None:
+            return
+
+        def _poll():
+            # ONE py4j fetch per tick (lastProgress), not the full
+            # recentProgress history — re-parsing up to 100 retained
+            # payloads every 50 ms would contend with batch planning
+            # on the driver for the stream's lifetime
+            while not self._stop.is_set():
+                p = q.lastProgress
+                if p is not None:
+                    for so in p.get("stateOperators") or []:
+                        total = int(so.get("numRowsTotal") or 0)
+                        if total > self.cap:
+                            self.tripped["v"] = (p.get("batchId"), total)
+                            try:
+                                q.stop()  # halt further batches
+                            except Exception:
+                                pass
+                            return
+                self._stop.wait(0.05)
+
+        self._watcher = threading.Thread(target=_poll, daemon=True)
+        self._watcher.start()
+
+    def saw_violation(self, q) -> bool:
+        """True iff any observer recorded an over-cap batch — the
+        watcher's mid-run stop() races processAllAvailable and can
+        surface as a query exception; callers swallow it only when
+        this is True (genuine failures re-raise)."""
+        if self.cap is None:
+            return False
+        return (
+            self.tripped.get("v")
+            or self.listener.violations
+            or first_state_bound_violation(q, self.cap)
+        ) is not None
+
+    def detach(self, q) -> None:
+        """Stop the sampler and unhook the listener (call AFTER
+        q.stop(): listener-bus delivery is asynchronous, so wait —
+        bounded — for the terminated event to flush late payloads)."""
+        self._stop.set()
+        if self._watcher is not None:
+            self._watcher.join()
+        if self.listener is not None:
+            self.listener.terminated.wait(10.0)
+            self.spark.streams.removeListener(self.listener)
+
+    def check(self, q) -> None:
+        """Raise at the EARLIEST over-cap batch across all observers
+        (min by batch id — the raise names the first violation, not
+        merely the one the sampler caught)."""
+        if self.cap is None:
+            return
+        hits = [
+            v
+            for v in (
+                self.listener.earliest(q.id),
+                first_state_bound_violation(q, self.cap),
+                self.tripped.get("v"),
+            )
+            if v is not None
+        ]
+        if hits:
+            _raise_state_bound(min(hits), self.cap, self.what, self.hint)
 
 
 def run_stream_stateful(
@@ -401,96 +513,31 @@ def run_stream_stateful(
     batch, the measured state rows, and `idle_timeout_ms` as the
     escalation path — a diagnosis at the first over-cap batch instead of
     a slow OOM gigabatches later."""
-    import threading
-
     stream = events_file_stream(
         spark, path, max_files_per_trigger=max_files_per_trigger
     )
     out = stateful_user_totals(stream, idle_timeout_ms=idle_timeout_ms)
-    # register BEFORE start so no progress event predates the listener
-    # (earliest-batch guarantee; see _StateBoundListener)
-    listener = None
-    if max_state_rows is not None:
-        listener = _StateBoundListener(max_state_rows)
-        spark.streams.addListener(listener)
+    guard = StateBoundGuard(
+        spark, max_state_rows,
+        what="stateful_user_totals", hint=_STATEFUL_HINT,
+    )
     q = (
         out.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()
     )
-    stop_poll = threading.Event()
-    tripped: dict = {}
-
-    def _watch():
-        # poll lastProgress (ONE py4j fetch per tick), not the full
-        # recentProgress history — re-parsing up to 100 retained
-        # progress payloads every 50 ms would contend with batch
-        # planning on the driver for the stream's lifetime. A batch
-        # the sampler skips over is still caught by the full-history
-        # scan after processAllAvailable returns; the mid-run stop is
-        # best-effort, the raise is not.
-        while not stop_poll.is_set():
-            p = q.lastProgress
-            if p is not None:
-                for so in p.get("stateOperators") or []:
-                    total = int(so.get("numRowsTotal") or 0)
-                    if total > max_state_rows:
-                        tripped["v"] = (p.get("batchId"), total)
-                        try:
-                            q.stop()  # halt further batches
-                        except Exception:
-                            pass
-                        return
-            stop_poll.wait(0.05)
-
-    watcher = None
-    if max_state_rows is not None:
-        watcher = threading.Thread(target=_watch, daemon=True)
-        watcher.start()
+    guard.watch(q)
     try:
         try:
             q.processAllAvailable()
         except Exception:
-            # the watcher's stop() races processAllAvailable and can
-            # surface as a query exception — re-checked below; genuine
-            # failures re-raise when no violation is found
-            if max_state_rows is None:
-                raise
-            if (
-                tripped.get("v")
-                or listener.violations
-                or first_state_bound_violation(q, max_state_rows)
-            ) is None:
+            if not guard.saw_violation(q):
                 raise
     finally:
-        stop_poll.set()
-        if watcher is not None:
-            watcher.join()
         q.stop()
-        if listener is not None:
-            # listener bus delivery is asynchronous — wait for the
-            # terminated event (bounded) so late progress payloads
-            # land before the earliest-violation read, then detach
-            listener.terminated.wait(10.0)
-            spark.streams.removeListener(listener)
-    if max_state_rows is not None:
-        # earliest over-cap batch across ALL observers: the listener's
-        # append-only record (survives recentProgress eviction — the
-        # authoritative source), the bounded recentProgress scan, and
-        # the mid-run sampler trip; min by batch id so the raise names
-        # the FIRST violation, not merely the one the sampler caught
-        hits = [
-            v
-            for v in (
-                listener.earliest(q.id),
-                first_state_bound_violation(q, max_state_rows),
-                tripped.get("v"),
-            )
-            if v is not None
-        ]
-        if hits:
-            _raise_state_bound(min(hits), max_state_rows)
+        guard.detach(q)
+    guard.check(q)
     return spark.table(query_name)
 
 
@@ -503,6 +550,7 @@ def run_stream_stream_join(
     horizon_seconds: int = 1800,
     watermark: str = "1 hour",
     query_name: str = "stream_stream_join_out",
+    max_state_rows: int | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream interval join: attribute each `right_type`
     event to every `left_type` event by the same user within
@@ -516,6 +564,17 @@ def run_stream_stream_join(
     store). Inner join ⇒ matches emit as found; on a finite one-batch
     source the emitted pairs equal the batch interval join, which is what
     the DuckDB oracle checks.
+
+    `max_state_rows` (r15, guard parity with run_stream_stateful —
+    StateBoundGuard): the bounded-state claim above holds ONLY while
+    the watermark is sized to real lateness — a missing or
+    decade-wide watermark marches join state with stream LIFETIME
+    (both buffered sides never evict; measured marching to the full
+    delivered row count on the sf10 churn corpus,
+    tools/stream_state_probe.py MODE=interval). The cap checks
+    numRowsTotal per micro-batch through the same
+    listener+sampler+scan triple and raises at the earliest over-cap
+    batch naming the watermark as the escalation path.
     """
     # A stream-stream join keeps FOUR state stores per shuffle partition;
     # the store count (not data volume) dominates at local scale, so pin
@@ -555,6 +614,20 @@ def run_stream_stream_join(
         ).alias("lag_sec"),
         F.col("r_value").alias("purchase_value"),
     )
+    guard = StateBoundGuard(
+        spark, max_state_rows,
+        what="run_stream_stream_join",
+        hint=(
+            "stream-stream join state holds every buffered row younger "
+            "than watermark + the event-time range on BOTH sides; it is "
+            "bounded only while the watermark is sized to real lateness "
+            "(a missing or over-wide watermark grows state with stream "
+            "lifetime — the sf10 interval probe measured the march). "
+            f"Tighten `watermark` (currently {watermark!r}) / "
+            f"`horizon_seconds` ({horizon_seconds}), or raise "
+            "max_state_rows."
+        ),
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
@@ -563,12 +636,19 @@ def run_stream_stream_join(
             .queryName(query_name)
             .start()
         )
+        guard.watch(q)
         try:
-            q.processAllAvailable()
+            try:
+                q.processAllAvailable()
+            except Exception:
+                if not guard.saw_violation(q):
+                    raise
         finally:
             q.stop()
+            guard.detach(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    guard.check(q)
     return spark.table(query_name)
 
 

@@ -835,3 +835,27 @@ def test_eager_collect_bound_enforced(spark):
     assert brute_force_topk_arrow(
         vecs, vecs, k=2, max_collect_rows=8
     ).count() > 0
+
+
+def test_conformant_vectors_drops_the_three_poison_modes(spark):
+    """The r15 NULL-corpus contract: NULL vector, empty vector, and
+    NULL-component vector all fall out of the similarity relation (no
+    cosine exists for any of them); intact vectors survive. JVM-side
+    predicates only — no Python in the filter."""
+    from core_telecoms_etl_spark.operators.similarity import (
+        conformant_vectors,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, []),
+        (4, [None, 2.0]),
+        (5, [0.5, None]),
+        (6, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id for r in conformant_vectors(df).select("vec_id").collect()
+    )
+    assert kept == [1, 6]

@@ -27,6 +27,13 @@ between batches and eviction is observable.
 
 Usage:
   SF_DIR=/tmp/spark_graft_sf10 python tools/stream_state_probe.py
+  MODE=churn    — r14: stateful TTL eviction + cap exactness on the
+                  sliding-active-set corpus
+  MODE=interval — r15: the stream-stream interval join's state
+                  plateau vs event-time range width on the churn
+                  corpus, the lifetime march under a missing
+                  watermark, and StateBoundGuard replay parity;
+                  plus the windowed-append in-flight window plateau
 Prints one JSON line per probe.
 """
 
@@ -67,9 +74,16 @@ def stage_time_slices(spark, events_path: str, n_slices: int) -> str:
                 10_000,
             ).alias("b")
         ).collect()[0]["b"]
-        slice_col = F.lit(0)
-        for b in bounds:
-            slice_col = slice_col + (F.col("ts") > F.lit(b)).cast("int")
+        # slice id = #boundaries below ts, as ONE flat HOF expression:
+        # the chained `+ (ts > b).cast(int)` form nests n_slices-1
+        # Add nodes and blows the Catalyst stack past ~700 slices
+        # (StackOverflowError, hit live by the r15 720-slice staging)
+        slice_col = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: F.col("ts") > b,
+            )
+        )
         (
             df.withColumn("__slice", slice_col)
             .repartition(n_slices, "__slice")
@@ -393,6 +407,213 @@ def probe_stateful_churn(spark, stage_dir: str, schema) -> dict:
     }
 
 
+def probe_interval_join(
+    spark, stage_dir: str, schema, *, horizon_seconds: int,
+    watermark: str | None, label: str,
+) -> dict:
+    """Drive the run_stream_stream_join shape (click→purchase interval
+    join) over the time-sliced replay and record per-batch join state.
+    The design claim under test (streaming/events.py): state holds
+    only rows younger than watermark + the event-time range, so the
+    per-batch numRowsTotal must PLATEAU at
+    ≈ arrival_rate · (watermark + horizon) · 2 sides once the
+    watermark starts advancing — and with `watermark=None` (the
+    misconfiguration arm) it must MARCH with delivered rows instead:
+    the exact failure mode StateBoundGuard exists to make loud."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.sources.readers import normalize_timestamps
+
+    def _side(etype: str, prefix: str):
+        src = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(stage_dir)
+        )
+        side = (
+            normalize_timestamps(src, nanos_bigint_cols=("ts",))
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+        if watermark is not None:
+            side = side.withWatermark(f"{prefix}_ts", watermark)
+        return side
+
+    joined = _side("click", "l").join(
+        _side("purchase", "r"),
+        F.expr(
+            f"""l_user = r_user
+                AND r_ts >= l_ts
+                AND r_ts <= l_ts + INTERVAL {horizon_seconds} SECONDS"""
+        ),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t0 = time.time()
+    try:
+        with HeapSampler(spark) as hs:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("noop")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                raw = list(q.recentProgress)
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = []
+    for pr in raw:
+        sos = pr.get("stateOperators") or []
+        rows.append(
+            {
+                "batch": pr.get("batchId"),
+                "input_rows": pr.get("numInputRows"),
+                "state_rows": sum(
+                    int(so.get("numRowsTotal") or 0) for so in sos
+                ),
+                "removed": sum(
+                    int(so.get("numRowsRemoved") or 0) for so in sos
+                ),
+            }
+        )
+    rows = [r for r in rows if r["input_rows"]]
+    return {
+        "probe": f"stream_interval_join({label})",
+        "watermark": watermark,
+        "horizon_seconds": horizon_seconds,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "batches": rows,
+        "raw_progress": raw,
+        "peak_state_rows": max((r["state_rows"] or 0) for r in rows),
+        "final_state_rows": rows[-1]["state_rows"] if rows else None,
+        "total_input_rows": sum(r["input_rows"] or 0 for r in rows),
+        "peak_jvm_heap_gb": round(hs.peak / 1e9, 2),
+    }
+
+
+def probe_windowed_append(spark, stage_dir: str, schema) -> dict:
+    """Watermarked tumbling agg in APPEND mode over the replay: state is
+    the in-flight (not yet watermark-closed) windows — bounded by
+    (width + watermark) / width windows per key, independent of stream
+    length. The per-batch numRowsTotal series shows closed windows
+    leaving state as the watermark advances."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.sources.readers import normalize_timestamps
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(stage_dir)
+    )
+    agg = (
+        normalize_timestamps(src, nanos_bigint_cols=("ts",))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    t0 = time.time()
+    with HeapSampler(spark) as hs:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            rows = _progress_rows(q)
+        finally:
+            q.stop()
+    return {
+        "probe": "stream_windowed_append",
+        "elapsed_sec": round(time.time() - t0, 1),
+        "batches": rows,
+        "peak_state_rows": max((r["state_rows"] or 0) for r in rows),
+        "final_state_rows": rows[-1]["state_rows"] if rows else None,
+        "total_input_rows": sum(r["input_rows"] for r in rows),
+        "peak_jvm_heap_gb": round(hs.peak / 1e9, 2),
+    }
+
+
+def probe_interval_join_suite(
+    spark, churn_path: str, *, fine_slices: int, coarse_slices: int
+) -> dict:
+    """The r15 decade ask: (1) plateau vs range width — the narrow and
+    wide arms' peaks must scale ≈ (watermark + horizon), both far
+    below (2) the missing-watermark arm's lifetime march; (3) guard
+    parity — the recorded march replayed through the REAL runner guard
+    (`first_state_bound_violation`) trips at a cap the bounded arm
+    never reaches, and does NOT trip on the bounded arm's history.
+
+    Two slicings on purpose: the bounded arms replay FINE time slices
+    (~1 h of event time per micro-batch at sf10's 30-day span /
+    fine_slices=720) because state-vs-width is only resolvable when
+    the batch granule is at most the horizon — the watermark advances
+    once per batch, so with multi-day slices the retained set is just
+    the current slice and narrow/wide read identically (measured at
+    sf0.1/8 slices: ratio 1.01). The march arm replays COARSE slices:
+    lifetime growth is granularity-independent, and a fine-sliced
+    march would pay per-batch state-store maintenance on millions of
+    rows hundreds of times for the same reading."""
+    from core_telecoms_etl_spark.streaming.events import (
+        first_state_bound_violation,
+    )
+
+    schema = spark.read.parquet(churn_path).schema
+    fine = stage_time_slices(spark, churn_path, fine_slices)
+    coarse = stage_time_slices(spark, churn_path, coarse_slices)
+    narrow = probe_interval_join(
+        spark, fine, schema,
+        horizon_seconds=1800, watermark="1 hour", label="narrow",
+    )
+    wide = probe_interval_join(
+        spark, fine, schema,
+        horizon_seconds=7200, watermark="1 hour", label="wide",
+    )
+    march = probe_interval_join(
+        spark, coarse, schema,
+        horizon_seconds=1800, watermark=None, label="no_watermark",
+    )
+
+    class _Replay:
+        def __init__(self, progresses):
+            self.recentProgress = progresses
+
+    cap = narrow["peak_state_rows"] * 3
+    raw_march = march.pop("raw_progress")
+    raw_narrow = narrow.pop("raw_progress")
+    wide.pop("raw_progress", None)
+    trip = first_state_bound_violation(_Replay(raw_march), cap)
+    no_trip = first_state_bound_violation(_Replay(raw_narrow), cap)
+    return {
+        "probe": "stream_interval_join_suite",
+        "narrow": narrow,
+        "wide": wide,
+        "march": march,
+        "plateau_ratio_wide_over_narrow": round(
+            wide["peak_state_rows"] / max(narrow["peak_state_rows"], 1), 2
+        ),
+        "march_over_narrow": round(
+            march["peak_state_rows"] / max(narrow["peak_state_rows"], 1), 1
+        ),
+        "guard_cap": cap,
+        "guard_trips_on_march": trip,
+        "guard_silent_on_bounded": no_trip is None,
+        "windowed_append": probe_windowed_append(spark, coarse, schema),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
     n_slices = int(os.environ.get("SLICES", "8"))
@@ -402,12 +623,29 @@ def main() -> int:
 
     spark = get_spark("stream-state-probe")
     ensure_session_confs(spark, nanos_as_long=True)
+    # fine-sliced replays run >100 micro-batches; the default
+    # recentProgress retention (100) would silently truncate the
+    # recorded series (and the sf0.1 smoke measured exactly that:
+    # input sums short by the evicted batches)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
     events = f"{sf_dir}/events.parquet"
     if mode == "churn":
         churn = stage_churn_corpus(spark, events)
         stage = stage_time_slices(spark, churn, n_slices)
         schema = spark.read.parquet(churn).schema
         print(json.dumps(probe_stateful_churn(spark, stage, schema)))
+        return 0
+    if mode == "interval":
+        churn = stage_churn_corpus(spark, events)
+        fine = int(os.environ.get("FINE_SLICES", "720"))
+        print(
+            json.dumps(
+                probe_interval_join_suite(
+                    spark, churn,
+                    fine_slices=fine, coarse_slices=n_slices,
+                )
+            )
+        )
         return 0
     stage = stage_time_slices(spark, events, n_slices)
     schema = spark.read.parquet(events).schema
