@@ -71,77 +71,43 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # cross-family representatives; the tail is exclusively queries green in
 # a previous window and byte-stable since.
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r14 window: head is EXACTLY 50, policy (enforced data-driven
-    # ---- by tests/test_entry.py::test_window_head_rotation, which
-    # ---- computes never-green and staleness from CORRECTNESS_r01..rN):
-    # ---- (1) queries whose bytes, operators, or plans changed this
-    # ---- round (fuzzy_linkage_compound: NEW, the lossless
-    # ---- deletion-neighborhood arm; moments_profile: oracle anchor
-    # ---- re-join dropped the NULL group — r14 adversarial-sweep fix;
-    # ---- feature_scaling: double combos per ADVICE r13;
-    # ---- corpus_incremental_dedup: banded-relation pin;
-    # ---- stream_cms_heavy_hitters: empty-feed degeneracy;
-    # ---- stream_stateful: max_state_rows runner; vector_topk_ivf/
-    # ---- vector_topk_lsh/knn_classify_ivf/auto_topk_route: the
-    # ---- _recall_vs_exact score-recall rewrite; fuzzy_linkage:
-    # ---- operator-module tripwire refactor — also in (2));
-    # ---- (2) ALL 37 r9-last-green rows (the ascending-last-green
-    # ---- tail's oldest stratum — they reach the 5-round staleness
-    # ---- bar when CORRECTNESS_r14 lands);
-    # ---- (3) fill with the alphabetically-first r10 rows.
-    # ---- Tail is ascending last-green (r10 -> r13), so the r15 head
-    # ---- reads straight off the top.
-    "fuzzy_linkage_compound",  # NEW r14
-    "moments_profile",  # green r13
-    "feature_scaling",  # green r13
-    "corpus_incremental_dedup",  # green r13
-    "stream_cms_heavy_hitters",  # green r11
-    "stream_stateful",  # green r11
-    "fuzzy_linkage",  # green r9
-    "array_funcs",  # green r9
-    "asof_join",  # green r9
-    "asof_join_forward",  # green r9
-    "bigram_surprisal",  # green r9
-    "contamination",  # green r9
-    "date_funcs",  # green r9
-    "deterministic_shuffle",  # green r9
-    "domain_cap",  # green r9
-    "domain_mixture",  # green r9
-    "dq_suite",  # green r9
-    "embedding_norms",  # green r9
-    "exact_k_sample",  # green r9
-    "filter_agg_scalar",  # green r9
-    "gopher_quality",  # green r9
-    "grouped_map_zscore",  # green r9
-    "hll_rollup",  # green r9
-    "json_funcs",  # green r9
-    "kll_quantile_rollup",  # green r9
-    "local_supplier_volume",  # green r9
-    "math_funcs",  # green r9
-    "near_dedup",  # green r9
-    "null_handling",  # green r9
-    "null_safe_join",  # green r9
-    "pandas_udf_scalar",  # green r9
-    "pii_scrub",  # green r9
-    "profile_table",  # green r9
-    "range_join",  # green r9
-    "salted_groupby",  # green r9
-    "scalar_subquery_filter",  # green r9
-    "session_paths",  # green r9
-    "set_ops",  # green r9
-    "string_funcs",  # green r9
-    "text_repetition",  # green r9
-    "unpivot_metrics",  # green r9
-    "window_range_frame",  # green r9
-    "window_rank_funcs",  # green r9
-    "ab_test_stats",  # green r10
-    "activity_streaks",  # green r10
-    "vector_topk_ivf",  # green r12, changed r14 (score recall)
-    "vector_topk_lsh",  # green r12, changed r14 (score recall)
-    "knn_classify_ivf",  # green r12, changed r14 (score recall)
-    "auto_topk_route",  # green r13, changed r14 (score recall)
-    "anti_join",  # green r10
-    # ---- end of the 50-slot r14 window ----------------------------------
+    # ---- r15 window: head is EXACTLY 50, policy (enforced data-driven
+    # ---- by tests/test_entry.py::test_window_head_rotation):
+    # ---- (1) best_match_links: NEW, the sanctioned link_best_match
+    # ---- promotion (r14 verdict ask #4);
+    # ---- (2) every query whose bytes, oracle, or operators changed
+    # ---- this round — the 13 NULL-corpus divergence fixes (vector
+    # ---- family conformance + weighted_median + order_price_
+    # ---- consistency + array_funcs), feature_scaling (ADVICE cast),
+    # ---- stream_stateful / stream_stream_join (StateBoundGuard),
+    # ---- fuzzy_linkage / fuzzy_linkage_compound (linkage module:
+    # ---- segmented short-name fallback, auto-router k-validation);
+    # ---- (3) ALL 31 r10-last-green rows — the ascending-last-green
+    # ---- tail's oldest stratum (they reach the 5-round staleness bar
+    # ---- when CORRECTNESS_r15 lands); vector_quantize is both (2)
+    # ---- and (3);
+    # ---- (4) one alphabetical r11 fill (cohort_retention).
+    # ---- Tail stays ascending last-green (r11 -> r14), so the r16
+    # ---- head reads straight off the top.
+    "best_match_links",  # NEW r15 (never driver-sampled)
+    "feature_scaling",  # green r14, changed r15
+    "array_funcs",  # green r14, changed r15
+    "embedding_norms",  # green r14, changed r15
+    "vector_topk",  # green r12, changed r15
+    "cosine_pairs",  # green r12, changed r15
+    "vector_topk_ivf",  # green r14, changed r15
+    "vector_topk_lsh",  # green r14, changed r15
+    "auto_topk_route",  # green r14, changed r15
+    "semantic_dedup",  # green r12, changed r15
+    "vector_quantize",  # green r10, changed r15
+    "knn_classify",  # green r12, changed r15
+    "knn_classify_ivf",  # green r14, changed r15
+    "weighted_median",  # green r11, changed r15
+    "order_price_consistency",  # green r13, changed r15
+    "stream_stateful",  # green r14, changed r15
+    "stream_stream_join",  # green r11, changed r15
+    "fuzzy_linkage",  # green r14, changed r15
+    "fuzzy_linkage_compound",  # green r14, changed r15
     "benford_profile",  # green r10
     "cms_heavy_hitters",  # green r10
     "completeness_gaps",  # green r10
@@ -172,8 +138,8 @@ _CHECK_ORDER: tuple[str, ...] = (
     "string_funcs_extended",  # green r10
     "text_chunks",  # green r10
     "text_profile",  # green r10
-    "vector_quantize",  # green r10
     "cohort_retention",  # green r11
+    # ---- end of the 50-slot r15 window ----------------------------------
     "count_filter",  # green r11
     "csv_scan",  # green r11
     "cube_agg",  # green r11
@@ -200,7 +166,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "stream_dedup",  # green r11
     "stream_session",  # green r11
     "stream_static_join",  # green r11
-    "stream_stream_join",  # green r11
     "stream_tumbling",  # green r11
     "text_exact_dedup",  # green r11
     "tf_idf",  # green r11
@@ -208,7 +173,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "traffic_heatmap",  # green r11
     "training_pipeline",  # green r11
     "volume_shipping",  # green r11
-    "weighted_median",  # green r11
     "weighted_sample",  # green r11
     "windowed_funnel",  # green r11
     "attribution_last_touch",  # green r12
@@ -216,14 +180,12 @@ _CHECK_ORDER: tuple[str, ...] = (
     "bm25_retrieval",  # green r12
     "chi_square_independence",  # green r12
     "cohort_ltv_curve",  # green r12
-    "cosine_pairs",  # green r12
     "funnel",  # green r12
     "histogram_agg",  # green r12
     "important_stock",  # green r12
     "inner_join_dim",  # green r12
     "json_scan",  # green r12
     "key_skew_profile",  # green r12
-    "knn_classify",  # green r12
     "left_outer_join",  # green r12
     "min_cost_supplier",  # green r12
     "multimodal_meta",  # green r12
@@ -238,7 +200,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "rename_map",  # green r12
     "sales_opportunity",  # green r12
     "scd2_history",  # green r12
-    "semantic_dedup",  # green r12
     "semi_join",  # green r12
     "shipmode_priority",  # green r12
     "snapshot_diff",  # green r12
@@ -248,7 +209,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "theta_sketch_setops",  # green r12
     "top_k",  # green r12
     "upsert",  # green r12
-    "vector_topk",  # green r12
     "waiting_orders_suppliers",  # green r12
     "window_lag",  # green r12
     "window_rank",  # green r12
@@ -284,7 +244,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "mann_whitney_u",  # green r13
     "mutual_information",  # green r13
     "node_jaccard_similarity",  # green r13
-    "order_price_consistency",  # green r13
     "pagerank_copurchase",  # green r13
     "psi_drift",  # green r13
     "runs_test",  # green r13
@@ -301,6 +260,46 @@ _CHECK_ORDER: tuple[str, ...] = (
     "winsorize_features",  # green r13
     "zipf_profile",  # green r13
     "zorder_locality",  # green r13
+    "ab_test_stats",  # green r14
+    "activity_streaks",  # green r14
+    "anti_join",  # green r14
+    "asof_join",  # green r14
+    "asof_join_forward",  # green r14
+    "bigram_surprisal",  # green r14
+    "contamination",  # green r14
+    "corpus_incremental_dedup",  # green r14
+    "date_funcs",  # green r14
+    "deterministic_shuffle",  # green r14
+    "domain_cap",  # green r14
+    "domain_mixture",  # green r14
+    "dq_suite",  # green r14
+    "exact_k_sample",  # green r14
+    "filter_agg_scalar",  # green r14
+    "gopher_quality",  # green r14
+    "grouped_map_zscore",  # green r14
+    "hll_rollup",  # green r14
+    "json_funcs",  # green r14
+    "kll_quantile_rollup",  # green r14
+    "local_supplier_volume",  # green r14
+    "math_funcs",  # green r14
+    "moments_profile",  # green r14
+    "near_dedup",  # green r14
+    "null_handling",  # green r14
+    "null_safe_join",  # green r14
+    "pandas_udf_scalar",  # green r14
+    "pii_scrub",  # green r14
+    "profile_table",  # green r14
+    "range_join",  # green r14
+    "salted_groupby",  # green r14
+    "scalar_subquery_filter",  # green r14
+    "session_paths",  # green r14
+    "set_ops",  # green r14
+    "stream_cms_heavy_hitters",  # green r14
+    "string_funcs",  # green r14
+    "text_repetition",  # green r14
+    "unpivot_metrics",  # green r14
+    "window_range_frame",  # green r14
+    "window_rank_funcs",  # green r14
 )
 
 
