@@ -1,15 +1,33 @@
 """Join & shuffle strategy helpers for the 100 TB path (SURVEY.md §4.2):
 broadcast hints, skew salting, and bucketed (co-located) joins.
 
-When to use what:
+When to use what — MEASURED on the standing skew corpus (one hot key
+carrying 20% of fact mass; tools/make_skew_testdata.py +
+tools/bench_skew.py, r15; full matrix in BASELINE.md round-15):
 - `broadcast` hint (re-exported): any dim ≲ a few hundred MB — kills the
-  shuffle entirely. AQE also switches to broadcast at runtime when a side
-  turns out small.
+  shuffle entirely, and with it the skew (no shuffle by key ⇒ no hot
+  reducer). When the dim fits, THIS is the skew strategy.
 - AQE skew-join (`spark.sql.adaptive.skewJoin.enabled`, on in get_spark)
-  handles moderate skew by splitting oversized partitions.
-- `salted_join` / `salted_groupby`: the heavy hammer for pathological keys
-  (one key ≫ executor memory). Deterministic salts — no rand() — so plans
-  are replayable and tests exact.
+  splits oversized partitions at runtime — including a single hot KEY's
+  partition (each split re-joins against the matching build rows). It
+  beat the plain shuffle 1.4–1.7× at every measured scale (sf0.1/1/10,
+  hot key up to 3M rows) and beat manual salting everywhere.
+- `salted_join` / `salted_groupby`: the LAST-resort hammer, not the
+  default — measured 1.8–2.5× SLOWER than the plain plan at every
+  scale where its own precondition (hot-key mass ≫ n_salts × other
+  side; see the cost model below) was violated, because the n_salts×
+  other-side replication / extra final agg are paid unconditionally.
+  Reach for salting only where AQE cannot apply (stream-stream joins
+  freeze their plan; non-AQE engines) or when one key genuinely
+  exceeds executor memory AND the other side is tiny. For decomposable
+  group-bys, note Spark's map-side partial aggregation already spreads
+  a hot GROUP across input partitions — the shuffle carries per-
+  partition partials, not the hot key's rows — so `salted_groupby`
+  pays only for aggregates whose partial state does not collapse.
+  Deterministic salts — no rand() — so plans are replayable and tests
+  exact; value-identity of every salted path vs the plain plan is
+  asserted on the skew corpus itself (bench_skew + the 210-query
+  differential).
 - `write_bucketed` + joining two tables bucketed on the same key/count:
   Spark plans a shuffle-free sort-merge join (no Exchange) — the
   pre-partitioning amortizes the shuffle across every downstream join of

@@ -209,16 +209,38 @@ def domain_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+
+# --- codepoint-faithful levenshtein mirror (r15 unicode corpus) ---------
+# DuckDB's levenshtein counts BYTES (levenshtein('café','cafe') = 2: é is
+# two UTF-8 bytes) where Spark's counts CODEPOINTS (= 1) — measured r15.
+# The oracles mirror the engine's codepoint contract EXACTLY by
+# translating every codepoint of the corpus injection dictionary
+# (tools/make_unicode_testdata.py NAME_UNI — keep in sync) to a distinct
+# single ASCII byte that never occurs in c_name ("Customer#0000…" uses
+# only C,u,s,t,o,m,e,r,#,digits) on BOTH arguments: the mapping is
+# injective and 1:1 per codepoint, so byte distance over the translated
+# strings equals codepoint distance over the originals. A no-op on pure
+# ASCII corpora; display columns keep the original names.
+_UNI = "éüñç"
+_UNI_ASCII = "abdf"
+
+
+def _lev(a: str, b: str) -> str:
+    ta = f"translate({a}, '{_UNI}', '{_UNI_ASCII}')"
+    tb = f"translate({b}, '{_UNI}', '{_UNI_ASCII}')"
+    return f"levenshtein({ta}, {tb})"
+
+
 @query(
     "fuzzy_linkage",
-    oracle="""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    oracle=f"""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                      a.c_name AS name_a, b.c_name AS name_b,
-                     CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                     CAST({_lev('a.c_name', 'b.c_name')} AS BIGINT)
                        AS edit_dist
               FROM customer a JOIN customer b
                 ON a.c_nationkey = b.c_nationkey
                AND a.c_custkey < b.c_custkey
-              WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+              WHERE {_lev('a.c_name', 'b.c_name')} <= 2""",
 )
 def fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: candidate duplicate customers = same nation
@@ -243,14 +265,14 @@ def fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fuzzy_linkage_compound",
-    oracle="""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    oracle=f"""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                      a.c_name AS name_a, b.c_name AS name_b,
-                     CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                     CAST({_lev('a.c_name', 'b.c_name')} AS BIGINT)
                        AS edit_dist
               FROM customer a JOIN customer b
                 ON a.c_nationkey = b.c_nationkey
                AND a.c_custkey < b.c_custkey
-              WHERE levenshtein(a.c_name, b.c_name) <= 2""",
+              WHERE {_lev('a.c_name', 'b.c_name')} <= 2""",
 )
 def fuzzy_linkage_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution past the fixed-B wall (r13 decade finding):
@@ -282,14 +304,14 @@ def fuzzy_linkage_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "best_match_links",
-    oracle="""WITH cand AS (
+    oracle=f"""WITH cand AS (
                 SELECT a.c_custkey AS cust_id, a.c_name AS left_name,
                        b.c_custkey AS master_id, b.c_name AS right_name,
-                       levenshtein(a.c_name, b.c_name) AS ed
+                       {_lev('a.c_name', 'b.c_name')} AS ed
                 FROM customer a JOIN customer b
                   ON a.c_nationkey = b.c_nationkey
                 WHERE a.c_custkey % 2 = 1 AND b.c_custkey % 2 = 0
-                  AND levenshtein(a.c_name, b.c_name) <= 2),
+                  AND {_lev('a.c_name', 'b.c_name')} <= 2),
               ranked AS (
                 SELECT cust_id, left_name, master_id, right_name, ed,
                        row_number() OVER (PARTITION BY cust_id

@@ -1793,12 +1793,17 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics — the measurement that DECIDES the shuffle
-    strategy (`operators/joins.py` salting, AQE skew thresholds): per
-    candidate shuffle key, the distinct-key count, max/p50/p99 per-key
-    row counts, and the max/avg skew ratio. At 100 TB this one cheap
-    pass (groupBy per key column — counts only, never payloads) is what
-    tells you whether a join key needs salting (skew_ratio ≫ 1, e.g.
-    event_type here) or hashes fine (user_id).
+    strategy (`operators/joins.py` module docstring has the measured
+    hierarchy): per candidate shuffle key, the distinct-key count,
+    max/p50/p99 per-key row counts, and the max/avg skew ratio. At
+    100 TB this one cheap pass (groupBy per key column — counts only,
+    never payloads) is what routes a hot join key (skew_ratio ≫ 1,
+    e.g. event_type here — or user_id on the r15 standing skew corpus,
+    where the hot user's ratio reads ~300×) to broadcast-if-the-dim-
+    fits, else AQE skew-split (the measured winner at every scale),
+    with manual salting reserved for AQE-less paths whose hot mass
+    clears the salted-join cost model; a near-uniform key (user_id on
+    the harness corpus) hashes fine.
 
     Percentiles come from the COUNT HISTOGRAM (count-of-counts), not
     from sorting per-key counts: the only single-partition work is the

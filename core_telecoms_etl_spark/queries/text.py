@@ -1645,8 +1645,12 @@ def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM toks)
               SELECT doc_id, n_tokens,
                      CAST(len(targets) AS BIGINT) AS n_masked,
-                     array_to_string(masked, ' ') AS masked_text,
-                     array_to_string(targets, ' ') AS target_text
+                     CASE WHEN masked IS NULL THEN NULL
+                          ELSE coalesce(array_to_string(masked, ' '), '')
+                     END AS masked_text,
+                     CASE WHEN targets IS NULL THEN NULL
+                          ELSE coalesce(array_to_string(targets, ' '), '')
+                     END AS target_text
               FROM m ORDER BY doc_id""",
 )
 def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,7 +1663,14 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: pure integer index arithmetic + string assembly —
     identical tokenization (the repo's whitespace rule) and identical
-    join separators on both engines.
+    join separators on both engines. A document with ZERO masked
+    tokens emits target_text '' (Spark array_join on an empty array),
+    and the oracle pins that explicitly — DuckDB's array_to_string is
+    NULL on an empty list, the same divergence class vector_quantize
+    hit; latent here for every n < 7-token doc ((i+d) mod 7 need not
+    hit) and unreachable until the r15 unicode corpus produced a
+    single-token CJK document. NULL text stays NULL on both engines
+    (the CASE guards only the empty-list arm).
 
     Scale: a single projection — tokenize, one indexed transform, one
     filter, two concat folds; no shuffle at all (the ORDER BY is the
