@@ -10,12 +10,15 @@ tools/bench_skew.py, r15; full matrix in BASELINE.md round-15):
 - AQE skew-join (`spark.sql.adaptive.skewJoin.enabled`, on in get_spark)
   splits oversized partitions at runtime — including a single hot KEY's
   partition (each split re-joins against the matching build rows). It
-  beat the plain shuffle 1.4–1.7× at every measured scale (sf0.1/1/10,
-  hot key up to 3M rows) and beat manual salting everywhere.
+  beat the plain shuffle 1.3–1.4× at sf0.1 and sf10 (hot key up to 3M
+  rows); at sf1 the harness's fixed 1 MB advisory over-fragmented the
+  post-shuffle stage and LOST to plain 1.6× — the thresholds
+  (skewedPartitionThresholdInBytes / advisoryPartitionSizeInBytes) are
+  part of the strategy and must be sized to the data, not copied.
 - `salted_join` / `salted_groupby`: the LAST-resort hammer, not the
-  default — measured 1.8–2.5× SLOWER than the plain plan at every
-  scale where its own precondition (hot-key mass ≫ n_salts × other
-  side; see the cost model below) was violated, because the n_salts×
+  default — measured ≈ plain at sf0.1 and 1.8–2.9× SLOWER at sf1/sf10,
+  every scale violating its own precondition (hot-key mass ≫ n_salts ×
+  other side; see the cost model below), because the n_salts×
   other-side replication / extra final agg are paid unconditionally.
   Reach for salting only where AQE cannot apply (stream-stream joins
   freeze their plan; non-AQE engines) or when one key genuinely

@@ -86,7 +86,12 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- tail's oldest stratum (they reach the 5-round staleness bar
     # ---- when CORRECTNESS_r15 lands); vector_quantize is both (2)
     # ---- and (3);
-    # ---- (4) one alphabetical r11 fill (cohort_retention).
+    # ---- (4) span_corruption (r15 self-review #3: its oracle's
+    # ---- empty-target arm changed with the unicode-corpus fix, so it
+    # ---- must re-verify now, not at its r13-staleness horizon).
+    # ---- key_skew_profile's r15 change is DOCSTRING-ONLY (no plan or
+    # ---- oracle bytes) and stays in the tail by policy: the head
+    # ---- re-verifies changed BEHAVIOR, and a doc edit has none.
     # ---- Tail stays ascending last-green (r11 -> r14), so the r16
     # ---- head reads straight off the top.
     "best_match_links",  # NEW r15 (never driver-sampled)
@@ -138,8 +143,9 @@ _CHECK_ORDER: tuple[str, ...] = (
     "string_funcs_extended",  # green r10
     "text_chunks",  # green r10
     "text_profile",  # green r10
-    "cohort_retention",  # green r11
+    "span_corruption",  # green r13, changed r15 (empty-target oracle arm)
     # ---- end of the 50-slot r15 window ----------------------------------
+    "cohort_retention",  # green r11
     "count_filter",  # green r11
     "csv_scan",  # green r11
     "cube_agg",  # green r11
@@ -250,7 +256,6 @@ _CHECK_ORDER: tuple[str, ...] = (
     "scalar_subquery",  # green r13
     "seasonal_naive_forecast",  # green r13
     "session_window",  # green r13
-    "span_corruption",  # green r13
     "star_fact_complaints",  # green r13
     "stream_sliding",  # green r13
     "time_grid_fill",  # green r13

@@ -510,7 +510,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors are found but don't vote (filtered before the count;
     DuckDB's NULL vote-group would win Spark's NULLS-FIRST tie-break
     and lose DuckDB's NULLS-LAST one)."""
-    e = sim.conformant_vectors(load_table(spark, sf_dir, "embeddings"))
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(
         (F.col("vec_id") % 20 == 0) & F.col("label").isNotNull()
     )
@@ -542,7 +542,7 @@ def _knn_classify_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered; kept as the declarative verification baseline the
     Arrow-scorer query is equality-pinned against
     (tests/test_similarity.py::test_knn_classify_arrow_matches_fold)."""
-    e = sim.conformant_vectors(load_table(spark, sf_dir, "embeddings"))
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(
         (F.col("vec_id") % 20 == 0) & F.col("label").isNotNull()
     ).select(
@@ -650,7 +650,7 @@ def knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation."""
     from core_telecoms_etl_spark.queries import cache_scoped
 
-    e = sim.conformant_vectors(load_table(spark, sf_dir, "embeddings"))
+    e = _load_conformant(spark, sf_dir)
     q = e.filter(
         (F.col("vec_id") % 20 == 0) & F.col("label").isNotNull()
     )

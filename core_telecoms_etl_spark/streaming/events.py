@@ -449,17 +449,34 @@ class StateBoundGuard:
         self._watcher.start()
 
     def saw_violation(self, q) -> bool:
-        """True iff any observer recorded an over-cap batch — the
-        watcher's mid-run stop() races processAllAvailable and can
-        surface as a query exception; callers swallow it only when
-        this is True (genuine failures re-raise)."""
+        """True iff any observer recorded an over-cap batch FOR THIS
+        QUERY — the watcher's mid-run stop() races processAllAvailable
+        and can surface as a query exception; callers swallow it only
+        when this is True (genuine failures re-raise). The listener
+        read goes through earliest(q.id), NOT the raw violations list:
+        the listener bus delivers every session query's events, so an
+        unfiltered check would let a DIFFERENT guarded query's
+        violation swallow this query's real failure (r15 self-review
+        #1)."""
         if self.cap is None:
             return False
         return (
             self.tripped.get("v")
-            or self.listener.violations
+            or self.listener.earliest(q.id)
             or first_state_bound_violation(q, self.cap)
         ) is not None
+
+    def abandon(self) -> None:
+        """Cleanup when the guarded query never started (start()
+        raised): the listener registered in __init__ must not leak on
+        spark.streams for the session lifetime — it would accumulate
+        every later query's violations unbounded (r15 self-review
+        #5). No terminated-event wait: there is no query."""
+        self._stop.set()
+        if self.listener is not None:
+            self.spark.streams.removeListener(self.listener)
+            self.listener = None
+            self.cap = None  # every later guard call is a no-op
 
     def detach(self, q) -> None:
         """Stop the sampler and unhook the listener (call AFTER
@@ -521,12 +538,16 @@ def run_stream_stateful(
         spark, max_state_rows,
         what="stateful_user_totals", hint=_STATEFUL_HINT,
     )
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    except BaseException:
+        guard.abandon()
+        raise
     guard.watch(q)
     try:
         try:
@@ -630,12 +651,16 @@ def run_stream_stream_join(
     )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .start()
-        )
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(query_name)
+                .start()
+            )
+        except BaseException:
+            guard.abandon()
+            raise
         guard.watch(q)
         try:
             try:

@@ -103,6 +103,20 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
             )
+        else:
+            # RESET the skew-arm overrides (r15 self-review #2: the
+            # first harness version left the 1m advisory set, so the
+            # salted and agg arms ran with no post-shuffle coalescing
+            # while the plain baseline had the 64 MB default — a
+            # confounded comparison); every non-skew arm must see
+            # stock AQE
+            for k in (
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            ):
+                spark.conf.unset(k)
 
     cust = customer.withColumnRenamed("c_custkey", "o_custkey")
 

@@ -20,6 +20,13 @@ orders-per-customer and events-per-user path under real skew, and
 `tools/bench_skew.py` times plain vs salted vs AQE-skew-split on the
 same corpus.
 
+Hot value 0 EXISTS on the dimension side: this synthetic testdata is
+0-based (min c_custkey = min user_id = 0, unlike 1-based TPC-H), so the
+hot mass inner-joins to a real customer row and hot-key output is fully
+observable — verified per build below, and directly (2,921 / 299,981 /
+2,999,658 joined hot orders at sf0.01/1/10; r15 self-review #4 raised
+the 1-based suspicion).
+
 Key choice: o_custkey/user_id are GROUP/JOIN keys, not identity.
 Primary keys and basket keys (`l_orderkey`) stay untouched — a hot
 basket key would make the C(basket,2) co-purchase expansions and the
@@ -76,6 +83,14 @@ def main() -> None:
             f"count(*) FROM '{dst}/{t}.parquet'"
         ).fetchone()
         print(f"{t}: hot {col}={hot} now carries {n}/{total} rows")
+    # the hot join key must exist on the dimension side, or every
+    # hot-mass join row silently vanishes and the corpus cannot
+    # observe hot-key output at all
+    n_dim = con.sql(
+        f"SELECT count(*) FROM '{dst}/customer.parquet' "
+        f"WHERE c_custkey = {SKEW['orders'][2]}"
+    ).fetchone()[0]
+    assert n_dim == 1, f"hot custkey not in customer dim ({n_dim} rows)"
     print(f"wrote {dst}")
 
 
