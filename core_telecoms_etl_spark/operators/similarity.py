@@ -94,12 +94,19 @@ def conformant_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     diverging on these rows); the operators themselves keep their loud
     posture (zero-norm raise, ragged-batch crash) so library callers
     who skip the filter hear about it rather than silently losing
-    rows. JVM-side only — three codegen predicates, no Python."""
+    rows. JVM-side only — three codegen predicates, no Python.
+
+    r15 float-specials extension: a NaN/±Inf COMPONENT is as poisoned
+    as a NULL one (the cosine is NaN, which sorts as largest and flips
+    candidate sets between exact and approximate arms — measured on
+    vector_topk_lsh), so the no-bad-component predicate covers all
+    three."""
     c = F.col(vec_col)
+    bad = lambda x: (  # noqa: E731
+        x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
     return df.filter(
-        c.isNotNull()
-        & (F.size(c) > 0)
-        & ~F.exists(c, lambda x: x.isNull())
+        c.isNotNull() & (F.size(c) > 0) & ~F.exists(c, bad)
     )
 
 
@@ -1846,16 +1853,35 @@ def quantize_vectors(
     engines disagree on round-half semantics; floor is unambiguous
     everywhere, which keeps the quantized codes engine-reproducible (the
     property that matters when re-building an index elsewhere). Zero
-    vectors quantize to all-zero codes with scale 0."""
+    vectors quantize to all-zero codes with scale 0.
+
+    Nonfinite contract (r15 float-specials corpus): a vector with any
+    NaN/±Inf component has NO meaningful quantization — the scale is
+    nonfinite and every code is noise (Spark emitted scale=NaN with
+    all-zero codes; DuckDB crashed casting NaN to INT64) — so such
+    vectors emit NULL scale/qvec/max_abs_err, same as a NULL vector.
+    NULL COMPONENTS keep their established contract (NULL code element,
+    skipped by csv joins and max): they mark a missing dimension, not a
+    poisoned magnitude."""
     v = F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: x.cast("double"),
+    )
+    has_nonfinite = F.coalesce(
+        F.exists(
+            v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        ),
+        F.lit(False),
     )
     df = df.select(
         id_col,
         *[c for c in df.columns if c not in (id_col, vec_col)],
         v.alias("__v"),
-        (F.array_max(F.transform(v, F.abs)) / float(levels)).alias("scale"),
+        F.when(
+            ~has_nonfinite,
+            F.array_max(F.transform(v, F.abs)) / float(levels),
+        ).alias("scale"),
+        has_nonfinite.alias("__nonfin"),
     )
     qvec = F.when(
         F.col("scale") == 0.0,
@@ -1880,10 +1906,14 @@ def quantize_vectors(
     )
     return df.select(
         id_col,
-        *[c for c in df.columns if c not in (id_col, "__v", "scale")],
+        *[
+            c
+            for c in df.columns
+            if c not in (id_col, "__v", "scale", "__nonfin")
+        ],
         "scale",
-        qvec.alias("qvec"),
-        err.alias("max_abs_err"),
+        F.when(~F.col("__nonfin"), qvec).alias("qvec"),
+        F.when(~F.col("__nonfin"), err).alias("max_abs_err"),
     )
 
 

@@ -94,6 +94,18 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- re-verifies changed BEHAVIOR, and a doc edit has none.
     # ---- Tail stays ascending last-green (r11 -> r14), so the r16
     # ---- head reads straight off the top.
+    # ---- LATE-r15 NOTE (float-specials block): nine more queries
+    # ---- changed AFTER the head was frozen at its 50-slot capacity
+    # ---- (winsorize_features, feature_binning, rolling_anomaly,
+    # ---- attribution_last_touch, cohort_ltv_curve, psi_drift,
+    # ---- zorder_locality, moments_profile, grouped_map_zscore,
+    # ---- partition_pruned_rollup — the nonfinite-metric contract
+    # ---- adoption). The head's 31-row r10
+    # ---- stratum is MANDATORY (the staleness bar is unsatisfiable
+    # ---- otherwise — the r8 lesson), so these nine stay tailed this
+    # ---- round carrying six-corpora local differential evidence
+    # ---- (clean/NULL/empty/unicode/skew/floats, BASELINE r15), and
+    # ---- are the FIRST claim on the r16 head after any r16 changes.
     "best_match_links",  # NEW r15 (never driver-sampled)
     "feature_scaling",  # green r14, changed r15
     "array_funcs",  # green r14, changed r15
@@ -328,6 +340,47 @@ def oracle_sql() -> dict[str, str]:
         for name, spec in _ordered().items()
         if spec.oracle is not None
     }
+
+
+# --- poisoned-metric normalization (r15 float-specials corpus) ----------
+# Nonfinite metric values (NaN/±Inf — ~0.5% of a realistic 100 TB feed)
+# carry no magnitude information: left in, every cent-grid cast dies
+# with ANSI CAST_OVERFLOW mid-job, NaN flows differ between pandas
+# (NA-skipping) and SQL (propagating), and DuckDB's STDDEV overflows
+# outright. The engine-wide contract: nonfinite values scope out
+# EXACTLY like NULLs. Queries adopt it by loading events through
+# `metric_events` and wrapping their oracle with `with_finite_events`
+# — the pair keeps both engines on the identical (finite ∪ NULL)
+# relation, and the already-pinned NULL contracts do the rest.
+
+_FIN_EVENTS_CTE = (
+    "__fin_events AS (SELECT * REPLACE ("
+    "CASE WHEN isfinite(value) THEN value END AS value) FROM events)"
+)
+
+
+def with_finite_events(oracle: str) -> str:
+    """Splice the finite-value events CTE into a DuckDB oracle and
+    repoint its events references (DuckDB CASE/isfinite mirror of
+    `operators/cleaning.finite_or_null`)."""
+    body = oracle.replace("FROM events", "FROM __fin_events").replace(
+        "JOIN events", "JOIN __fin_events"
+    )
+    stripped = body.lstrip()
+    if stripped.startswith("WITH"):
+        return body.replace("WITH", f"WITH {_FIN_EVENTS_CTE},", 1)
+    return f"WITH {_FIN_EVENTS_CTE} {body}"
+
+
+def metric_events(spark: SparkSession, sf_dir: str):
+    """The events relation with `value` normalized through
+    `finite_or_null` — the Spark half of the poisoned-metric
+    contract (module comment above)."""
+    from core_telecoms_etl_spark.operators.cleaning import finite_or_null
+    from core_telecoms_etl_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn("value", finite_or_null("value"))
 
 
 _LOADED = False

@@ -13,7 +13,11 @@ from core_telecoms_etl_spark.operators.sampling import (
     dataset_split,
     stratified_sample,
 )
-from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.queries import (  # noqa: E501
+    query,
+    metric_events,
+    with_finite_events,
+)
 from core_telecoms_etl_spark.sources.readers import load_table
 
 
@@ -1129,7 +1133,7 @@ def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_binning",
-    oracle="""WITH g AS (
+    oracle=with_finite_events("""WITH g AS (
                 SELECT event_type,
                        CAST(round(value * 100) AS BIGINT) AS v
                 FROM events),
@@ -1146,7 +1150,7 @@ def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(v) AS BIGINT) AS value_grid
               FROM g CROSS JOIN q
-              GROUP BY 1, 2""",
+              GROUP BY 1, 2"""),
 )
 def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency feature binning: global quartile boundaries
@@ -1163,7 +1167,7 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     so bin boundaries carry zero ulp wobble at any scale — the r6
     oracle's float-grid version was one interpolation rounding away
     from a boundary flip (VERDICT r6 item 7)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     g = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("v"),
@@ -1247,7 +1251,7 @@ def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_scaling",
-    oracle="""WITH st AS (
+    oracle=with_finite_events("""WITH st AS (
                 SELECT event_type,
                        min(value) AS mn, max(value) AS mx,
                        CAST(count(*) AS BIGINT) AS n,
@@ -1277,7 +1281,7 @@ def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (sqrt(st.vn
                                        / (st.nd * (st.nd - 1))) / 100)
                      END AS zscore
-              FROM events e JOIN st3 st ON e.event_type = st.event_type""",
+              FROM events e JOIN st3 st ON e.event_type = st.event_type"""),
 )
 def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature scaling — the normalization step every ML
@@ -1315,7 +1319,7 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored magnitude-relative guard vn > 1e-12·n·Σx² (double
     cancellation noise ~5e-16·n·Σx² — three decades of margin each
     side), never ANSI divide-by-zero."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     v = F.round(F.col("value") * 100).cast("long")
     st = ev.groupBy(F.col("event_type").alias("__t")).agg(
         F.min("value").alias("mn"),
@@ -1595,7 +1599,7 @@ def traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "winsorize_features",
-    oracle="""WITH g AS (
+    oracle=with_finite_events("""WITH g AS (
                 SELECT event_type,
                        CAST(round(value * 100) AS BIGINT) AS v
                 FROM events),
@@ -1617,7 +1621,7 @@ def traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ELSE g.v END) AS DOUBLE) / 100.0
                        AS sum_winsorized
               FROM g JOIN q ON g.event_type = q.qt
-              GROUP BY 1""",
+              GROUP BY 1"""),
 )
 def winsorize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization (clip at the 5th/95th percentile) — the
@@ -1634,7 +1638,7 @@ def winsorize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the integer grid, and the winsorized sum is exact long
     arithmetic with one final divide — no float-summation-order risk
     at any scale."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     g = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("v"),
@@ -1785,7 +1789,7 @@ def _morton_sql(a: str, b: str, bits: int = 8) -> str:
 
 @query(
     "zorder_locality",
-    oracle=f"""WITH g AS (
+    oracle=with_finite_events(f"""WITH g AS (
                  SELECT user_id AS a,
                         CAST(round(value * 100) AS BIGINT) AS b
                  FROM events),
@@ -1811,7 +1815,7 @@ def _morton_sql(a: str, b: str, bits: int = 8) -> str:
                       CAST(max(an) AS BIGINT) AS a_hi,
                       CAST(min(bn) AS BIGINT) AS b_lo,
                       CAST(max(bn) AS BIGINT) AS b_hi
-               FROM keyed GROUP BY 1""",
+               FROM keyed GROUP BY 1"""),
 )
 def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering report — the layout-maintenance diagnostic
@@ -1835,7 +1839,7 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_minmax,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     g = ev.select(
         F.col("user_id").cast("long").alias("a"),
         F.round(F.col("value") * 100).cast("long").alias("b"),
@@ -1911,7 +1915,11 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     fp = _events_fingerprint(sf_dir)
 
     def _build(stage: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
+        # the layout carries the poisoned-metric contract (value
+        # normalized through finite_or_null) — partition_pruned_rollup
+        # sums value, and its oracle is with_finite_events-wrapped to
+        # the same relation
+        ev = metric_events(spark, sf_dir).select(
             "event_id",
             "event_type",
             "value",
@@ -1939,7 +1947,7 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 @query(
     "partition_pruned_rollup",
-    oracle="""WITH f AS (
+    oracle=with_finite_events("""WITH f AS (
                 SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
                        event_type, value
                 FROM events
@@ -1955,7 +1963,7 @@ def _pruned_layout_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                      CAST(count(DISTINCT f.event_date) AS BIGINT) AS n_days,
                      round(sum(f.value), 2) AS value_sum
               FROM f JOIN d USING (event_date)
-              GROUP BY 1""",
+              GROUP BY 1"""),
 )
 def partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.15 — STATIC + DYNAMIC partition pruning on the
@@ -2213,7 +2221,7 @@ def lift_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_ltv_curve",
-    oracle="""WITH first AS (
+    oracle=with_finite_events("""WITH first AS (
                 SELECT user_id,
                        CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
                 FROM events GROUP BY user_id),
@@ -2239,7 +2247,7 @@ def lift_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                      round(CAST(c.cum_cents AS DOUBLE) / 100
                            / s.n_users, 4) AS ltv_per_user
               FROM cum c JOIN sizes s ON c.cohort = s.cohort
-              ORDER BY c.cohort, c.age_week""",
+              ORDER BY c.cohort, c.age_week"""),
 )
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: cumulative purchase value per user
@@ -2256,7 +2264,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     age) cells) — the join keys on user_id before aggregation, and the
     cumulative window partitions by cohort over the ≤
     weeks²-sized cell relation, never event rows."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     first = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
     )

@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.operators.multimodal import binary_metadata
-from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.queries import (  # noqa: E501
+    query,
+    metric_events,
+    with_finite_events,
+)
 from core_telecoms_etl_spark.sources.readers import load_table
 from core_telecoms_etl_spark.streaming.events import (
     run_stream_sliding,
@@ -114,9 +118,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stateful",
-    oracle="""SELECT user_id, count(*) AS n_events,
-                     round(sum(value), 2) AS value_sum
-              FROM events GROUP BY user_id""",
+    oracle=with_finite_events(
+        """SELECT user_id, count(*) AS n_events,
+                  round(sum(value), 2) AS value_sum
+           FROM events GROUP BY user_id"""
+    ),
 )
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
@@ -393,7 +399,7 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "attribution_last_touch",
-    oracle="""WITH attrib AS (
+    oracle=with_finite_events("""WITH attrib AS (
                 SELECT event_type, value,
                        coalesce(
                          last_value(CASE WHEN event_type <> 'purchase'
@@ -411,7 +417,7 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS DOUBLE) / 100.0 AS attributed_value
               FROM attrib
               WHERE event_type = 'purchase'
-              GROUP BY 1""",
+              GROUP BY 1"""),
 )
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: each purchase is credited to
@@ -425,7 +431,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     events attribute identically on both engines. At 100 TB: one
     shuffle on user_id, partitions bounded by per-user event counts
     (`key_skew_profile` measures exactly this key)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

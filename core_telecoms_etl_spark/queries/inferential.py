@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from core_telecoms_etl_spark.functions import expressions as xp
-from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.queries import (  # noqa: E501
+    query,
+    metric_events,
+    with_finite_events,
+)
 from core_telecoms_etl_spark.queries.relational import (
     _disc_price_grid,
 )
@@ -1332,7 +1336,7 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "moments_profile",
-    oracle="""WITH v AS (
+    oracle=with_finite_events("""WITH v AS (
                 SELECT event_type,
                        CAST(round(value * 100) AS BIGINT) AS x
                 FROM events),
@@ -1381,7 +1385,7 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                      END AS excess_kurtosis,
                      s1_anchor, s2_anchor, s3_anchor, s4_anchor
               FROM k
-              ORDER BY event_type""",
+              ORDER BY event_type"""),
 )
 def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment distribution profile per event type: mean, std,
@@ -1439,7 +1443,7 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE map-side-combined shuffle carrying five numeric
     accumulators per group — the entire query."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     d = "decimal(38,0)"
     x = F.round(F.col("value") * 100).cast("long")
     v = ev.select("event_type", x.alias("x"))

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.queries import (  # noqa: E501
+    query,
+    metric_events,
+    with_finite_events,
+)
 from core_telecoms_etl_spark.sources.readers import load_table, load_tables
 
 
@@ -367,7 +371,7 @@ def benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mad_outliers",
-    oracle="""WITH med AS (
+    oracle=with_finite_events("""WITH med AS (
                 SELECT event_type,
                        quantile_cont(value, 0.5) AS med
                 FROM events GROUP BY event_type),
@@ -387,7 +391,7 @@ def benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                      min(v.med) AS med,
                      min(a.mad) AS mad
               FROM dev v JOIN mad a ON v.event_type = a.event_type
-              GROUP BY v.event_type""",
+              GROUP BY v.event_type"""),
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier screen per event type: median absolute deviation
@@ -398,7 +402,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated medians via the proven percentile↔quantile_cont
     pairing; two aggregate passes with 1-per-group results broadcast
     back — no window over fact rows, no sort."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     med = ev.groupBy(F.col("event_type").alias("__t1")).agg(
         F.percentile("value", 0.5).alias("med")
     )
@@ -434,7 +438,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "iqr_outliers",
-    oracle="""WITH q AS (
+    oracle=with_finite_events("""WITH q AS (
                 SELECT event_type,
                        quantile_cont(value, 0.25) AS q1,
                        quantile_cont(value, 0.75) AS q3
@@ -451,7 +455,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS n_high,
                      min(q.q1) AS q1, min(q.q3) AS q3
               FROM events e JOIN q ON e.event_type = q.event_type
-              GROUP BY e.event_type""",
+              GROUP BY e.event_type"""),
 )
 def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence (IQR) outlier counts per event type — the boxplot
@@ -461,7 +465,7 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile↔quantile_cont pairing; fences mirrored token-for-token
     (q1 − 1.5·(q3−q1)); one aggregate pass broadcast back, no
     fact-row sort."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     q = ev.groupBy(F.col("event_type").alias("__t")).agg(
         F.percentile("value", 0.25).alias("q1"),
         F.percentile("value", 0.75).alias("q3"),
@@ -738,7 +742,7 @@ def functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "psi_drift",
-    oracle="""WITH v AS (
+    oracle=with_finite_events("""WITH v AS (
                 SELECT event_type, epoch_us(ts) AS e,
                        CAST(round(value * 100) AS BIGINT) AS x
                 FROM events),
@@ -784,7 +788,7 @@ def functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(max(n2) AS BIGINT) AS n_second,
                      round(sum(term), 6) AS psi,
                      round(sum(term), 6) > 0.1 AS drifted
-              FROM t GROUP BY 1 ORDER BY 1""",
+              FROM t GROUP BY 1 ORDER BY 1"""),
 )
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift audit (Q10, extension): per
@@ -811,7 +815,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max stats, then (type, period, bin) counts with the tiny stats
     relation broadcast onto the fact scan; everything after runs on the
     |types|×10 grid. No windows, no collect, no fact-row sort."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = metric_events(spark, sf_dir)
     v = ev.select(
         "event_type",
         F.unix_micros(F.col("ts")).alias("e"),

@@ -12,7 +12,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.queries import (  # noqa: E501
+    query,
+    metric_events,
+    with_finite_events,
+)
 from core_telecoms_etl_spark.sources.readers import load_table
 
 
@@ -240,11 +244,11 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "grouped_map_zscore",
-    oracle="""SELECT event_id, user_id, value,
+    oracle=with_finite_events("""SELECT event_id, user_id, value,
                      round((value - avg(value) OVER w)
                            / stddev_samp(value) OVER w, 4) AS zscore
               FROM events
-              WINDOW w AS (PARTITION BY user_id)""",
+              WINDOW w AS (PARTITION BY user_id)"""),
 )
 def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas UDF (applyInPandas): per-user z-score of event
@@ -265,7 +269,7 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return (
-        load_table(spark, sf_dir, "events")
+        metric_events(spark, sf_dir)
         .select("event_id", "user_id", "value")
         .groupBy("user_id")
         .applyInPandas(

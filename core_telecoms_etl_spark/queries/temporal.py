@@ -13,7 +13,11 @@ from core_telecoms_etl_spark.operators.temporal import (
     asof_join,
     range_join_binned,
 )
-from core_telecoms_etl_spark.queries import query
+from core_telecoms_etl_spark.queries import (  # noqa: E501
+    query,
+    metric_events,
+    with_finite_events,
+)
 from core_telecoms_etl_spark.sources.readers import load_table
 
 
@@ -394,7 +398,7 @@ def time_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_anomaly",
-    oracle="""WITH g AS (
+    oracle=with_finite_events("""WITH g AS (
                 SELECT event_id, ts, user_id, event_type, value, props,
                        CAST(round(value * 100) AS BIGINT) AS v,
                        count(value) OVER w AS n,
@@ -409,7 +413,7 @@ def time_grid_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(n AS BIGINT) AS n_baseline
               FROM g
               WHERE n >= 10
-                AND (n*v - s) * (n*v - s) > 9 * (n*ss - s*s)""",
+                AND (n*v - s) * (n*v - s) > 9 * (n*ss - s*s)"""),
 )
 def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window z-score anomaly detection
@@ -427,7 +431,7 @@ def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rolling_zscore_anomaly(
-        load_table(spark, sf_dir, "events"),
+        metric_events(spark, sf_dir),
         key_col="user_id",
         ts_col="ts",
         value_col="value",

@@ -24,7 +24,8 @@ N_QUERY_VECS = 8
 # scopes to the same conformant relation its Spark query scores)
 _VOK = (
     "embedding IS NOT NULL AND len(embedding) > 0 "
-    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    "AND len(list_filter(embedding, "
+    "x -> x IS NULL OR NOT isfinite(x))) = 0"
 )
 _EMB_OK = f"(SELECT * FROM embeddings WHERE {_VOK})"
 
@@ -394,10 +395,19 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST(embedding AS DOUBLE[]) AS v,
                        list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                x -> abs(x))) / 127.0
-                         AS scale
-                FROM embeddings)
+                         AS raw_scale,
+                       len(list_filter(CAST(embedding AS DOUBLE[]),
+                                       x -> NOT isfinite(x))) > 0
+                         AS nonfin
+                FROM embeddings),
+              t2 AS (
+                SELECT vec_id, label, v,
+                       CASE WHEN coalesce(nonfin, FALSE) THEN NULL
+                            ELSE raw_scale END AS scale,
+                       coalesce(nonfin, FALSE) AS nonfin
+                FROM t)
               SELECT vec_id, label, scale,
-                     CASE WHEN v IS NULL THEN NULL
+                     CASE WHEN v IS NULL OR nonfin THEN NULL
                           ELSE coalesce(array_to_string(
                             CASE WHEN scale = 0
                                  THEN list_transform(v,
@@ -407,12 +417,13 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              AS BIGINT))
                             END, ','), '')
                      END AS qvec_csv,
-                     CASE WHEN scale = 0
+                     CASE WHEN nonfin THEN NULL
+                          WHEN scale = 0
                           THEN list_max(list_transform(v, x -> abs(x)))
                           ELSE list_max(list_transform(v,
                             x -> abs(x - floor(x / scale + 0.5) * scale)))
                      END AS max_abs_err
-              FROM t""",
+              FROM t2""",
 )
 def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (operators/similarity.py):

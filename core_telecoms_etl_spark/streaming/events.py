@@ -235,6 +235,7 @@ def stateful_user_totals(
     `run_stream_stateful(..., max_state_rows=...)`: the runner checks
     numRowsTotal from every micro-batch's progress and raises at the
     first over-cap batch naming this TTL as the escalation path."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -254,7 +255,12 @@ def stateful_user_totals(
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += int(len(pdf))
-            s += float(pdf["value"].fillna(0.0).sum())
+            # nonfinite metric contract (queries/__init__.py): NaN/±Inf
+            # carry no magnitude and scope out like NULLs — the old
+            # fillna(0) treated NaN as zero (a silent value) and let
+            # Inf poison the running sum for the key's lifetime
+            v = pdf["value"]
+            s += float(v[np.isfinite(v)].sum())
         state.update((n, s))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

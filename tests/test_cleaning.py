@@ -76,3 +76,31 @@ def test_dedup_latest_by_key(spark):
     out = cl.dedup_latest_by_key(df, keys=["k"], order_by=["ts"])
     got = {r.k: r.v for r in out.collect()}
     assert got == {1: "new", 2: "only"}
+
+
+def test_finite_or_null_scopes_nonfinite_like_null(spark):
+    """The r15 poisoned-metric contract: NaN/±Inf carry no magnitude
+    and normalize to NULL; finite values (including 0.0 and negatives)
+    pass through untouched; NULL stays NULL."""
+    from pyspark.sql import functions as F
+
+    from core_telecoms_etl_spark.operators.cleaning import (
+        finite,
+        finite_or_null,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, float("nan")), (3, float("inf")),
+         (4, float("-inf")), (5, None), (6, 0.0), (7, -3.25)],
+        "id long, v double",
+    )
+    out = {
+        r.id: r.fv
+        for r in df.select(
+            "id", finite_or_null("v").alias("fv")
+        ).collect()
+    }
+    assert out == {1: 2.5, 2: None, 3: None, 4: None, 5: None,
+                   6: 0.0, 7: -3.25}
+    kept = sorted(r.id for r in df.filter(finite("v")).collect())
+    assert kept == [1, 6, 7]

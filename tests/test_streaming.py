@@ -634,3 +634,45 @@ def test_stream_stream_join_max_state_rows_guard(spark, sf_dir):
         spark, path, query_name="ssj_guard_ok", max_state_rows=10_000_000
     )
     assert out.count() >= 0  # materialized without tripping
+
+
+def test_state_bound_guard_filters_foreign_violations(spark):
+    """r15 self-review #1: a violation recorded from a DIFFERENT query
+    on the same session must not make saw_violation() true for this
+    query (it would swallow this query's genuine exception), while a
+    violation carrying this query's id must."""
+    from core_telecoms_etl_spark.streaming.events import StateBoundGuard
+
+    class _Q:
+        def __init__(self, qid):
+            self.id = qid
+            self.recentProgress = []
+
+    guard = StateBoundGuard(
+        spark, 10, what="test", hint="none"
+    )
+    try:
+        q = _Q("this-query")
+        guard.listener.violations.append(("other-query", 0, 99))
+        assert not guard.saw_violation(q)
+        guard.listener.violations.append(("this-query", 3, 42))
+        assert guard.saw_violation(q)
+    finally:
+        guard.abandon()
+    # abandoned guard is inert: no listener, every call a no-op
+    assert guard.listener is None
+    assert not guard.saw_violation(_Q("this-query"))
+    guard.check(_Q("this-query"))  # must not raise
+
+
+def test_state_bound_guard_abandon_removes_listener(spark):
+    """r15 self-review #5: when start() raises, abandon() must unhook
+    the listener from spark.streams — a leaked listener accumulates
+    every later query's violations for the session lifetime."""
+    from core_telecoms_etl_spark.streaming.events import StateBoundGuard
+
+    before = len(spark.streams._jsqm.listListeners())
+    guard = StateBoundGuard(spark, 10, what="test", hint="none")
+    assert len(spark.streams._jsqm.listListeners()) == before + 1
+    guard.abandon()
+    assert len(spark.streams._jsqm.listListeners()) == before
