@@ -78,6 +78,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_rows(
+    df: DataFrame, text_col: str, id_col: str, *, copies_col: str = "n_copies"
+) -> DataFrame:
+    """Keep-rows exact dedup: the SURVIVING ROW (lowest id) per sha256
+    digest, full payload carried through the one digest shuffle via
+    min_by — the composition form of `exact_dedup`.
+
+    The equivalent dedup-then-join-back (`df ⋈ exact_dedup(df).ids`)
+    evaluates `df`'s lineage twice (digest branch + probe branch) and
+    pays a second join on the id key; here the payload rides the single
+    hashpartitioning(digest) exchange and survives as
+    min_by(struct(row), id) — one evaluation, one exchange, no join
+    (r15 optimization round; measured on training_pipeline /
+    layered_near_dup whose upstreams are expensive composed chains).
+    Requires `id_col` non-null (min_by skips NULL-ordered rows); ids
+    are unique in every caller, making the survivor deterministic.
+    Returns df's columns plus `copies_col` (exact-copy count)."""
+    cols = df.columns
+    return (
+        df.groupBy(content_sha256(text_col).alias("__digest"))
+        .agg(
+            F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"),
+            F.count("*").alias(copies_col),
+        )
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols], copies_col)
+    )
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, shingles) with token + shingle arrays materialized in their own
     projections — keeps Catalyst from re-inlining the tokenizer into every
@@ -934,8 +962,10 @@ def layered_near_dup(
     Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard, copies_a,
     copies_b) where copies_* are the exact-copy counts each side
     represents."""
-    reps = exact_dedup(df, text_col, id_col).select(id_col, "n_copies")
-    rep_docs = reps.join(df, id_col, "inner").select(
+    # keep-rows form: one digest shuffle carrying the text payload,
+    # instead of exact_dedup + join-back (which evaluates `df` twice —
+    # r15 optimization round; identical survivors by construction)
+    rep_docs = exact_dedup_rows(df, text_col, id_col).select(
         id_col, text_col, "n_copies"
     )
     pairs = jaccard_pairs(
@@ -1218,6 +1248,13 @@ def segment_dedup(
         .filter(F.size("__toks") > 0)
         .select(
             "__id",
+            # per-doc segment count rides the exploded rows (it is known
+            # BEFORE the explode — ceil(|toks|/seg_tokens) — so the
+            # reassembly groupBy reads it off its own input instead of
+            # re-running the scan→tokenize→explode subtree a third time
+            # for a count + join-back; r15 optimization round, plan
+            # went 3 Generate subtrees → 2 and lost one join)
+            n_segs.alias("__n_segs"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_segs - 1),
@@ -1237,10 +1274,12 @@ def segment_dedup(
         F.count_distinct("__id").alias("__df")
     )
     kept = segs.join(freq, "seg").filter(F.col("__df") <= max_df)
+    # __n_segs is functionally dependent on __id, so grouping by both
+    # yields the same groups; docs whose every segment was boilerplate
+    # drop out here exactly as they did under the old inner join-back
     return (
-        kept.groupBy("__id")
+        kept.groupBy("__id", "__n_segs")
         .agg(
-            F.max("pos").alias("__maxpos"),
             F.count("*").alias("n_kept"),
             F.array_join(
                 F.transform(
@@ -1252,13 +1291,9 @@ def segment_dedup(
                 " ",
             ).alias("clean_text"),
         )
-        .join(
-            segs.groupBy("__id").agg(F.count("*").alias("n_segs")),
-            "__id",
-        )
         .select(
             F.col("__id").alias(id_col),
-            F.col("n_segs").cast("long").alias("n_segs"),
+            F.col("__n_segs").cast("long").alias("n_segs"),
             F.col("n_kept").cast("long").alias("n_kept"),
             "clean_text",
         )

@@ -69,7 +69,16 @@ def deterministic_shuffle(
     shuffle on the hash group + one broadcast of the G-row offsets."""
     keyed, w = _grouped_order(df, id_col, salt, n_groups)
     keyed = keyed.withColumn("__rn", F.count("*").over(w))
-    totals = keyed.groupBy("__grp").agg(F.count("*").alias("__n"))
+    # Group totals are read OFF the running count (max of a running
+    # count = the group's row count), not re-aggregated from the raw
+    # input: a groupBy over `keyed`'s pre-window lineage re-evaluates
+    # the ENTIRE upstream plan a second time (measured on
+    # training_pipeline, whose upstream is the composed quality→dedup→
+    # decontaminate chain), while this agg sits on top of the window's
+    # own hashpartitioning(__grp) exchange — no second exchange, and
+    # AQE exchange reuse feeds the broadcast build side from the same
+    # shuffle files the probe side reads (r15 optimization round).
+    totals = keyed.groupBy("__grp").agg(F.max("__rn").alias("__n"))
     # the G-row offsets prefix sum IS meant to run single-partition (G ≪ N);
     # partition on pmod(__grp, 1) — constantly 0 but not constant-foldable —
     # so WindowExec doesn't emit its "No Partition Defined" warning for a
@@ -111,9 +120,11 @@ def pack_sequences(
     token counts instead of row counts."""
     keyed, w = _grouped_order(df, id_col, salt, n_groups)
     keyed = keyed.withColumn("__cum", F.sum(token_count_col).over(w))
-    totals = keyed.groupBy("__grp").agg(
-        F.sum(token_count_col).alias("__t")
-    )
+    # max of the running sum = the group's token total (token counts
+    # are non-negative, so __cum is non-decreasing within the group;
+    # NULL counts are skipped by both forms). Same single-evaluation /
+    # single-exchange rationale as deterministic_shuffle above.
+    totals = keyed.groupBy("__grp").agg(F.max("__cum").alias("__t"))
     # the G-row offsets prefix sum IS meant to run single-partition (G ≪ N);
     # partition on pmod(__grp, 1) — constantly 0 but not constant-foldable —
     # so WindowExec doesn't emit its "No Partition Defined" warning for a

@@ -2225,6 +2225,16 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(asia_supp),
             li["l_suppkey"] == F.col("s_suppkey"),
         )
+        # one exchange serves BOTH the aggregate and the window: hash
+        # on the window key alone (a subset of the grouping key, so the
+        # grouping distribution is still satisfied — every
+        # (partkey,suppkey,…) group lands whole in a partkey partition)
+        # instead of Exchange(partkey,suppkey,…) → Exchange(partkey).
+        # (partkey,suppkey) pairs are near-unique in lineitem, so the
+        # dropped partial-agg combining loses ~nothing while the plan
+        # sheds a full shuffle of the aggregated relation (guide §2.4;
+        # r15 optimization round — plan 2 Exchange → 1).
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
         .agg(F.min(cost_grid).alias("cost_grid"))
     )
@@ -2594,6 +2604,11 @@ def part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
     ss = (
         li.join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"))
+        # hash on the window key only — the same shared-exchange move
+        # as min_cost_supplier (subset partitioning satisfies the
+        # (partkey,suppkey) grouping; guide §2.4): the aggregate and
+        # the per-part window ride ONE shuffle instead of two
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.round(F.col("l_quantity")).cast("bigint"))
@@ -2659,6 +2674,11 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lat = (
         li.join(f_orders, li["l_orderkey"] == F.col("o_orderkey"))
+        # hash on the window key only — shared-exchange move (see
+        # min_cost_supplier): Exchange(suppkey,orderkey) →
+        # Exchange(orderkey) collapses to ONE Exchange(orderkey)
+        # serving both the aggregate and the per-order window
+        .repartition("l_orderkey")
         .groupBy("l_suppkey", "l_orderkey")
         .agg(
             F.max(
@@ -3001,6 +3021,14 @@ def kll_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("kll_sketch_agg_double(value)").alias("sk"),
             F.count("*").alias("n"),
+            # the exact-band values ride the SAME daily shuffle as the
+            # sketches (r15 optimization round): the band previously
+            # re-scanned events and expanded them 7× through a
+            # grid⋈events BroadcastNestedLoopJoin range join + a second
+            # aggregation + a final day join — the whole verification
+            # arm now runs over the daily relation. collect_list skips
+            # NULLs, exactly like percentile() did.
+            F.collect_list("value").alias("__vals"),
         )
         .withColumn(
             "dn",
@@ -3014,32 +3042,46 @@ def kll_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dn")
         .rangeBetween(-6, 0)
     )
+
+    # Bit-exact replica of Percentile.getPercentile (spark-catalyst
+    # PercentileBase): position = p·(N−1); keys at 1-based ranks
+    # floor(position)+1 / ceil(position)+1 of the SORTED multiset
+    # (sort_array uses the same NaN-greatest ordering); equal-bound and
+    # equal-key short-circuits; else (hi−pos)·lk + (pos−lo)·hk in that
+    # operation order. The -0.0/NaN equality edge cases are invisible
+    # through the >=/<= band comparisons below.
+    def _exact_pct(arr, p: float):
+        n = F.size(arr)
+        pos = F.lit(p) * (n - F.lit(1)).cast("double")
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        lk = F.element_at(arr, (lo + 1).cast("int"))
+        hk = F.element_at(arr, (hi + 1).cast("int"))
+        return (
+            F.when(n == 0, F.lit(None).cast("double"))
+            .when(hi == lo, lk)
+            .when(hk == lk, lk)
+            .otherwise(
+                (hi.cast("double") - pos) * lk
+                + (pos - lo.cast("double")) * hk
+            )
+        )
+
+    win_vals = F.sort_array(F.flatten(F.collect_list("__vals").over(w)))
     est = daily.select(
         "day",
         F.sum("n").over(w).alias("n_events_7d"),
         F.expr("kll_merge_agg_double(sk)").over(w).alias("__m"),
+        win_vals.alias("__win"),
     ).select(
         "day",
         "n_events_7d",
         F.expr("kll_sketch_get_quantile_double(__m, 0.5)").alias("__q50"),
-    )
-    ev_days = ev.select(F.col("ts").cast("date").alias("d2"), "value")
-    grid = daily.select("day")
-    band = (
-        grid.join(
-            ev_days,
-            (F.col("d2") >= F.date_sub(F.col("day"), 6))
-            & (F.col("d2") <= F.col("day")),
-        )
-        .groupBy("day")
-        .agg(
-            F.expr("percentile(value, 0.46)").alias("__lo"),
-            F.expr("percentile(value, 0.54)").alias("__hi"),
-        )
+        _exact_pct(F.col("__win"), 0.46).alias("__lo"),
+        _exact_pct(F.col("__win"), 0.54).alias("__hi"),
     )
     return (
-        est.join(band, "day")
-        .select(
+        est.select(
             "day",
             F.col("n_events_7d").cast("long").alias("n_events_7d"),
             (

@@ -771,8 +771,12 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = tx.quality_quantile_filter(scored, "q", 0.25).select(
         "doc_id", "text"
     )
-    reps = dd.exact_dedup(kept, "text", "doc_id").select("doc_id")
-    uniq = kept.join(reps, "doc_id")
+    # keep-rows dedup (min_by through the one digest shuffle) — the
+    # exact_dedup + join-back form evaluated `kept` (and its scalar-
+    # subquery quality threshold) twice; survivors identical
+    uniq = dd.exact_dedup_rows(kept, "text", "doc_id").select(
+        "doc_id", "text"
+    )
     clean = dd.decontaminate(
         uniq.filter(F.col("doc_id") >= 25),
         d.filter(F.col("doc_id") < 25),
@@ -840,14 +844,26 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "         (a, b) -> concat(a, ' ', b))"
             )
         ).alias("bigram"),
-    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
     bc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
-    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c1 (instances starting with w1) and V (start-word vocab) are
+    # DERIVED from the vocabulary-sized bigram-count table — c1 = Σ c2
+    # over bigrams sharing the start word, V = |distinct start words| —
+    # instead of two more aggregations over the exploded fact relation:
+    # the scan→tokenize→explode subtree is evaluated twice (probe + bc)
+    # rather than four times (r15 optimization round; integer identity,
+    # results bit-identical). The stats joins stay key-shuffled at
+    # scale; AQE broadcasts them when small.
+    bcw = bc.withColumn("w1", F.substring_index("bigram", " ", 1))
+    uc = bcw.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = uc.agg(F.count("*").alias("vocab"))
-    return (
-        bg.join(bc, "bigram")
-        .join(uc, "w1")
+    stats = (
+        bcw.join(uc, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select("bigram", "c2", "c1", "vocab")
+    )
+    return (
+        bg.join(stats, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

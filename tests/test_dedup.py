@@ -29,6 +29,24 @@ def test_exact_dedup(spark):
     assert by_id[2] == 1
 
 
+def test_exact_dedup_rows_matches_dedup_plus_joinback(spark):
+    """r15 optimization: the keep-rows form (min_by through the one
+    digest shuffle) returns the SAME survivors and copy counts as the
+    old exact_dedup + join-back composition, with the full payload and
+    no Join in the plan."""
+    d = _docs(spark)
+    out = dd.exact_dedup_rows(d, "text", "doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {0, 1, 2, 4}  # doc 3 collapsed into doc 0
+    assert by_id[0].n_copies == 2
+    assert by_id[2].n_copies == 1
+    # payload survives the shuffle
+    assert by_id[0].text == DOCS[0][1]
+    # single digest exchange, no join-back
+    plan = dd.exact_dedup_rows(d, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Join" not in plan, plan
+
+
 def test_jaccard_pairs_finds_near_dup(spark):
     pairs = dd.jaccard_pairs(
         _docs(spark), "doc_id", "text", n=3, threshold=0.5

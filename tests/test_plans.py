@@ -564,3 +564,35 @@ def test_expansions_rebalance_out_of_aqe_coalescing(spark, sf_dir):
         assert "RoundRobinPartitioning" in plan, (
             f"{name}: expansion rebalance missing\n{plan}"
         )
+
+
+def test_agg_and_window_share_one_exchange_tpch_shapes(spark, sf_dir):
+    """r15 optimization: the three groupBy(composite)→Window(subset-key)
+    TPC-H shapes repartition ONCE on the window key (subset partitioning
+    satisfies the grouping's ClusteredDistribution), so the aggregate
+    and the window ride one exchange instead of two. Pin the total
+    shuffle-exchange count per query so a regression to the
+    Exchange(composite)→Exchange(subset) chain fails loudly."""
+    from core_telecoms_etl_spark.queries import queries
+
+    for name, n_exp in (
+        ("min_cost_supplier", 1),
+        ("part_promotion_suppliers", 3),  # + semi-join SMJ pair
+        ("waiting_orders_suppliers", 2),  # + final s_name rollup
+    ):
+        plan = _formatted(queries()[name](spark, sf_dir))
+        assert _n_exchanges(plan) == n_exp, (name, plan)
+        # the shared exchange hashes on the window key alone
+        key = "l_orderkey" if name == "waiting_orders_suppliers" else "l_partkey"
+        assert f"hashpartitioning({key}#" in plan, (name, plan)
+
+
+def test_segment_dedup_evaluates_explode_twice_not_thrice(spark, sf_dir):
+    """r15 optimization: the per-doc segment count rides the exploded
+    rows (it is known before the explode), so the reassembly no longer
+    joins back a third evaluation of the scan→tokenize→explode subtree:
+    exactly 2 Generate nodes (frequency arm + probe arm)."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["segment_boilerplate_dedup"](spark, sf_dir))
+    assert _n_ops(plan, "Generate") == 2, plan
