@@ -781,9 +781,16 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracles mirror the filter
     pu = ev.filter(F.col("event_type").isNotNull()).groupBy("user_id").agg(
         F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
-        (F.max_by("event_type", "ts") == F.lit("error"))
-        .cast("long")
-        .alias("observed"),
+        # the == 'error' comparison moves INSIDE max_by so the
+        # aggregation buffer is (long, timestamp) — fixed-width, so the
+        # whole per-user pass plans HashAggregate; with the string
+        # value in the buffer it demoted to SortAggregate with full
+        # sorts of the event relation on both sides of the exchange
+        # (r15 optimization round). (user_id, ts) unique ⇒ the selected
+        # event is identical, so the flag is bit-identical.
+        F.max_by(
+            (F.col("event_type") == F.lit("error")).cast("long"), F.col("ts")
+        ).alias("observed"),
     )
     byt = pu.groupBy(F.col("dur").alias("t")).agg(
         F.sum("observed").alias("d"), F.count("*").alias("c")
@@ -1267,9 +1274,12 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracles mirror the filter
     pu = ev.filter(F.col("event_type").isNotNull()).groupBy("user_id").agg(
         F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
-        (F.max_by("event_type", "ts") == F.lit("error"))
-        .cast("long")
-        .alias("observed"),
+        # fixed-width max_by buffer — see kaplan_meier (same idiom,
+        # same bit-identical selection under the (user_id, ts)
+        # uniqueness contract; keeps this pass in HashAggregate)
+        F.max_by(
+            (F.col("event_type") == F.lit("error")).cast("long"), F.col("ts")
+        ).alias("observed"),
         F.max((F.col("event_type") == "purchase").cast("long")).alias(
             "grp_a"
         ),

@@ -176,8 +176,11 @@ def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ/dbt-profile-style per-column statistics (operators/dq.py
     profile_columns): null counts, exact distinct counts, typed extrema
-    for five lineitem columns — one aggregation pass over one scan (the
-    oracle's five UNION ALL scans compute the same relation)."""
+    for five lineitem columns — one hash-aggregated Expand pass plus a
+    sort-free 2-column string-extrema pass broadcast back (see the
+    operator docstring for why string min/max must not ride the Expand
+    aggregate; the oracle's five UNION ALL scans compute the same
+    relation)."""
     from core_telecoms_etl_spark.operators.dq import profile_columns
 
     return profile_columns(

@@ -1115,31 +1115,35 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally floored in `tests/test_relational.py`."""
     li = load_table(spark, sf_dir, "lineitem")
     acc = 10_000
+    # ONE sketch and ONE exact-percentile buffer per group via the
+    # array forms (r15 optimization round): the scalar forms built two
+    # independent approx sketches and FOUR independent exact-percentile
+    # value buffers per group — 6 aggregation states each holding the
+    # group's values/digest where 2 suffice. Element extraction is the
+    # same interpolation on the same shared state, so every band value
+    # (and the flags) is bit-identical to the scalar form.
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias(
-            "__a50"
-        ),
-        F.expr(f"approx_percentile(l_extendedprice, 0.99, {acc})").alias(
-            "__a99"
-        ),
-        F.expr("percentile(l_extendedprice, 0.48)").alias("__lo50"),
-        F.expr("percentile(l_extendedprice, 0.52)").alias("__hi50"),
-        F.expr("percentile(l_extendedprice, 0.985)").alias("__lo99"),
-        F.expr("percentile(l_extendedprice, 0.995)").alias("__hi99"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5D, 0.99D), {acc})"
+        ).alias("__a"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.48D, 0.52D, 0.985D, 0.995D))"
+        ).alias("__ex"),
     )
     return agg.select(
         "l_returnflag",
         "n_rows",
         (
-            (F.col("__a50") >= F.col("__lo50"))
-            & (F.col("__a50") <= F.col("__hi50"))
+            (F.col("__a")[0] >= F.col("__ex")[0])
+            & (F.col("__a")[0] <= F.col("__ex")[1])
         )
         .cast("long")
         .alias("p50_in_band"),
         (
-            (F.col("__a99") >= F.col("__lo99"))
-            & (F.col("__a99") <= F.col("__hi99"))
+            (F.col("__a")[1] >= F.col("__ex")[2])
+            & (F.col("__a")[1] <= F.col("__ex")[3])
         )
         .cast("long")
         .alias("p99_in_band"),

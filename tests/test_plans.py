@@ -596,3 +596,49 @@ def test_segment_dedup_evaluates_explode_twice_not_thrice(spark, sf_dir):
 
     plan = _formatted(queries()["segment_boilerplate_dedup"](spark, sf_dir))
     assert _n_ops(plan, "Generate") == 2, plan
+
+
+def test_profile_table_expand_path_hash_aggregates(spark, sf_dir):
+    """r15 optimization: string extrema must NOT ride the Expand
+    aggregate (their buffer demotes the whole multi-distinct pipeline
+    to SortAggregate with full sorts of the n_cols×-expanded relation).
+    The Expand path hash-aggregates; the only SortAggregates are the
+    sort-free zero-grouping string pass, broadcast back."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["profile_table"](spark, sf_dir))
+    assert _n_ops(plan, "Expand") == 1, plan
+    assert _n_ops(plan, "HashAggregate") >= 4, plan
+    assert _n_ops(plan, "SortAggregate") <= 2, plan
+    # the string pass needs no sort: zero grouping keys
+    assert _n_ops(plan, "Sort") == 0, plan
+
+
+def test_survival_queries_hash_aggregate_only(spark, sf_dir):
+    """r15 optimization: the == 'error' comparison lives INSIDE max_by
+    so the per-user buffer is fixed-width — no SortAggregate (which
+    sorted the full event relation twice) anywhere in either survival
+    query."""
+    from core_telecoms_etl_spark.queries import queries
+
+    for name in ("kaplan_meier", "log_rank_test"):
+        plan = _formatted(queries()[name](spark, sf_dir))
+        assert _n_ops(plan, "SortAggregate") == 0, (name, plan)
+
+
+def test_approx_quantiles_shares_percentile_buffers(spark, sf_dir):
+    """r15 optimization: one approx sketch + one exact-percentile
+    buffer per group via the array forms (was 2 + 4 independent
+    aggregation states holding the same values)."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["approx_quantiles"](spark, sf_dir))
+    assert plan.count("approx_percentile") >= 1
+    # exactly one exact-percentile aggregate expression in the plan's
+    # aggregate Functions list (the array form), not four
+    import re as _re
+
+    fns = [l for l in plan.splitlines() if "Functions" in l]
+    n_pct = sum(l.count("percentile(l_extendedprice") - l.count("approx_percentile(l_extendedprice") for l in fns)
+    # partial + final rows each list the aggregate once
+    assert n_pct <= 2, fns
