@@ -2237,7 +2237,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (partkey,suppkey) pairs are near-unique in lineitem, so the
         # dropped partial-agg combining loses ~nothing while the plan
         # sheds a full shuffle of the aggregated relation (guide §2.4;
-        # r15 optimization round — plan 2 Exchange → 1).
+        # r15 optimization round — plan 2 Exchange → 1). POST-join
+        # placement is correct HERE because the join key (suppkey)
+        # differs from the window key (partkey): if the supplier dim
+        # ever outgrows the broadcast threshold the SMJ shuffles on
+        # suppkey and this partkey exchange is needed regardless —
+        # unlike part_promotion/waiting_orders, where join key =
+        # window key and the repartition belongs BEFORE the join.
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
         .agg(F.min(cost_grid).alias("cost_grid"))
@@ -2606,13 +2612,17 @@ def part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "part", "supplier"
     )
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    # hash the fact on the window key BEFORE the join (the join key IS
+    # the window key here): with the pre-filtered part dim broadcast,
+    # the one exchange serves join + aggregate + per-part window (the
+    # shared-exchange move, see min_cost_supplier); if the dim ever
+    # outgrows the broadcast threshold, a sort-merge join on p_partkey
+    # REUSES this same partitioning instead of adding its own — the
+    # post-join placement would double-shuffle in that regime (the
+    # waiting_orders_suppliers sf1 lesson).
     ss = (
-        li.join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"))
-        # hash on the window key only — the same shared-exchange move
-        # as min_cost_supplier (subset partitioning satisfies the
-        # (partkey,suppkey) grouping; guide §2.4): the aggregate and
-        # the per-part window ride ONE shuffle instead of two
-        .repartition("l_partkey")
+        li.repartition("l_partkey")
+        .join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.round(F.col("l_quantity")).cast("bigint"))
@@ -2676,13 +2686,18 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
+    # hash the FACT on the window key BEFORE the join (not after — the
+    # r15 sf1 A/B caught that): when f_orders is broadcast the one
+    # exchange serves join + aggregate + window (subset partitioning
+    # satisfies the (suppkey,orderkey) grouping — the shared-exchange
+    # move, see min_cost_supplier); when orders outgrows the broadcast
+    # threshold the sort-merge join REUSES this same orderkey
+    # partitioning instead of adding its own, so lineitem crosses the
+    # wire exactly once at every scale. A post-join repartition
+    # duplicated the SMJ's shuffle at sf1: 1.6 s → 8.5 s.
     lat = (
-        li.join(f_orders, li["l_orderkey"] == F.col("o_orderkey"))
-        # hash on the window key only — shared-exchange move (see
-        # min_cost_supplier): Exchange(suppkey,orderkey) →
-        # Exchange(orderkey) collapses to ONE Exchange(orderkey)
-        # serving both the aggregate and the per-order window
-        .repartition("l_orderkey")
+        li.repartition("l_orderkey")
+        .join(f_orders, li["l_orderkey"] == F.col("o_orderkey"))
         .groupBy("l_suppkey", "l_orderkey")
         .agg(
             F.max(
