@@ -1172,10 +1172,15 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("v"),
     )
-    q = g.agg(
-        F.percentile("v", 0.25).alias("q1"),
-        F.percentile("v", 0.5).alias("q2"),
-        F.percentile("v", 0.75).alias("q3"),
+    # ONE percentile buffer via the array form (r15 optimization
+    # round): three scalar percentile() aggregates each built their
+    # own full value buffer over the fact; the array form evaluates
+    # all three percentages against one buffer — same interpolation,
+    # bit-identical values (the approx_quantiles 4-scale validation)
+    q = g.agg(F.percentile("v", [0.25, 0.5, 0.75]).alias("__q")).select(
+        F.col("__q")[0].alias("q1"),
+        F.col("__q")[1].alias("q2"),
+        F.col("__q")[2].alias("q3"),
     )
     binned = g.join(F.broadcast(q)).select(
         "event_type",
@@ -1643,9 +1648,16 @@ def winsorize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("v"),
     )
-    q = g.groupBy(F.col("event_type").alias("qt")).agg(
-        F.round(F.percentile("v", 0.05)).cast("bigint").alias("lo"),
-        F.round(F.percentile("v", 0.95)).cast("bigint").alias("hi"),
+    # one shared percentile buffer per group (array form — see
+    # quartile binning above); round/cast applied per element
+    q = (
+        g.groupBy(F.col("event_type").alias("qt"))
+        .agg(F.percentile("v", [0.05, 0.95]).alias("__q"))
+        .select(
+            "qt",
+            F.round(F.col("__q")[0]).cast("bigint").alias("lo"),
+            F.round(F.col("__q")[1]).cast("bigint").alias("hi"),
+        )
     )
     clipped = g.join(
         F.broadcast(q), g["event_type"] == F.col("qt")

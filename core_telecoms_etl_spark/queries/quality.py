@@ -469,9 +469,17 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q1 − 1.5·(q3−q1)); one aggregate pass broadcast back, no
     fact-row sort."""
     ev = metric_events(spark, sf_dir)
-    q = ev.groupBy(F.col("event_type").alias("__t")).agg(
-        F.percentile("value", 0.25).alias("q1"),
-        F.percentile("value", 0.75).alias("q3"),
+    # one shared percentile buffer per group via the array form (r15
+    # optimization round; values bit-identical — same interpolation
+    # over the same state)
+    q = (
+        ev.groupBy(F.col("event_type").alias("__t"))
+        .agg(F.percentile("value", [0.25, 0.75]).alias("__q"))
+        .select(
+            "__t",
+            F.col("__q")[0].alias("q1"),
+            F.col("__q")[1].alias("q3"),
+        )
     )
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - F.lit(1.5) * iqr

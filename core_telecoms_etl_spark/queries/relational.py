@@ -783,10 +783,23 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly representable doubles in every engine. At 100 TB swap to
     approx_percentile (t-digest sketch, no global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
-        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
-        F.max("l_quantity").cast("double").alias("max_qty"),
+    # one shared percentile buffer per group via the array form (r15
+    # optimization round) — element extraction is the same
+    # interpolation over the same state, values bit-identical
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.5D, 0.9D))").alias(
+                "__q"
+            ),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("__q")[0].alias("p50_qty"),
+            F.col("__q")[1].alias("p90_qty"),
+            "max_qty",
+        )
     )
 
 
@@ -1456,12 +1469,25 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = monthly.groupBy("o_orderstatus").agg(
         F.expr("kll_merge_agg_double(sk)").alias("msk")
     )
-    exact = o.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.expr("percentile(o_totalprice, 0.46)").alias("__lo50"),
-        F.expr("percentile(o_totalprice, 0.54)").alias("__hi50"),
-        F.expr("percentile(o_totalprice, 0.86)").alias("__lo90"),
-        F.expr("percentile(o_totalprice, 0.94)").alias("__hi90"),
+    # one shared exact-percentile buffer per group (array form, r15
+    # optimization round: was four independent full value buffers)
+    exact = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "percentile(o_totalprice,"
+                " array(0.46D, 0.54D, 0.86D, 0.94D))"
+            ).alias("__ex"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("__ex")[0].alias("__lo50"),
+            F.col("__ex")[1].alias("__hi50"),
+            F.col("__ex")[2].alias("__lo90"),
+            F.col("__ex")[3].alias("__hi90"),
+        )
     )
     j = merged.join(exact, "o_orderstatus").select(
         "o_orderstatus",
