@@ -2638,17 +2638,19 @@ def part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "part", "supplier"
     )
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
-    # hash the fact on the window key BEFORE the join (the join key IS
-    # the window key here): with the pre-filtered part dim broadcast,
-    # the one exchange serves join + aggregate + per-part window (the
-    # shared-exchange move, see min_cost_supplier); if the dim ever
-    # outgrows the broadcast threshold, a sort-merge join on p_partkey
-    # REUSES this same partitioning instead of adding its own — the
-    # post-join placement would double-shuffle in that regime (the
-    # waiting_orders_suppliers sf1 lesson).
+    # hash on the window key only — the shared-exchange move (see
+    # min_cost_supplier): the aggregate and the per-part window ride
+    # ONE shuffle instead of two. Placement is AFTER the join because
+    # the red-part semi-filter is highly selective (~2 % of lineitem
+    # survives): repartitioning first would shuffle the WHOLE fact
+    # (measured 2× worse at sf1 — r15 A/B), and the broadcast dim stays
+    # broadcastable at scale (the filtered subset grows with the part
+    # dim, not the fact). Contrast waiting_orders_suppliers, whose
+    # "dim" is the fact-sized orders table and whose filter keeps half
+    # the rows — there the pre-join placement wins (SMJ reuse).
     ss = (
-        li.repartition("l_partkey")
-        .join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"))
+        li.join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"))
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.round(F.col("l_quantity")).cast("bigint"))
