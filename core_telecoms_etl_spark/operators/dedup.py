@@ -94,7 +94,14 @@ def exact_dedup_rows(
     layered_near_dup whose upstreams are expensive composed chains).
     Requires `id_col` non-null (min_by skips NULL-ordered rows); ids
     are unique in every caller, making the survivor deterministic.
-    Returns df's columns plus `copies_col` (exact-copy count)."""
+    Returns df's columns plus `copies_col` (exact-copy count);
+    `copies_col` must not already exist in df (the output would carry
+    duplicate/ambiguous names)."""
+    if copies_col in df.columns:
+        raise ValueError(
+            f"exact_dedup_rows: copies_col {copies_col!r} already exists "
+            "in df — pass a copies_col name not present in df.columns"
+        )
     cols = df.columns
     return (
         df.groupBy(content_sha256(text_col).alias("__digest"))

@@ -69,135 +69,105 @@ from core_telecoms_etl_spark.caching import (  # noqa: E402,F401
 # bytes or whose operators changed this round goes first; (2) then
 # queries that have never appeared in a driver window; (3) then strong
 # cross-family representatives; the tail is exclusively queries green in
-# a previous window and byte-stable since.
+# a previous window and byte-stable since. Since r16 the policy is
+# enforced MECHANICALLY, against the round-END state, by
+# tests/test_entry.py::test_changed_plans_enter_the_window (normalized
+# plan fingerprints vs plans/fingerprints_base.json — the r15 frozen-
+# head lesson: 18 late-round operator rewrites silently missed the
+# window).
 _CHECK_ORDER: tuple[str, ...] = (
-    # ---- r15 window: head is EXACTLY 50, policy (enforced data-driven
-    # ---- by tests/test_entry.py::test_window_head_rotation):
-    # ---- (1) best_match_links: NEW, the sanctioned link_best_match
-    # ---- promotion (r14 verdict ask #4);
-    # ---- (2) every query whose bytes, oracle, or operators changed
-    # ---- this round — the 13 NULL-corpus divergence fixes (vector
-    # ---- family conformance + weighted_median + order_price_
-    # ---- consistency + array_funcs), feature_scaling (ADVICE cast),
-    # ---- stream_stateful / stream_stream_join (StateBoundGuard),
-    # ---- fuzzy_linkage / fuzzy_linkage_compound (linkage module:
-    # ---- segmented short-name fallback, auto-router k-validation);
-    # ---- (3) ALL 31 r10-last-green rows — the ascending-last-green
-    # ---- tail's oldest stratum (they reach the 5-round staleness bar
-    # ---- when CORRECTNESS_r15 lands); vector_quantize is both (2)
-    # ---- and (3);
-    # ---- (4) span_corruption (r15 self-review #3: its oracle's
-    # ---- empty-target arm changed with the unicode-corpus fix, so it
-    # ---- must re-verify now, not at its r13-staleness horizon).
-    # ---- key_skew_profile's r15 change is DOCSTRING-ONLY (no plan or
-    # ---- oracle bytes) and stays in the tail by policy: the head
-    # ---- re-verifies changed BEHAVIOR, and a doc edit has none.
-    # ---- Tail stays ascending last-green (r11 -> r14), so the r16
-    # ---- head reads straight off the top.
-    # ---- LATE-r15 NOTE (float-specials block): nine more queries
-    # ---- changed AFTER the head was frozen at its 50-slot capacity
-    # ---- (winsorize_features, feature_binning, rolling_anomaly,
-    # ---- attribution_last_touch, cohort_ltv_curve, psi_drift,
-    # ---- zorder_locality, moments_profile, grouped_map_zscore,
-    # ---- partition_pruned_rollup — the nonfinite-metric contract
-    # ---- adoption). The head's 31-row r10
-    # ---- stratum is MANDATORY (the staleness bar is unsatisfiable
-    # ---- otherwise — the r8 lesson), so these nine stay tailed this
-    # ---- round carrying six-corpora local differential evidence
-    # ---- (clean/NULL/empty/unicode/skew/floats, BASELINE r15), and
-    # ---- are the FIRST claim on the r16 head after any r16 changes.
-    "best_match_links",  # NEW r15 (never driver-sampled)
-    "feature_scaling",  # green r14, changed r15
-    "array_funcs",  # green r14, changed r15
-    "embedding_norms",  # green r14, changed r15
-    "vector_topk",  # green r12, changed r15
-    "cosine_pairs",  # green r12, changed r15
-    "vector_topk_ivf",  # green r14, changed r15
-    "vector_topk_lsh",  # green r14, changed r15
-    "auto_topk_route",  # green r14, changed r15
-    "semantic_dedup",  # green r12, changed r15
-    "vector_quantize",  # green r10, changed r15
-    "knn_classify",  # green r12, changed r15
-    "knn_classify_ivf",  # green r14, changed r15
-    "weighted_median",  # green r11, changed r15
-    "order_price_consistency",  # green r13, changed r15
-    "stream_stateful",  # green r14, changed r15
-    "stream_stream_join",  # green r11, changed r15
-    "fuzzy_linkage",  # green r14, changed r15
-    "fuzzy_linkage_compound",  # green r14, changed r15
-    "benford_profile",  # green r10
-    "cms_heavy_hitters",  # green r10
-    "completeness_gaps",  # green r10
-    "containment_near_dup",  # green r10
-    "events_tumbling",  # green r10
-    "exists_subquery",  # green r10
-    "groupby_agg",  # green r10
-    "incremental_rollup",  # green r10
-    "iqr_outliers",  # green r10
-    "ks_two_sample",  # green r10
-    "large_volume_customers",  # green r10
-    "mad_outliers",  # green r10
-    "market_share",  # green r10
-    "markov_transitions",  # green r10
-    "minhash_near_dup",  # green r10
-    "mom_revenue_growth",  # green r10
-    "multi_join",  # green r10
-    "pareto_classes",  # green r10
-    "point_in_time_join",  # green r10
-    "prefix_filter_near_dup",  # green r10
-    "returned_item_report",  # green r10
-    "revenue_topk_shipping",  # green r10
-    "salted_skew_join",  # green r10
-    "sequence_pack",  # green r10
-    "sessionize",  # green r10
-    "sql_api",  # green r10
-    "stratified_sample",  # green r10
-    "string_funcs_extended",  # green r10
-    "text_chunks",  # green r10
-    "text_profile",  # green r10
-    "span_corruption",  # green r13, changed r15 (empty-target oracle arm)
-    # ---- end of the 50-slot r15 window ----------------------------------
+    # ---- r16 window: head is EXACTLY 50. This round the head is
+    # ---- OVER-SUBSCRIBED: 26 r15-changed-but-never-driver-sampled
+    # ---- queries (VERDICT r15 #1: the 18 optimization rewrites + the
+    # ---- 8 tailed float-specials adopters) + 4 r16-changed queries +
+    # ---- the 36-query r11 stratum (which reaches the 5-round
+    # ---- staleness bar when CORRECTNESS_r16 lands) = 57 distinct
+    # ---- claims on 50 slots (9 of the changed set are themselves
+    # ---- r11). Resolution, per policy (1) and the r16 VERDICT's
+    # ---- top-ranked ask: every changed query gets a slot — slots
+    # ---- 1-18 the r15 optimization rewrites (kll_sliding_quantile's
+    # ---- hand-rolled percentile, exact_dedup_rows' min_by survivors,
+    # ---- segment __n_segs, the shared-exchange TPC-H trio, the
+    # ---- array-percentile family, the HashAggregate survival pair),
+    # ---- slots 19-26 the float-specials adopters tailed by the
+    # ---- late-r15 freeze, slots 27-30 this round's own changes
+    # ---- (pack_sequences' negative-count guard via sequence_pack;
+    # ---- late_arrival_audit / corpus_incremental_dedup /
+    # ---- simhash_signatures optimization passes) — then 20 of the 29
+    # ---- remaining r11 rows. The NINE r11 rows that do not fit
+    # ---- (count_filter, csv_scan, cube_agg, dataset_split,
+    # ---- distinct_agg, filter_predicate, promo_revenue,
+    # ---- top_supplier_revenue, volume_shipping — chosen as the
+    # ---- simplest single-scan/single-agg shapes in the stratum, each
+    # ---- green in FIVE driver windows with byte-stable plans since
+    # ---- r11) head the tail as the first claim on any future window;
+    # ---- their exclusion is the least-risk resolution of an
+    # ---- over-subscribed head, not a policy change. Changed-slot
+    # ---- membership is what test_changed_plans_enter_the_window
+    # ---- verifies mechanically at round end.
+    "kll_sliding_quantile",  # green r13
+    "training_pipeline",  # green r11
+    "near_dedup_layered",  # green r11
+    "segment_boilerplate_dedup",  # green r11
+    "min_cost_supplier",  # green r12
+    "part_promotion_suppliers",  # green r12
+    "waiting_orders_suppliers",  # green r12
+    "bigram_surprisal",  # green r14
+    "profile_table",  # green r14
+    "approx_quantiles",  # green r13
+    "percentile_agg",  # green r12
+    "kll_quantile_rollup",  # green r14
+    "feature_binning",  # green r11
+    "winsorize_features",  # green r13
+    "kaplan_meier",  # green r13
+    "log_rank_test",  # green r13
+    "seasonal_naive_forecast",  # green r13
+    "deterministic_shuffle",  # green r14
+    "rolling_anomaly",  # green r11
+    "attribution_last_touch",  # green r12
+    "cohort_ltv_curve",  # green r12
+    "psi_drift",  # green r13
+    "zorder_locality",  # green r13
+    "moments_profile",  # green r14
+    "grouped_map_zscore",  # green r14
+    "partition_pruned_rollup",  # green r11
+    "sequence_pack",  # green r15
+    "late_arrival_audit",  # green r13
+    "corpus_incremental_dedup",  # green r14
+    "simhash_signatures",  # green r11
     "cohort_retention",  # green r11
-    "count_filter",  # green r11
-    "csv_scan",  # green r11
-    "cube_agg",  # green r11
-    "dataset_split",  # green r11
     "dedup_latest_by_key",  # green r11
     "dedup_rows",  # green r11
     "discounted_revenue_or",  # green r11
-    "distinct_agg",  # green r11
     "events_sliding",  # green r11
     "exists_group_agg",  # green r11
-    "feature_binning",  # green r11
-    "filter_predicate",  # green r11
     "full_outer_join",  # green r11
     "heavy_hitters",  # green r11
-    "near_dedup_layered",  # green r11
-    "partition_pruned_rollup",  # green r11
-    "promo_revenue",  # green r11
     "recursive_hierarchy_walk",  # green r11
     "referential_integrity",  # green r11
     "rfm_segments",  # green r11
-    "rolling_anomaly",  # green r11
-    "segment_boilerplate_dedup",  # green r11
-    "simhash_signatures",  # green r11
     "stream_dedup",  # green r11
     "stream_session",  # green r11
     "stream_static_join",  # green r11
     "stream_tumbling",  # green r11
     "text_exact_dedup",  # green r11
     "tf_idf",  # green r11
-    "top_supplier_revenue",  # green r11
     "traffic_heatmap",  # green r11
-    "training_pipeline",  # green r11
-    "volume_shipping",  # green r11
     "weighted_sample",  # green r11
     "windowed_funnel",  # green r11
-    "attribution_last_touch",  # green r12
+    # ---- end of the 50-slot r16 window ----------------------------------
+    "count_filter",  # green r11
+    "csv_scan",  # green r11
+    "cube_agg",  # green r11
+    "dataset_split",  # green r11
+    "distinct_agg",  # green r11
+    "filter_predicate",  # green r11
+    "promo_revenue",  # green r11
+    "top_supplier_revenue",  # green r11
+    "volume_shipping",  # green r11
     "bloom_prune_semi_join",  # green r12
     "bm25_retrieval",  # green r12
     "chi_square_independence",  # green r12
-    "cohort_ltv_curve",  # green r12
     "funnel",  # green r12
     "histogram_agg",  # green r12
     "important_stock",  # green r12
@@ -205,13 +175,10 @@ _CHECK_ORDER: tuple[str, ...] = (
     "json_scan",  # green r12
     "key_skew_profile",  # green r12
     "left_outer_join",  # green r12
-    "min_cost_supplier",  # green r12
     "multimodal_meta",  # green r12
     "order_by",  # green r12
     "order_count_distribution",  # green r12
     "parquet_scan",  # green r12
-    "part_promotion_suppliers",  # green r12
-    "percentile_agg",  # green r12
     "pivot_agg",  # green r12
     "product_profit",  # green r12
     "quality_filter",  # green r12
@@ -227,14 +194,12 @@ _CHECK_ORDER: tuple[str, ...] = (
     "theta_sketch_setops",  # green r12
     "top_k",  # green r12
     "upsert",  # green r12
-    "waiting_orders_suppliers",  # green r12
     "window_lag",  # green r12
     "window_rank",  # green r12
     "window_rank_extended",  # green r12
     "window_running_sum",  # green r12
     "window_value_funcs",  # green r12
     "approx_count_distinct",  # green r13
-    "approx_quantiles",  # green r13
     "bootstrap_ci",  # green r13
     "bootstrap_ci_partials",  # green r13
     "copurchase_pairs",  # green r13
@@ -252,21 +217,15 @@ _CHECK_ORDER: tuple[str, ...] = (
     "grouping_sets_agg",  # green r13
     "hll_sliding_distinct",  # green r13
     "interarrival_stats",  # green r13
-    "kaplan_meier",  # green r13
     "keyword_pmi",  # green r13
-    "kll_sliding_quantile",  # green r13
-    "late_arrival_audit",  # green r13
     "lexical_diversity",  # green r13
     "lift_analysis",  # green r13
-    "log_rank_test",  # green r13
     "mann_whitney_u",  # green r13
     "mutual_information",  # green r13
     "node_jaccard_similarity",  # green r13
     "pagerank_copurchase",  # green r13
-    "psi_drift",  # green r13
     "runs_test",  # green r13
     "scalar_subquery",  # green r13
-    "seasonal_naive_forecast",  # green r13
     "session_window",  # green r13
     "star_fact_complaints",  # green r13
     "stream_sliding",  # green r13
@@ -274,38 +233,29 @@ _CHECK_ORDER: tuple[str, ...] = (
     "time_grid_interpolate",  # green r13
     "token_topk",  # green r13
     "triangle_count",  # green r13
-    "winsorize_features",  # green r13
     "zipf_profile",  # green r13
-    "zorder_locality",  # green r13
     "ab_test_stats",  # green r14
     "activity_streaks",  # green r14
     "anti_join",  # green r14
     "asof_join",  # green r14
     "asof_join_forward",  # green r14
-    "bigram_surprisal",  # green r14
     "contamination",  # green r14
-    "corpus_incremental_dedup",  # green r14
     "date_funcs",  # green r14
-    "deterministic_shuffle",  # green r14
     "domain_cap",  # green r14
     "domain_mixture",  # green r14
     "dq_suite",  # green r14
     "exact_k_sample",  # green r14
     "filter_agg_scalar",  # green r14
     "gopher_quality",  # green r14
-    "grouped_map_zscore",  # green r14
     "hll_rollup",  # green r14
     "json_funcs",  # green r14
-    "kll_quantile_rollup",  # green r14
     "local_supplier_volume",  # green r14
     "math_funcs",  # green r14
-    "moments_profile",  # green r14
     "near_dedup",  # green r14
     "null_handling",  # green r14
     "null_safe_join",  # green r14
     "pandas_udf_scalar",  # green r14
     "pii_scrub",  # green r14
-    "profile_table",  # green r14
     "range_join",  # green r14
     "salted_groupby",  # green r14
     "scalar_subquery_filter",  # green r14
@@ -317,6 +267,55 @@ _CHECK_ORDER: tuple[str, ...] = (
     "unpivot_metrics",  # green r14
     "window_range_frame",  # green r14
     "window_rank_funcs",  # green r14
+    "array_funcs",  # green r15
+    "auto_topk_route",  # green r15
+    "benford_profile",  # green r15
+    "best_match_links",  # green r15
+    "cms_heavy_hitters",  # green r15
+    "completeness_gaps",  # green r15
+    "containment_near_dup",  # green r15
+    "cosine_pairs",  # green r15
+    "embedding_norms",  # green r15
+    "events_tumbling",  # green r15
+    "exists_subquery",  # green r15
+    "feature_scaling",  # green r15
+    "fuzzy_linkage",  # green r15
+    "fuzzy_linkage_compound",  # green r15
+    "groupby_agg",  # green r15
+    "incremental_rollup",  # green r15
+    "iqr_outliers",  # green r15
+    "knn_classify",  # green r15
+    "knn_classify_ivf",  # green r15
+    "ks_two_sample",  # green r15
+    "large_volume_customers",  # green r15
+    "mad_outliers",  # green r15
+    "market_share",  # green r15
+    "markov_transitions",  # green r15
+    "minhash_near_dup",  # green r15
+    "mom_revenue_growth",  # green r15
+    "multi_join",  # green r15
+    "order_price_consistency",  # green r15
+    "pareto_classes",  # green r15
+    "point_in_time_join",  # green r15
+    "prefix_filter_near_dup",  # green r15
+    "returned_item_report",  # green r15
+    "revenue_topk_shipping",  # green r15
+    "salted_skew_join",  # green r15
+    "semantic_dedup",  # green r15
+    "sessionize",  # green r15
+    "span_corruption",  # green r15
+    "sql_api",  # green r15
+    "stratified_sample",  # green r15
+    "stream_stateful",  # green r15
+    "stream_stream_join",  # green r15
+    "string_funcs_extended",  # green r15
+    "text_chunks",  # green r15
+    "text_profile",  # green r15
+    "vector_quantize",  # green r15
+    "vector_topk",  # green r15
+    "vector_topk_ivf",  # green r15
+    "vector_topk_lsh",  # green r15
+    "weighted_median",  # green r15
 )
 
 

@@ -3059,8 +3059,14 @@ def kll_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one fact shuffle to the day grain; the sketch-merge window
     runs over the calendar-bounded daily relation (single_partition
-    declared intent). The exact range join exists only for the
-    verification band — at production scale you ship the sketches."""
+    declared intent). The exact verification band rides the same daily
+    shuffle as the sketches (collect_list per day, 7-day window
+    flatten) — its memory bound is VERIFICATION-ONLY and deliberate:
+    every raw value funnels through the declared single-partition
+    window at ×7 frame duplication, ≈ the pre-r15 percentile buffers
+    but concentrated in WindowExec rows (spill posture measured on the
+    one-hot-day skew corpus, OPTIMIZATION_r16.md). At production scale
+    you ship the sketches and drop (or sample) the band arm."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.withColumn("day", F.col("ts").cast("date"))

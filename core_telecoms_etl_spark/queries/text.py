@@ -247,10 +247,27 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dd.jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).select("doc_a", "doc_b")
-    hit = exact.join(found, ["doc_a", "doc_b"], "left_semi")
+    # ONE evaluation of the exact all-pairs relation (r16 optimization
+    # round): the previous count + left-semi-count form evaluated the
+    # full inverted-index posting self-join TWICE — the query's
+    # dominant cost (the shingle arrays behind it are cache-pinned, the
+    # posting join is not). A left join against the (tiny, distinct)
+    # found set marks each exact pair instead, so one pass yields both
+    # counts: count(*) = |exact|, count(__hit) = |exact ∩ found| —
+    # exactly the semi-join count because `found` is duplicate-free
+    # (candidate pairs are .distinct() and doc ids unique; the explicit
+    # distinct() below pins that invariant against future candidate
+    # generators rather than assuming it).
+    marked = exact.join(
+        found.distinct().withColumn("__hit", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    )
     return (
-        exact.agg(F.count("*").alias("n_exact_pairs"))
-        .crossJoin(hit.agg(F.count("*").alias("__n_found")))
+        marked.agg(
+            F.count("*").alias("n_exact_pairs"),
+            F.count("__hit").alias("__n_found"),
+        )
         .select(
             "n_exact_pairs",
             # zero exact pairs => vacuous recall (flag 1, and no
@@ -845,15 +862,29 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
+    # SINGLE-PASS probe/counts (r16 optimization round, completing the
+    # r15 step that derived c1/V from the count table): the exploded
+    # fact is repartitioned ONCE on the bigram key, and that one
+    # exchange serves BOTH consumers — the bigram-count aggregation
+    # (ClusteredDistribution(bigram) satisfied → no second exchange,
+    # full aggregation in one pass) and the probe side of the stats
+    # join (SMJ/SHJ reuses the partitioning at scale; a broadcast stats
+    # side preserves it). The scan→tokenize→explode subtree is now
+    # evaluated ONCE (plan: 1 Generate subtree, was 2 — the shuffle
+    # files are written once and read by both branches via AQE
+    # ReusedExchange), where the r15 form re-tokenized the corpus for
+    # the probe. At 100 TB this swaps a full second scan+tokenize for
+    # one shuffle write the stats join already needed (the bigram vocab
+    # outgrows a broadcast at scale — see below).
+    bg = bg.repartition("bigram")
     bc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
     # c1 (instances starting with w1) and V (start-word vocab) are
     # DERIVED from the vocabulary-sized bigram-count table — c1 = Σ c2
     # over bigrams sharing the start word, V = |distinct start words| —
-    # instead of two more aggregations over the exploded fact relation:
-    # the scan→tokenize→explode subtree is evaluated twice (probe + bc)
-    # rather than four times (r15 optimization round; integer identity,
-    # results bit-identical). The stats joins stay key-shuffled at
-    # scale; AQE broadcasts them when small.
+    # instead of two more aggregations over the exploded fact relation
+    # (r15 optimization round; integer identity, results bit-identical).
+    # The stats joins stay key-shuffled at scale; AQE broadcasts them
+    # when small.
     bcw = bc.withColumn("w1", F.substring_index("bigram", " ", 1))
     uc = bcw.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = uc.agg(F.count("*").alias("vocab"))

@@ -817,3 +817,13 @@ def test_simhash_quadratic_mass_tripwire(spark):
     assert (
         dd.simhash_pairs(docs, "doc_id", "text", n_blocks=9).count() >= 1
     )
+
+
+def test_exact_dedup_rows_rejects_copies_col_collision(spark):
+    """copies_col colliding with an existing column would emit
+    duplicate/ambiguous names — rejected loudly (ADVICE r15)."""
+    import pytest
+
+    d = _docs(spark).withColumn("n_copies", F.lit(1))
+    with pytest.raises(ValueError, match="copies_col"):
+        dd.exact_dedup_rows(d, "text", "doc_id")

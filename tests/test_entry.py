@@ -47,6 +47,64 @@ def test_check_order_is_exact_and_duplicate_free():
     assert not missing, f"registered but not in _CHECK_ORDER: {missing}"
 
 
+def test_changed_plans_enter_the_window(spark, sf_dir):
+    """Every query whose PHYSICAL PLAN changed since the round base must
+    sit inside the driver's 50-slot correctness window (the 'changed
+    bytes go to the head' rotation policy, enforced mechanically).
+
+    The r15 lesson (VERDICT r15 #1): the head was frozen by an early
+    rotation commit, then late optimization batches rewrote 18 queries
+    THROUGH THEIR OPERATORS, and nothing re-checked — the driver never
+    hashed the riskiest rewrites that round. Source-diff checks can't
+    close that hole at the right granularity (function-level misses
+    operator changes; file-level flags ~60 relational.py queries per
+    edit), so the signal here is the normalized `explain("formatted")`
+    string: it changes exactly when the query's physical behavior
+    changes — through its own bytes or any operator it calls — and is
+    invariant to docstring/comment edits.
+
+    `plans/fingerprints_base.json` is the snapshot of every query's
+    normalized-plan hash AT THE ROUND BASE (the last driver-verified
+    commit), regenerated once per round from a clean checkout of that
+    commit (instructions in tools/plan_fingerprints.py). Because the
+    live side is computed HERE, at test time, a change landing at any
+    point in the round — before or after the rotation commit — fails
+    this test until the query is given a head slot."""
+    import importlib.util
+    import json
+    import os
+
+    from core_telecoms_etl_spark import queries as q
+
+    base_path = os.path.join(
+        os.path.dirname(__file__), "..", "plans", "fingerprints_base.json"
+    )
+    assert os.path.exists(base_path), (
+        "plans/fingerprints_base.json missing — regenerate it from the "
+        "round-base commit (see tools/plan_fingerprints.py)"
+    )
+    with open(base_path) as f:
+        base = json.load(f)["fingerprints"]
+
+    fp_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "plan_fingerprints.py"
+    )
+    spec = importlib.util.spec_from_file_location("plan_fingerprints", fp_path)
+    pf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pf)
+
+    live = pf.compute_all(spark, sf_dir)
+    q._load_all()
+    head = set(q._CHECK_ORDER[:50])
+    changed = {n for n, fp in live.items() if base.get(n) != fp}
+    missed = sorted(changed - head)
+    assert not missed, (
+        f"{len(missed)} queries' physical plans changed since the round "
+        f"base but sit outside the 50-slot window head — rotate them in "
+        f"(queries/__init__.py _CHECK_ORDER): {missed}"
+    )
+
+
 def test_window_head_rotation():
     """The driver samples the first 50 registry entries per round.
     Everything here is DATA-DRIVEN from

@@ -101,3 +101,36 @@ def test_quality_quantile_filter_keeps_top(spark):
     all_scores = [r.score for r in d.collect()]
     assert all(s < min_kept for s in all_scores if s not in
                {r.score for r in kept})
+
+
+def test_pack_sequences_raises_on_negative_token_count(spark):
+    """The derived-totals identity (max of running sum = group total)
+    requires non-negative token counts; the contract is enforced per
+    row — a negative count raises instead of silently mispacking
+    (ADVICE r15)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 17, F.lit(-3))
+        .otherwise(F.lit(5))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    with pytest.raises(SparkRuntimeException, match="negative n_tokens"):
+        pack_sequences(d, "doc_id", "n_tokens", budget=64).collect()
+
+
+def test_pack_sequences_null_counts_still_skipped(spark):
+    """NULL token counts pass the guard (sum skips them), exactly as
+    before the negative-count enforcement."""
+    d = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 3, F.lit(None))
+        .otherwise(F.lit(7))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    rows = pack_sequences(d, "doc_id", "n_tokens", budget=64).collect()
+    assert len(rows) == 10

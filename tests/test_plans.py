@@ -636,8 +636,6 @@ def test_approx_quantiles_shares_percentile_buffers(spark, sf_dir):
     assert plan.count("approx_percentile") >= 1
     # exactly one exact-percentile aggregate expression in the plan's
     # aggregate Functions list (the array form), not four
-    import re as _re
-
     fns = [l for l in plan.splitlines() if "Functions" in l]
     n_pct = sum(l.count("percentile(l_extendedprice") - l.count("approx_percentile(l_extendedprice") for l in fns)
     # partial + final rows each list the aggregate once
