@@ -90,11 +90,14 @@ _CHECK_ORDER: tuple[str, ...] = (
     # ---- segment __n_segs, the shared-exchange TPC-H trio, the
     # ---- array-percentile family, the HashAggregate survival pair),
     # ---- slots 19-26 the float-specials adopters tailed by the
-    # ---- late-r15 freeze, slots 27-30 this round's own changes
-    # ---- (pack_sequences' negative-count guard via sequence_pack;
-    # ---- late_arrival_audit / corpus_incremental_dedup /
-    # ---- simhash_signatures optimization passes) — then 20 of the 29
-    # ---- remaining r11 rows. The NINE r11 rows that do not fit
+    # ---- late-r15 freeze, slots 27-30 this round's own work —
+    # ---- sequence_pack (pack_sequences' negative-count guard) and
+    # ---- simhash_signatures (single evaluation of the exact pair
+    # ---- relation) changed bytes; late_arrival_audit and
+    # ---- corpus_incremental_dedup were optimization-EXAMINED with
+    # ---- committed measurements (code unchanged) and are the two
+    # ---- stalest examined rows, so they keep their slots — then 20
+    # ---- of the 29 remaining r11 rows. The NINE r11 rows that do not fit
     # ---- (count_filter, csv_scan, cube_agg, dataset_split,
     # ---- distinct_agg, filter_predicate, promo_revenue,
     # ---- top_supplier_revenue, volume_shipping — chosen as the

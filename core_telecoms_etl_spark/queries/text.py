@@ -862,29 +862,15 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    # SINGLE-PASS probe/counts (r16 optimization round, completing the
-    # r15 step that derived c1/V from the count table): the exploded
-    # fact is repartitioned ONCE on the bigram key, and that one
-    # exchange serves BOTH consumers — the bigram-count aggregation
-    # (ClusteredDistribution(bigram) satisfied → no second exchange,
-    # full aggregation in one pass) and the probe side of the stats
-    # join (SMJ/SHJ reuses the partitioning at scale; a broadcast stats
-    # side preserves it). The scan→tokenize→explode subtree is now
-    # evaluated ONCE (plan: 1 Generate subtree, was 2 — the shuffle
-    # files are written once and read by both branches via AQE
-    # ReusedExchange), where the r15 form re-tokenized the corpus for
-    # the probe. At 100 TB this swaps a full second scan+tokenize for
-    # one shuffle write the stats join already needed (the bigram vocab
-    # outgrows a broadcast at scale — see below).
-    bg = bg.repartition("bigram")
     bc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
     # c1 (instances starting with w1) and V (start-word vocab) are
     # DERIVED from the vocabulary-sized bigram-count table — c1 = Σ c2
     # over bigrams sharing the start word, V = |distinct start words| —
-    # instead of two more aggregations over the exploded fact relation
-    # (r15 optimization round; integer identity, results bit-identical).
-    # The stats joins stay key-shuffled at scale; AQE broadcasts them
-    # when small.
+    # instead of two more aggregations over the exploded fact relation:
+    # the scan→tokenize→explode subtree is evaluated twice (probe + bc)
+    # rather than four times (r15 optimization round; integer identity,
+    # results bit-identical). The stats joins stay key-shuffled at
+    # scale; AQE broadcasts them when small.
     bcw = bc.withColumn("w1", F.substring_index("bigram", " ", 1))
     uc = bcw.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = uc.agg(F.count("*").alias("vocab"))

@@ -640,3 +640,16 @@ def test_approx_quantiles_shares_percentile_buffers(spark, sf_dir):
     n_pct = sum(l.count("percentile(l_extendedprice") - l.count("approx_percentile(l_extendedprice") for l in fns)
     # partial + final rows each list the aggregate once
     assert n_pct <= 2, fns
+
+
+def test_simhash_exact_relation_evaluated_once(spark, sf_dir):
+    """r16 optimization: the recall readout's exact all-pairs relation
+    is evaluated ONCE (left-join mark + conditional count), not twice
+    (count + semi-join count). The jaccard-threshold filter appears in
+    exactly two subtrees — one exact posting join + the candidate
+    refine — and no LeftSemi join remains."""
+    from core_telecoms_etl_spark.queries import queries
+
+    plan = _formatted(queries()["simhash_signatures"](spark, sf_dir))
+    assert "LeftSemi" not in plan, plan
+    assert plan.count(">= 0.8") == 2, plan.count(">= 0.8")
